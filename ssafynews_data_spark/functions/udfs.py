@@ -1,0 +1,149 @@
+"""Enrichment UDF surface (SURVEY.md §2.11 U1-U7) — Arrow pandas_udfs
+with pluggable providers.
+
+The reference enriches per-record with network calls: crawl the article
+URL (U1, collect/consumer.py:92-113), LLM category classification (U2,
+:116-131), LLM keyword extraction (U3, :135-142), embedding generation
+(U4, :144-149), HF sentiment in a driver-side loop (U6,
+spark_daily_report.py:121-125), Okt noun extraction (U7, :31-36).
+
+The engine ships the *mock* provider: deterministic, pure functions of
+the input, so the full pipeline is reproducible with no network or
+models (SURVEY.md §7 stage 3 — deviation by design).  Real providers
+plug in behind the same signatures; model handles must be lazy
+module-level singletons (the Flink ``open()`` analog, consumer2.py:81-95)
+so each executor loads once.
+
+Everything is ``pandas_udf`` — Arrow-batched, never row-at-a-time (the
+reference's driver-side sentiment loop is the anti-pattern, §2.11 U6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssafynews_data_spark.schemas import CATEGORIES, CATEGORY_FALLBACK
+
+EMBED_DIM = 8  # test dim; shape-parity 768 per ollama_consumer.py:234
+
+#: tiny keyword→category rules for the mock classifier (U2's 17-enum with
+#: 미분류 fallback, consumer.py:131).
+_CATEGORY_RULES: list[tuple[str, str]] = [
+    ("spark", "IT_과학"),
+    ("vector", "IT_과학"),
+    ("query", "IT_과학"),
+    ("customer", "경제"),
+    ("value", "경제"),
+    ("fast", "스포츠"),
+    ("slow", "건강"),
+    ("stream", "문화"),
+]
+
+_POS_WORDS = frozenset({"fast", "big", "merge", "join"})
+_NEG_WORDS = frozenset({"slow", "error", "small"})
+
+
+@F.pandas_udf(T.StringType())
+def classify_category(text: pd.Series) -> pd.Series:
+    """U2 mock: first matching keyword rule, else 미분류."""
+
+    def one(t: str | None) -> str:
+        low = (t or "").lower()
+        for kw, cat in _CATEGORY_RULES:
+            if kw in low:
+                assert cat in CATEGORIES
+                return cat
+        return CATEGORY_FALLBACK
+
+    return text.map(one)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_keywords(text: pd.Series) -> pd.Series:
+    """U3 mock: top-5 tokens by (count desc, token asc) — deterministic
+    stand-in for the LLM's '5 comma-separated keywords'."""
+
+    def one(t: str | None) -> list[str]:
+        toks = [w for w in (t or "").lower().split() if w]
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        return [w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+
+    return text.map(one)
+
+
+def _seeded_vec(text: str, dim: int) -> list[float]:
+    """Seeded hash → R^dim unit-ish vector (U4 mock): md5 drives a
+    deterministic PRNG so equal text ⇒ equal embedding on any executor."""
+    seed = int.from_bytes(hashlib.md5((text or "").encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    n = float(np.linalg.norm(v)) or 1.0
+    return [float(x / n) for x in v]
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def generate_embedding(text: pd.Series) -> pd.Series:
+    """U4 mock embedding generator (real: SentenceTransformer
+    all-mpnet-base-v2, 768-d — ollama_consumer.py:196)."""
+    return text.map(lambda t: _seeded_vec(t, EMBED_DIM))
+
+
+@F.pandas_udf(T.StringType())
+def sentiment(text: pd.Series) -> pd.Series:
+    """U6 mock lexicon sentiment over the first 300 chars (truncation per
+    spark_daily_report.py:177); labels 긍정/부정/중립, '-' on empty like
+    the reference's error path (:124-125)."""
+
+    def one(t: str | None) -> str:
+        if not t:
+            return "-"
+        toks = t[:300].lower().split()
+        pos = sum(w in _POS_WORDS for w in toks)
+        neg = sum(w in _NEG_WORDS for w in toks)
+        if pos > neg:
+            return "긍정"
+        if neg > pos:
+            return "부정"
+        return "중립"
+
+    return text.map(one)
+
+
+@F.pandas_udf(T.StringType())
+def crawl_article(url: pd.Series) -> pd.Series:
+    """U1 mock crawler: deterministic text keyed on the url hash ('' for
+    null, matching consumer.py:113's error path)."""
+
+    def one(u: str | None) -> str:
+        if not u:
+            return ""
+        h = hashlib.md5(u.encode()).hexdigest()
+        return f"mock article body for {u} [{h[:12]}]"
+
+    return url.map(one)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_nouns(text: pd.Series) -> pd.Series:
+    """U7 mock tokenizer standing in for konlpy Okt
+    (spark_daily_report.py:31-36): words of length ≥2, lowered."""
+    return text.map(lambda t: [w.lower() for w in (t or "").split() if len(w) >= 2])
+
+
+def enrich(df, text_col: str = "summary", url_col: str = "link"):
+    """U1-U4 chain (consumer.py:165-168) as one narrow stage: four
+    Arrow-batched UDFs, no shuffle, executor-parallel — the engine form
+    of the reference's sequential per-record loop."""
+    return (
+        df.withColumn("full_text", crawl_article(F.col(url_col)))
+        .withColumn("category", classify_category(F.col(text_col)))
+        .withColumn("keywords", extract_keywords(F.col(text_col)))
+        .withColumn("embedding", generate_embedding(F.col(text_col)))
+    )

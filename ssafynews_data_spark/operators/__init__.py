@@ -1,0 +1,10 @@
+"""Operator modules — importing this package populates the query registry."""
+
+from ssafynews_data_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    vectors,
+)

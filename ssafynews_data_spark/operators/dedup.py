@@ -1,0 +1,326 @@
+"""Deduplication operators (north-star extensions + SURVEY.md §2.7 D1/D2).
+
+The reference dedups only by exact key: a 1000-link deque at ingest
+(collect/producer.py:7-15) and ``ON CONFLICT (link) DO NOTHING`` at the
+sink (collect/consumer.py:81).  A 100 TB training-data pipeline needs
+content-level dedup; this module implements the standard ladder:
+
+1. exact          — hash-groupBy on a normalized-content fingerprint;
+2. n-gram Jaccard — shingle self-join, exact similarity (quadratic in
+                    colliding docs → correctness oracle, not the scale path);
+3. MinHash + LSH  — signature banding; candidate pairs come from
+                    equality joins on band hashes, so the shuffle is
+                    O(docs × bands), never O(docs²);
+4. SimHash        — 64-bit weighted fingerprint, banded the same way,
+                    hamming-distance verify via xor + bit_count.
+
+All content hashing is ``xxhash64`` (JVM-side, codegen'd).  MinHash and
+SimHash have no DuckDB oracle (hash functions differ across engines) —
+they are validated in tests against the exact-Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+SHINGLE_W = 3  # tokens per shingle
+MINHASH_K = 32  # signature length
+LSH_BANDS = 8  # bands of MINHASH_K // LSH_BANDS rows each
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands
+HAMMING_THRESHOLD = 3
+
+
+def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct w-token shingles of a text column (empty when < w tokens).
+
+    ``sequence(1, size-w+1)`` would flip to a descending sequence when
+    size < w (Spark's default step is -1 backwards), hence the guard.
+    """
+    toks = tokens_col(c)
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - (w - 1))
+    sh = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    return F.when(n >= w, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("sh")
+    )
+
+
+#: DuckDB mirror of ``shingles_col`` (1-based inclusive list slicing).
+_DUCK_SHINGLES = f"""
+    list_distinct(
+        CASE WHEN len({_DUCK_TOKENS}) >= {SHINGLE_W}
+             THEN list_transform(
+                      range(1, len({_DUCK_TOKENS}) - {SHINGLE_W - 2}),
+                      i -> array_to_string(({_DUCK_TOKENS})[i:i + {SHINGLE_W - 1}], ' '))
+             ELSE [] END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup — D1/D2 generalized from link-key to content hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_groups",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS group_size
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup", "D1", "D2"),
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one hash-aggregate on the normalized-text
+    fingerprint; keeper = min doc_id.  Map-side partial agg means the
+    shuffle carries one row per distinct fingerprint, not per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return (
+        docs.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
+    )
+
+
+@register(
+    "dedup_documents",
+    oracle="""
+        WITH k AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN k USING (doc_id)
+    """,
+    tags=("dedup",),
+)
+def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-by-content-hash — the engine form of
+    ``dropDuplicates(["link"])`` upgraded to content identity.  Window-
+    free: aggregate keepers then semi-join back (both sides shuffle on
+    the same key; AQE plans the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    keepers = (
+        docs.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard similarity pairs (the correctness oracle for
+#    the approximate methods below).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(common / (sa.n + sb.n - common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via shingle self-join.
+
+    Cost is Σ_shingle count² — quadratic in colliding docs, so this is
+    the *verification* formulation; at scale candidates come from
+    MinHash banding (``minhash_lsh_pairs``) and only candidate pairs pay
+    the exact-intersection price.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH — the scale path for near-dup detection.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<long>): sig[i] = min over shingles of
+    xxhash64(shingle, i).  One aggregate, k min() columns — all
+    codegen'd; the shuffle carries one row per doc."""
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from signature banding.
+
+    Docs agreeing on all rows of ≥1 band land in the same bucket; the
+    join is an equi-join on (band_idx, band_hash), so candidate
+    generation is shuffle-linear in docs — this is what makes near-dup
+    feasible at 100 TB (vs the quadratic shingle self-join).
+    """
+    rows = k // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register("minhash_lsh_pairs", tags=("dedup", "minhash", "lsh"), bench=True)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)×LSH(8 bands) near-dup pairs with estimated Jaccard =
+    fraction of agreeing signature rows.  Rows-only oracle (engine hash
+    functions differ); tests/test_dedup.py checks candidate recall
+    against exact ``ngram_jaccard_pairs`` ground truth."""
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(MINHASH_K)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD * 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash — weighted 64-bit fingerprint + banded hamming search.
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash long): bit b set iff Σ_tokens ±1(bit b of
+    xxhash64(token)) > 0.  Token multiplicity weights naturally (no
+    distinct), 64 conditional-sum agg columns, all codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@register("simhash_pairs", tags=("dedup", "simhash"))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= 3, candidates from 4 ×
+    16-bit band buckets (a pair within hamming 3 must agree exactly on
+    ≥1 of 4 bands — pigeonhole).  Verification is xor + bit_count."""
+    sigs = simhash_signatures(spark, sf_dir)
+    bands = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"band{i}"
+        )
+        for i in range(SIMHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )

@@ -1,0 +1,615 @@
+"""Relational core: projections, filters, aggregations, joins, windows,
+top-k, set ops (SURVEY.md §2.2-2.7).
+
+The reference's whole relational surface is the daily-report job
+(``dags/scripts/spark_daily_report.py:55-96``: to_date → filter →
+groupBy/count → orderBy) plus pandas probes in the preprocess notebook.
+The engine generalizes each pattern to the full Spark relational surface
+and registers an oracle-checked query per operator family.
+
+Scale notes (100 TB):
+
+- Joins against ``region``/``nation``/``supplier`` are explicitly
+  ``broadcast()`` — they are dimension tables at any scale.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  handles skew splitting.  On a real deployment both sides would be
+  bucketed by orderkey to eliminate the shuffle entirely.
+- Top-k is ``orderBy().limit(k)`` which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  never a global sort.
+- Global sequential ids (P14) use a window only for oracle parity; at
+  scale use ``zipWithIndex``-style block ids (see ``sequential_ids``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship: daily event counts — the engine form of the reference's daily
+# category report (spark_daily_report.py:62-70: to_date → filter → groupBy
+# category → count → orderBy desc), generalized to group by (day, type).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_event_counts",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("A1", "P2", "T1"),
+    bench=True,
+)
+def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (to_date) + A1 (group-count) + T1 (sort desc): partial
+    aggregation map-side, one shuffle on (d, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("d", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("n"), "d", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped aggregation / join coverage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               round(sum(l_quantity), 2)                                       AS sum_qty,
+               round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2)                                       AS avg_qty,
+               round(avg(l_extendedprice), 2)                                  AS avg_price,
+               round(avg(l_discount), 4)                                       AS avg_disc,
+               count(*)                                                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A3"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate, fully codegen'd; the scan
+    reads only the 7 referenced columns (column pruning) and the shipdate
+    predicate is pushed to parquet row groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("joins", "T2"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape.  customer is small relative to the facts →
+    broadcast; orders⋈lineitem shuffles on orderkey (bucket both by
+    orderkey on a real deployment).  Top-10 is TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+    """,
+    tags=("joins", "broadcast"),
+    bench=True,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join.  region/nation/supplier are broadcast
+    (dimension tables at every scale); the only shuffle joins are the
+    fact-fact orders⋈lineitem and customer⋈orders legs."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    nat = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    sup = supplier.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY.md §2.5 — engine surface; reference had none).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               rn
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= 3
+    """,
+    tags=("windows", "T2"),
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the deterministic form of the
+    reference's pandas ``head(10)`` (spark_daily_report.py:153).  One
+    shuffle on user_id; no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "rolling_daily_counts",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, d, n,
+               round(avg(n) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        FROM daily
+    """,
+    tags=("windows",),
+)
+def rolling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day mean over a daily aggregate (frame spec
+    rowsBetween): agg shuffle on (type, d), window shuffle on type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    return daily.withColumn("ma7", F.round(F.avg("n").over(w), 2))
+
+
+@register(
+    "sessionization",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+    tags=("windows", "sessionization"),
+    bench=True,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min cumsum (guide 'Common OLAP
+    patterns').  Microsecond-exact gap comparison via unix_micros so the
+    oracle agrees bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("joins", "asof"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — guide 'Common OLAP
+    patterns'): union both streams, sort within user, carry the last
+    non-null click id forward.  One shuffle on user_id, no N×M join —
+    this is the formulation that survives 100 TB (contrast with a range
+    self-join which explodes)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"), F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_p"),
+    )
+    # at equal ts a click sorts before the purchase → "p.ts >= c.ts".
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "purchase_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("last_click").alias("click_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (D2's anti-join formulation) and set ops (§2.7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("joins", "semi"),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("joins", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — also the batch form of the reference's idempotent
+    ``ON CONFLICT DO NOTHING`` insert (collect/consumer.py:81, D2)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "user_funnel_set_ops",
+    oracle="""
+        SELECT user_id, 'both' AS cohort FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'click_only' AS cohort FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    tags=("setops",),
+)
+def user_funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("both"))
+    only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct aggs / pivot (§2.4 engine extensions).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_order_stats",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup",),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube",),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "segment_distinct_aggs",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               count(DISTINCT c_nationkey) AS n_nations,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("A4", "distinct"),
+)
+def segment_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg (expand + two-phase in Spark). At 100 TB prefer
+    approx_count_distinct (HLL, single pass) — exposed separately."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+
+
+@register(
+    "events_pivot_daily",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               coalesce(round(sum(CASE WHEN event_type = 'click'    THEN value END), 2), 0.0) AS click,
+               coalesce(round(sum(CASE WHEN event_type = 'view'     THEN value END), 2), 0.0) AS view,
+               coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase,
+               coalesce(round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2), 0.0) AS signup,
+               coalesce(round(sum(CASE WHEN event_type = 'error'    THEN value END), 2), 0.0) AS error
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for
+    distinct pivot values at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", kinds)
+        .sum("value")
+    )
+    return piv.select(
+        "d", *[F.coalesce(F.round(F.col(k), 2), F.lit(0.0)).alias(k) for k in kinds]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling / stats probes (§2.4 A4-A6, notebook cells 16-17, 39-40, 54-55).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_profile_documents",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(*) - count(text)   AS null_text,
+               count(*) - count(lang)   AS null_lang,
+               count(*) - count(source) AS null_source
+        FROM documents
+    """,
+    tags=("A4",),
+)
+def null_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 null-count profile (datashow.ipynb cells 16-17) — one pass,
+    one row out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.sum(F.col("source").isNull().cast("long")).alias("null_source"),
+    )
+
+
+@register(
+    "doc_len_stats",
+    oracle="""
+        WITH s AS (
+            SELECT lang, max(n_chars) AS max_len, min(n_chars) AS min_len
+            FROM documents GROUP BY lang
+        )
+        SELECT s.lang, s.max_len, s.min_len, min(d.doc_id) AS longest_doc_id
+        FROM s JOIN documents d ON d.lang = s.lang AND d.n_chars = s.max_len
+        GROUP BY s.lang, s.max_len, s.min_len
+    """,
+    tags=("A5",),
+)
+def doc_len_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 min/max length + argmax doc (datashow.ipynb cells 39-40,50).
+    Single pass: argmax-with-tiebreak as max(struct(len, -doc_id))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.max("n_chars").alias("max_len"),
+            F.min("n_chars").alias("min_len"),
+            F.max(F.struct(F.col("n_chars").alias("l"), (-F.col("doc_id")).alias("nd"))).alias("s"),
+        )
+        .select("lang", "max_len", "min_len", (-F.col("s.nd")).alias("longest_doc_id"))
+    )
+
+
+@register(
+    "doc_len_histogram",
+    oracle="""
+        SELECT n_chars - n_chars % 50 AS bucket, count(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    tags=("A6",),
+)
+def doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 value-counts histogram (datashow.ipynb cells 54-55), bucketed
+    with pure integer arithmetic so both engines agree on types."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") - F.col("n_chars") % 50).alias("bucket")
+    return docs.groupBy(bucket).agg(F.count("*").alias("n"))
+
+
+@register(
+    "sequential_ids",
+    oracle="""
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS news_id
+        FROM documents
+    """,
+    tags=("P14",),
+)
+def sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 sequential id assignment (datashow.ipynb cell 30).
+
+    A global row_number needs a single-partition sort — fine for id
+    backfills that fit an executor, wrong at 100 TB.  The scale path is
+    block arithmetic: per-partition counts → running offsets →
+    offset + local index (zipWithIndex shape), which is what
+    ``text.assign_block_ids`` implements.  This oracle-parity version
+    keeps the window form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id")
+    return docs.select("doc_id").withColumn("news_id", F.row_number().over(w))

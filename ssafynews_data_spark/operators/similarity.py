@@ -1,0 +1,239 @@
+"""Similarity search over the ``embeddings`` table (north-star M6).
+
+The reference stores a pgvector ``Vector(768)`` column for ANN serving
+(collect/ollama_consumer.py:234) but never implements search.  Engine
+ladder:
+
+1. brute-force cosine top-k — exact baseline, broadcast the query set so
+   the corpus is scanned once with no shuffle (oracle-checked against
+   DuckDB ``list_cosine_similarity``);
+2. embedding near-dup pairs — cosine >= threshold self-join (exact,
+   quadratic → correctness oracle);
+3. BucketedRandomProjectionLSH — MLlib's banded random-projection
+   buckets; candidate pairs via equality join on bucket id (scale path);
+4. IVF — KMeans(seed 42) coarse quantizer, probe the ``NPROBE`` nearest
+   centroids only (classic IVF-Flat layout: at scale the corpus is
+   partitioned by centroid id, so a query touches nprobe partitions).
+
+All exact math is built-in array expressions (``zip_with`` +
+``aggregate``), computed in double, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 form the query set
+NEAR_DUP_COS = 0.35  # max pairwise cos in the fixture blobs is ~0.48
+NPROBE = 2
+IVF_K = 8
+
+
+def as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Brute-force cosine top-k (exact baseline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             sims AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.emb, c.emb) AS sim
+                 FROM q CROSS JOIN c
+                 WHERE q.vec_id <> c.vec_id
+             )
+        SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+        WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus — the corpus streams through once, no shuffle until the final
+    per-query top-k (which AQE keeps tiny).  This is the correct shape
+    at 100 TB whenever |queries| ≪ |corpus|."""
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Embedding near-dup pairs (exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS}
+    """,
+    tags=("dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (the embedding analog of
+    ``ngram_jaccard_pairs``).  Quadratic — the oracle/verify form; the
+    LSH variant below is the candidate generator at scale."""
+    corpus = _corpus(spark, sf_dir)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. LSH-bucketed ANN (MLlib random projection — scale path).
+# ---------------------------------------------------------------------------
+
+
+@register("ann_lsh_topk", tags=("similarity", "lsh"), bench=True)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via ``BucketedRandomProjectionLSH`` (seed 42).
+
+    Vectors are L2-normalized first, making euclidean distance monotone
+    in cosine (d² = 2 - 2cos), so the euclidean LSH family serves cosine
+    ranking.  ``approxSimilarityJoin`` joins on bucket equality —
+    shuffle-linear in rows, the 100 TB path.  Rows-only check (bucket
+    boundaries are engine-specific); tests assert recall vs exact.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "vec_raw", array_to_vector(F.col("emb"))
+    )
+    corpus = Normalizer(inputCol="vec_raw", outputCol="vec", p=2.0).transform(corpus)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", seed=42, bucketLength=0.5, numHashTables=4
+    )
+    model = lsh.fit(corpus)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    joined = model.approxSimilarityJoin(queries, corpus, 1.4, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        # on unit vectors: cos = 1 - d²/2
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("sim"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. IVF coarse-quantizer ANN (KMeans partitions + nprobe).
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_topk", tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: KMeans(k=8, seed=42) coarse centroids; each query
+    probes its NPROBE nearest centroids and ranks exactly within them.
+
+    At scale the corpus is written partitioned by ``centroid`` so a
+    query reads nprobe/k of the data (partition pruning); here the
+    pruning happens via the broadcast equi-join on centroid id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus(spark, sf_dir).withColumn("vec", array_to_vector(F.col("emb")))
+    km = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("vec_id", "emb", "centroid")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # nprobe nearest centroids per query (tiny: |queries| × k rows)
+    qc = queries.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "q_emb", "centroid",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("c_sim"), "centroid")
+    probe = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= NPROBE)
+        .select("query_id", "q_emb", "centroid")
+    )
+    cands = assigned.join(F.broadcast(probe), "centroid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )

@@ -1,0 +1,333 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Covers the reference's string/cleaning surface (SURVEY.md §2.9 F1-F11 and
+the preprocess chain §3.3) plus the north-star text-analysis ops a
+training-data pipeline needs: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` — JVM-side, codegen'd,
+no Python in the hot path.  Tokenization is a single regex split reused
+by token counts, word frequencies, language-ID, and the dedup shingles
+(operators/dedup.py) so all of them stay consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.functions.strings import (
+    normalize_whitespace,
+    strip_control_chars,
+    tokenize_words,
+)
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+#: shared DuckDB token expression — must mirror ``tokenize_words``.
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+)
+
+#: tiny per-language marker vocabularies for the heuristic language-ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "los", "y", "es", "las"),
+}
+
+#: stopwords for quality scoring (kept deliberately tiny + deterministic).
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+
+def tokens_col(c: Column) -> Column:
+    return tokenize_words(c)
+
+
+# ---------------------------------------------------------------------------
+# Cleaning chain (preprocess notebook §3.3: F1+F3+P8 over articles).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clean_documents",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
+                                   '\\s+', ' ', 'g')) AS cleaned,
+               length(trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
+                                          '\\s+', ' ', 'g'))) AS clean_len
+        FROM documents
+        WHERE length(text) > 100
+    """,
+    tags=("F1", "F3", "P8"),
+)
+def clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notebook's cleaning chain (datashow.ipynb cells 19-25):
+    strip control chars (F1) → collapse whitespace (F3) → keep len>100
+    (P8).  One narrow codegen stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = normalize_whitespace(strip_control_chars(F.col("text")))
+    return (
+        docs.filter(F.length("text") > 100)
+        .select(
+            "doc_id",
+            cleaned.alias("cleaned"),
+            F.length(cleaned).alias("clean_len"),
+        )
+    )
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct_tokens
+        FROM documents
+    """,
+    tags=("tokenize", "F9", "F10"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/punctuation regex tokenizer — the
+    BPE-ish stand-in from the north-star list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "word_freq_topk",
+    oracle=f"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+    tags=("A2", "T2"),
+    bench=True,
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+T2: explode → group-count → top-k, the engine form of the
+    keyword-frequency report (spark_daily_report.py:72-75,153).  The
+    explode happens map-side with partial aggregation before the single
+    shuffle; top-20 is TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "source_token_stats",
+    oracle=f"""
+        WITH t AS (SELECT source, unnest({_DUCK_TOKENS}) AS token FROM documents)
+        SELECT source,
+               count(*) AS total_tokens,
+               count(DISTINCT token) AS distinct_tokens
+        FROM t GROUP BY source
+    """,
+    tags=("A7", "F11"),
+)
+def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 keyword flatten per group (spark_daily_report.py:117-118) as a
+    distributed agg instead of the reference's driver-side
+    ``sum(list, [])`` concat."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("token").alias("distinct_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (heuristic marker-word voting — north-star op).
+# ---------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({markers})))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {_lang_score_sql('en')} AS sc_en,
+                   {_lang_score_sql('de')} AS sc_de,
+                   {_lang_score_sql('fr')} AS sc_fr,
+                   {_lang_score_sql('es')} AS sc_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN sc_en = 0 AND sc_de = 0 AND sc_fr = 0 AND sc_es = 0 THEN 'und'
+                 WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+                 WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+                 WHEN sc_fr >= sc_es THEN 'fr'
+                 ELSE 'es'
+               END AS lang_pred
+        FROM s
+    """,
+    tags=("lang-id",),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: per-language stopword hit counts, argmax
+    with a fixed tie-break order (en>de>fr>es), 'und' when no markers
+    hit.  Pure array expressions — no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+
+    def score(lang: str) -> Column:
+        markers = list(LANG_MARKERS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    sc = {lang: score(lang).alias(f"sc_{lang}") for lang in LANG_MARKERS}
+    s = docs.select("doc_id", *sc.values())
+    e, d, fr, es = (F.col(f"sc_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((e == 0) & (d == 0) & (fr == 0) & (es == 0), "und")
+        .when((e >= d) & (e >= fr) & (e >= es), "en")
+        .when((d >= fr) & (d >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return s.select("doc_id", pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring + fingerprinting (north-star ops).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter({_DUCK_TOKENS},
+                        x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) AS n_stop,
+                   CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                       AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.4 * least(1.0, n_chars / 500.0)
+                   + 0.4 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+                   + 0.2 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)),
+                   4) AS quality
+        FROM t
+    """,
+    tags=("quality",),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length saturation + stopword ratio +
+    (1 - punctuation ratio), weighted 0.4/0.4/0.2.  Every term is a
+    deterministic closed-form expression so the DuckDB oracle matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop = list(STOPWORDS)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double")
+    n_chars = F.col("n_chars")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_chars / 500.0)
+        + 0.4 * F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+        + 0.2 * (1.0 - F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+    )
+    return docs.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    tags=("fingerprint",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased
+    text — the exact-dedup key (operators/dedup.py builds on this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+@register(
+    "first_sentence_summaries",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN contains(text, '. ')
+                    THEN split_part(text, '. ', 1) || '.'
+                    ELSE substr(text, 1, 40) END AS summary
+        FROM documents
+    """,
+    tags=("F5",),
+)
+def first_sentence_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 first-sentence summary (spark_daily_report.py:180):
+    ``content.split("다.")[0] + "다."`` else first-40-chars, with the
+    terminator parameterized ('. ' for Latin corpora)."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.concat(F.split(F.col("text"), "\\. ", 2)[0], F.lit("."))
+    summary = F.when(F.col("text").contains(". "), head).otherwise(
+        F.substring(F.col("text"), 1, 40)
+    )
+    return docs.select("doc_id", summary.alias("summary"))
+
+
+# ---------------------------------------------------------------------------
+# Scale path for sequential ids (P14) — no global sort.
+# ---------------------------------------------------------------------------
+
+
+def assign_block_ids(df: DataFrame, order_col: str, num_partitions: int = 32) -> DataFrame:
+    """Dense 1-based sequential ids without a single-partition sort.
+
+    Range-partition by ``order_col``, count rows per partition (tiny
+    driver-side collect of one row per partition), broadcast the running
+    offsets, then ``offset + local row_number``.  This is the
+    zipWithIndex shape expressed in the DataFrame API and the 100 TB
+    replacement for ``sequential_ids``'s global window.
+    """
+    part = df.repartitionByRange(num_partitions, F.col(order_col))
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_col = F.coalesce(
+        *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = W.partitionBy("_pid").orderBy(order_col)
+    return (
+        with_pid.withColumn("seq_id", offset_col + F.row_number().over(w))
+        .drop("_pid")
+    )

@@ -1,0 +1,129 @@
+"""Vector / ML operators (SURVEY.md §2.8 M1-M5).
+
+The reference's analytical core is: array→vector UDF (M1,
+spark_daily_report.py:38-41), PCA k=2 (M2, :87-89), KMeans k=min(5,n)
+seed=42 (M3, :91-94), then pandas element extraction (M4, :97-98).
+
+Engine changes: the hand-rolled row UDF becomes the built-in
+``array_to_vector``; element extraction stays in Spark via
+``vector_to_array`` (no toPandas); the whole chain is one cached
+DataFrame instead of the reference's six re-reads (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+PCA_K = 2  # spark_daily_report.py:87
+KMEANS_MAX_K = 5  # spark_daily_report.py:91
+SEED = 42  # spark_daily_report.py:92
+
+
+def pca_kmeans(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    k_pca: int = PCA_K,
+    max_k: int = KMEANS_MAX_K,
+    seed: int = SEED,
+) -> DataFrame:
+    """M1-M4 chain: array→vector, PCA(k=2), KMeans(k=min(5,n), seed=42),
+    vector→(pc1, pc2).  Returns input columns minus the embedding plus
+    (cluster, pc1, pc2)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    clean = df.filter(F.col(embedding_col).isNotNull()).withColumn(
+        "_vec", array_to_vector(F.col(embedding_col))
+    )
+    clean.cache()  # reference recomputed the scan per action; we don't (§4)
+    n = clean.count()
+    if n == 0:
+        return clean.drop("_vec", embedding_col)
+
+    pca = PCA(k=k_pca, inputCol="_vec", outputCol="_pca").fit(clean)
+    reduced = pca.transform(clean)
+    k = min(max_k, n)
+    km = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cluster").fit(reduced)
+    out = km.transform(reduced)
+    arr = vector_to_array(F.col("_pca"))
+    return (
+        out.withColumn("pc1", F.round(arr[0], 4))
+        .withColumn("pc2", F.round(arr[1], 4))
+        .drop("_vec", "_pca", embedding_col)
+    )
+
+
+@register("pca_kmeans_clusters", tags=("M1", "M2", "M3", "M4"), bench=True)
+def pca_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily report's embedding-clustering stage
+    (spark_daily_report.py:82-98) on the embeddings fixture.  Rows-only
+    check: PCA sign/rotation and KMeans label numbering are
+    implementation-defined; tests assert cluster count, determinism
+    under reruns, and blob purity against ``label``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_kmeans(emb).select("vec_id", "label", "cluster", "pc1", "pc2")
+
+
+@register(
+    "label_centroids",
+    oracle="""
+        SELECT label, CAST(i AS INT) AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY label, i
+    """,
+    tags=("M5", "grouped-agg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group element-wise centroid of an array column — the custom
+    'UDAF' the reference never had (SURVEY.md §2.11), expressed without
+    any Python: posexplode → (label, pos) hash-agg.  One shuffle of
+    rows × dim — at 100 TB switch to partial aggregation over
+    fixed-width vector sums via ``VectorAssembler``/``Summarizer``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    )
+    return exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        # "+ 0.0" canonicalizes IEEE -0.0 → 0.0 (mirrored in the oracle)
+        (F.round(F.avg(F.col("v").cast("double")), 4) + 0.0).alias("centroid")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        WITH n AS (
+            SELECT label,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))) AS nrm
+            FROM embeddings
+        )
+        SELECT label, round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        FROM n GROUP BY label
+    """,
+    tags=("M6", "profile"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm profile per blob label — the vector analog of the
+    notebook's length stats (A5), pure array expressions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Batch sources (SURVEY.md §2.1 S8-S9 re-expressed, plus parquet-first).
+
+The reference reads multiline JSON off HDFS with schema inference
+(``dags/scripts/spark_daily_report.py:50,55``) — multiline JSON is
+*unsplittable* (one task per file) and inference is an extra full pass;
+both are disqualifying at 100 TB.  The engine's rules:
+
+- Parquet first: columnar, splittable, predicate-pushdown + column
+  pruning reach the scan.
+- JSON/CSV readers take an explicit schema and PERMISSIVE mode with a
+  corrupt-record column (the preprocess notebook used
+  ``on_bad_lines='warn'``, datashow.ipynb cell 49).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ssafynews_data_spark.schemas import TESTDATA_SCHEMAS
+
+TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Make queries correct on ANY caller-provided session (the driver
+    builds a plain one, not our factory): nanos-parquet readability and
+    UTC session time so date/timestamp formatting is deterministic and
+    matches DuckDB's UTC-naive timestamps."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not recognized/settable on this build
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Parquet scan — pushdown/pruning are free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet; Spark reads
+    it as long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we
+    convert to a microsecond timestamp — the same truncation DuckDB
+    applies, so oracles agree.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        want = TESTDATA_SCHEMAS.get(name, T.StructType([]))
+        want_field = next((f for f in want.fields if f.name == field.name), None)
+        if (
+            want_field is not None
+            and isinstance(want_field.dataType, T.TimestampType)
+            and isinstance(field.dataType, T.LongType)
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    F.floor(F.col(field.name) / F.lit(1000)).cast("long")
+                ),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_json_articles(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL scan with explicit schema (replaces spark_daily_report.py:55).
+
+    The reference used ``option("multiline","true")`` which forces one
+    task per file; the engine standardizes on line-delimited JSON which
+    splits at block boundaries.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_pipe_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Pipe-delimited permissive CSV scan (datashow.ipynb cells 4/49)."""
+    return (
+        spark.read.schema(schema)
+        .option("sep", "|")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", "false")
+        .csv(path)
+    )
+
+
+def read_kafka_like_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Batch stand-in for the Kafka source (collect/consumer.py:152-159):
+    value column of JSON strings → parsed struct → flattened columns."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)  # one JSON message per line, like a topic dump
+    return raw.select(F.from_json(F.col("value"), schema).alias("m")).select("m.*")

@@ -1,0 +1,80 @@
+"""Dedup-suite invariants: approximate methods validated against the
+exact Jaccard ground truth (SURVEY.md §5 strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators import dedup
+from ssafynews_data_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_col,
+)
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    vals = df.select(shingles_col(F.col("text")).alias("sh")).collect()
+    assert vals[0].sh == []
+    assert vals[1].sh == ["a b c", "b c d"]
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha  BETA gamma"), (3, "unique doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    groups = (
+        df.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .collect()
+    )
+    sizes = sorted(g.n for g in groups)
+    assert sizes == [1, 2]  # docs 1+2 normalize identically
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every truly-similar pair (exact jaccard >= threshold) must be
+    recovered by the MinHash/LSH candidates — banding with 8 bands of 4
+    rows has >99% recall at j=0.5."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain at least one near-dup pair"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_minhash_estimates_close(spark, sf_dir):
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    common = set(est) & set(exact)
+    assert common
+    for pair in common:
+        assert abs(est[pair] - exact[pair]) < 0.35  # 32 hashes → se ~ 0.09
+
+
+def test_lsh_candidates_subset_consistency(spark, sf_dir):
+    sh = dedup._doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+    rows = cands.collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_simhash_pairs_symmetric_threshold(spark, sf_dir):
+    rows = dedup.simhash_pairs(spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(0 <= r.hamming <= dedup.HAMMING_THRESHOLD for r in rows)

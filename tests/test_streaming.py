@@ -1,0 +1,92 @@
+"""Structured Streaming assembly tests (§7 stage 5): file-source
+micro-batches driven synchronously via the memory sink."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.schemas import TESTDATA_SCHEMAS
+from ssafynews_data_spark.sources.readers import load_table
+from ssafynews_data_spark.sources.sinks import foreach_batch_upsert, idempotent_append
+from ssafynews_data_spark.streaming.pipeline import (
+    daily_tumbling_counts,
+    dedup_stream,
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    return str(d)
+
+
+def _events_stream(spark, sf_dir, path):
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(path)
+    schema = TESTDATA_SCHEMAS["events"]
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_tumbling_daily_counts_match_batch(spark, sf_dir, events_stream_dir):
+    stream = _events_stream(spark, sf_dir, events_stream_dir + "/t1")
+    agg = daily_tumbling_counts(stream)
+    name = "t_" + uuid.uuid4().hex[:8]
+    q = run_to_memory(agg, name, output_mode="complete")
+    try:
+        got = {
+            (r.d, r.event_type): r.n
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.d, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_drops_dupes(spark, tmp_path):
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "t1"),
+        ("u1", "2024-01-01 10:00:00", "t1"),  # exact dup
+        ("u2", "2024-01-01 11:00:00", "t2"),
+    ]
+    df = spark.createDataFrame(rows, "link string, updated string, title string").withColumn(
+        "updated", F.to_timestamp("updated")
+    )
+    path = str(tmp_path / "dd")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    name = "t_" + uuid.uuid4().hex[:8]
+    q = run_to_memory(dedup_stream(stream), name)
+    try:
+        got = spark.sql(f"SELECT link FROM {name}").collect()
+    finally:
+        q.stop()
+    assert sorted(r.link for r in got) == ["u1", "u2"]
+
+
+def test_idempotent_append_batch(spark):
+    existing = spark.createDataFrame([("a",), ("b",)], "link string")
+    incoming = spark.createDataFrame([("b",), ("c",), ("c",)], "link string")
+    out = idempotent_append(incoming, existing)
+    assert sorted(r.link for r in out.collect()) == ["c"]
+
+
+def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
+    path = str(tmp_path / "sink")
+    sink = foreach_batch_upsert(path)
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "link string, v int")
+    b2 = spark.createDataFrame([("b", 9), ("c", 3)], "link string, v int")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replayed batch (at-least-once delivery)
+    rows = spark.read.parquet(path).collect()
+    assert sorted((r.link, r.v) for r in rows) == [("a", 1), ("b", 2), ("c", 3)]

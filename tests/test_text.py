@@ -1,0 +1,84 @@
+"""Text-op tests on news-shaped fixtures (FIXTURES.md §1-2) — exercising
+the Korean-text paths the synthetic documents table can't."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.functions.strings import (
+    first_sentence,
+    korean_line_filter,
+    normalize_whitespace,
+    split_trim_csv,
+    strip_control_chars,
+    tokenize_words,
+    truncate,
+)
+from ssafynews_data_spark.operators.text import assign_block_ids
+
+
+def _articles(spark):
+    rows = [
+        ("먼저 전진한다. 그 다음 문장.", "김철수 기자", "a\nb\r\tc"),
+        ("마침표 없는 본문", "Very Long Junk Author Name That Exceeds Limits 123456", "x\ty"),
+        (None, "이영희 기자", "줄1 한국어입니다\nline2 english only\n줄3 다시 한국어 문장"),
+    ]
+    return spark.createDataFrame(rows, "content string, author string, raw string")
+
+
+def test_strip_control_chars(spark):
+    df = _articles(spark).select(strip_control_chars(F.col("raw")).alias("s"))
+    vals = [r.s for r in df.collect()]
+    assert vals[0] == "abc"
+    assert vals[1] == "xy"
+
+
+def test_first_sentence_korean(spark):
+    df = _articles(spark).select(first_sentence(F.col("content")).alias("s"))
+    vals = [r.s for r in df.collect()]
+    assert vals[0] == "먼저 전진한다."
+    assert vals[1] == "마침표 없는 본문"  # fallback: first 40 chars
+    assert vals[2] is None
+
+
+def test_truncate_author(spark):
+    df = _articles(spark).select(truncate(F.col("author"), 10).alias("a"))
+    assert all(len(r.a) <= 10 for r in df.collect())
+
+
+def test_korean_line_filter(spark):
+    df = _articles(spark).select(korean_line_filter(F.col("raw")).alias("k"))
+    vals = [r.k for r in df.collect()]
+    assert vals[2] == "줄1 한국어입니다 줄3 다시 한국어 문장"
+
+
+def test_split_trim_csv(spark):
+    df = spark.createDataFrame([(" a , b,c ",)], "s string").select(
+        split_trim_csv(F.col("s")).alias("arr")
+    )
+    assert df.collect()[0].arr == ["a", "b", "c"]
+
+
+def test_tokenize_words_cjk_and_latin(spark):
+    df = spark.createDataFrame([("Hello, World! 한국어 단어",)], "s string").select(
+        tokenize_words(F.col("s")).alias("t")
+    )
+    assert df.collect()[0].t == ["hello", "world", "한국어", "단어"]
+
+
+def test_normalize_whitespace_modes(spark):
+    df = spark.createDataFrame([("  a \t b\n\nc ",)], "s string")
+    keep = df.select(normalize_whitespace(F.col("s")).alias("x")).collect()[0].x
+    drop = df.select(normalize_whitespace(F.col("s"), False).alias("x")).collect()[0].x
+    assert keep == "a b c"
+    assert drop == "abc"
+
+
+def test_assign_block_ids_matches_global_order(spark, sf_dir):
+    from ssafynews_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_block_ids(docs, "doc_id", num_partitions=7)
+    rows = sorted((r.doc_id, r.seq_id) for r in out.collect())
+    # ids are dense 1..n and follow doc_id order
+    assert [s for _, s in rows] == list(range(1, len(rows) + 1))

@@ -1,0 +1,49 @@
+"""M1-M4 chain invariants (SURVEY.md §5: cluster count == min(5,n), PCA
+dim == 2, seed-42 determinism, blob purity)."""
+
+from __future__ import annotations
+
+from ssafynews_data_spark.operators import vectors
+
+
+def test_pca_kmeans_shape_and_k(spark, sf_dir):
+    df = vectors.pca_kmeans_clusters(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 500
+    clusters = {r.cluster for r in rows}
+    assert len(clusters) == vectors.KMEANS_MAX_K  # n >= 5 → k = 5
+    assert all(r.pc1 is not None and r.pc2 is not None for r in rows)
+
+
+def test_kmeans_seed_determinism(spark, sf_dir):
+    a = sorted((r.vec_id, r.cluster) for r in vectors.pca_kmeans_clusters(spark, sf_dir).collect())
+    b = sorted((r.vec_id, r.cluster) for r in vectors.pca_kmeans_clusters(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_clusters_nonempty_and_balanced(spark, sf_dir):
+    """Every cluster gets rows (the fixture blobs overlap heavily — max
+    pairwise cosine ~0.48 — so label purity is not a meaningful check;
+    determinism and k are)."""
+    rows = vectors.pca_kmeans_clusters(spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    assert len(sizes) == vectors.KMEANS_MAX_K
+    assert min(sizes.values()) > 0
+
+
+def test_small_n_reduces_k(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = vectors.pca_kmeans(df)
+    assert {r.cluster for r in out.collect()} <= {0, 1, 2}  # k = min(5, 3)
+
+
+def test_empty_input_survives(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = vectors.pca_kmeans(df)
+    assert out.count() == 0  # reference's empty-day path (:107-112)
