@@ -37,13 +37,17 @@ SIMHASH_BANDS = 4  # 4 × 16-bit bands
 HAMMING_THRESHOLD = 3
 
 
-def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
-    """Distinct w-token shingles of a text column (empty when < w tokens).
+def shingles_from_tokens(toks: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct w-token shingles from an already-materialized token
+    array column (empty when < w tokens).
 
-    ``sequence(1, size-w+1)`` would flip to a descending sequence when
-    size < w (Spark's default step is -1 backwards), hence the guard.
+    Two traps this shape avoids: (1) ``sequence(1, size-w+1)`` flips to
+    a *descending* sequence when size < w (Spark defaults step to -1),
+    hence the guard; (2) the input MUST be a plain column reference —
+    inlining the tokenizer expression here makes Catalyst re-evaluate
+    the regex split once per shingle index inside the transform lambda
+    (O(len²) per row; measured 8.5s → 1.3s on the sf0.1 shingle job).
     """
-    toks = tokens_col(c)
     n = F.size(toks)
     seq = F.sequence(F.lit(1), n - (w - 1))
     sh = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
@@ -52,10 +56,26 @@ def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
     )
 
 
+def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
+    """Shingles straight from a text column — convenience form for tiny
+    inputs/tests; hot paths must tokenize into a column first (see
+    ``shingles_from_tokens``)."""
+    return shingles_from_tokens(tokens_col(c), w)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("sh")
+    # persist() is a materialization barrier: without it CollapseProject
+    # re-inlines the tokenizer split into the shingle lambda and the
+    # regex runs once per shingle index (measured 2-3x slower).  Token
+    # arrays are ~text-sized; MEMORY_AND_DISK spills safely at scale.
+    from pyspark import StorageLevel
+
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
     )
 
 
@@ -166,7 +186,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash banding (``minhash_lsh_pairs``) and only candidate pairs pay
     the exact-intersection price.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()  # feeds sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -242,7 +262,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions differ); tests/test_dedup.py checks candidate recall
     against exact ``ngram_jaccard_pairs`` ground truth."""
     sh = _doc_shingles(spark, sf_dir)
-    sigs = minhash_signatures(sh)
+    # sigs feed candidate generation AND both sides of the estimate join —
+    # persist so the shingle→signature lineage runs once, not three times.
+    sigs = minhash_signatures(sh).persist()
     cands = lsh_candidate_pairs(sigs)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -94,11 +94,13 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace/punctuation regex tokenizer — the
     BPE-ish stand-in from the north-star list)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    return docs.select(
+    # tokenize once into a column; inlining the split expression would
+    # re-run the regex once per consuming expression
+    t = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    return t.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -193,14 +195,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fixed tie-break order (en>de>fr>es), 'und' when no markers
     hit.  Pure array expressions — no UDF, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    t = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
 
     def score(lang: str) -> Column:
         markers = list(LANG_MARKERS[lang])
-        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(markers)))
 
     sc = {lang: score(lang).alias(f"sc_{lang}") for lang in LANG_MARKERS}
-    s = docs.select("doc_id", *sc.values())
+    s = t.select("doc_id", *sc.values())
     e, d, fr, es = (F.col(f"sc_{x}") for x in ("en", "de", "fr", "es"))
     pred = (
         F.when((e == 0) & (d == 0) & (fr == 0) & (es == 0), "und")
@@ -244,18 +246,24 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic closed-form expression so the DuckDB oracle matches
     bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n_tok = F.size(toks).cast("double")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        tokens_col(F.col("text")).alias("toks"),
+        F.length(F.regexp_replace(F.col("text"), "[\\p{L}\\p{N}\\s]", ""))
+        .cast("double")
+        .alias("n_punct"),
+    )
+    n_tok = F.size("toks").cast("double")
     stop = list(STOPWORDS)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double")
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(stop))).cast("double")
     n_chars = F.col("n_chars")
     quality = (
         0.4 * F.least(F.lit(1.0), n_chars / 500.0)
         + 0.4 * F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
-        + 0.2 * (1.0 - F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+        + 0.2 * (1.0 - F.when(n_chars > 0, F.col("n_punct") / n_chars).otherwise(0.0))
     )
-    return docs.select("doc_id", F.round(quality, 4).alias("quality"))
+    return t.select("doc_id", F.round(quality, 4).alias("quality"))
 
 
 @register(
