@@ -4,7 +4,9 @@ from ssafynews_data_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    relational2,
     similarity,
+    streaming_queries,
     text,
     vectors,
 )

@@ -1,0 +1,170 @@
+"""Second relational batch: JSON columns, flatten-concat aggs, lag/lead,
+percentiles, range/band joins (completing SURVEY.md §2 coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+
+@register(
+    "parse_event_props",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+               round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("F8", "json"),
+)
+def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 JSON decode (collect/consumer.py:158's json.loads as a column
+    op): parse the ``props`` JSON string with an explicit schema —
+    ``from_json`` is codegen'd; no Python, no inference pass."""
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json(F.col("props"), props_schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("total_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "keyword_flatten_per_source",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                      x -> x <> '')) AS token
+            FROM documents
+        )
+        SELECT source, string_agg(DISTINCT token, ' ' ORDER BY token) AS all_tokens
+        FROM t GROUP BY source
+    """,
+    tags=("A7", "F11"),
+)
+def keyword_flatten_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/F11 — the reference's driver-side ``sum(keywords.tolist(), [])``
+    flatten + join (spark_daily_report.py:117-118,233) as a distributed
+    collect_set→sort→join.  NOTE: collect_set per group is bounded by
+    vocabulary size, not row count — fine for token vocabularies, wrong
+    for unbounded payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    return (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("token")), " ").alias("all_tokens")
+        )
+    )
+
+
+@register(
+    "event_value_deltas",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER w, 2)  AS delta_prev,
+               round(lead(value) OVER w - value, 2) AS delta_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("windows", "lag", "lead"),
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead frame ops (SURVEY.md §2.5 engine surface) — one shuffle
+    on user_id serves both directions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+@register(
+    "order_price_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("percentile",),
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` semantics).  Exact percentile holds all
+    group values — at 100 TB switch to ``percentile_approx``
+    (t-digest-style sketch, bounded memory, mergeable map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "value_band_join",
+    oracle="""
+        SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS total
+        FROM events e
+        JOIN (VALUES ('low', 0.0, 100.0),
+                     ('mid', 100.0, 500.0),
+                     ('high', 500.0, 1e308)) AS b(band, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
+    tags=("joins", "range"),
+)
+def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: theta-join against a broadcast band table —
+    Spark plans BroadcastNestedLoopJoin, which is the right physical
+    shape when one side is a handful of rows (the alternative, a CASE
+    expression, doesn't generalize to bands loaded from data)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e308)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@register("approx_distinct_profile", tags=("A4", "sketch"))
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch profile — the 100 TB form of the notebook's distinct
+    probes (single pass, mergeable, bounded memory).  Rows-only check
+    (sketch estimates are engine-specific); tests bound the relative
+    error against exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.count("*").alias("n_rows"),
+    )

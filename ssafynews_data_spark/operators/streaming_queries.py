@@ -1,0 +1,116 @@
+"""Streaming queries registered in the driver contract.
+
+These run a real Structured Streaming query (file source → watermarked
+aggregation → memory sink) synchronously to completion and return the
+result as a batch DataFrame — so the STREAMING path itself is
+oracle-checked against DuckDB, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import _ensure_session_conf
+from ssafynews_data_spark.streaming.pipeline import daily_tumbling_counts
+
+#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) → long).
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_conf(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+@register(
+    "streaming_daily_counts",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST8"),
+)
+def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8 tumbling 1-day window agg driven through an actual streaming
+    query (complete mode, memory sink, processAllAvailable) — must equal
+    the batch daily aggregate bit-for-bit.  In production the source is
+    Kafka and the sink is foreachBatch; the query graph is identical."""
+    agg = daily_tumbling_counts(_events_stream(spark, sf_dir)).select(
+        "d", "event_type", "n", F.round("total_value", 2).alias("total_value")
+    )
+    name = "sdc_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # materialize the sink's final state as a plain (non-streaming) DF
+        out = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        q.stop()
+    return out
+
+
+@register(
+    "streaming_dedup_counts",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM (SELECT DISTINCT ON (event_id) * FROM events)
+        GROUP BY event_type
+    """,
+    tags=("streaming", "D1", "ST1"),
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 as a stream: watermarked dropDuplicates on the key, then a
+    stateful count — the engine form of the producer's dedup deque +
+    idempotent sink.  The fixture has unique event_ids, so this must
+    reproduce the plain per-type counts (planted-duplicate behavior is
+    covered in tests/test_streaming.py)."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = "sdd_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        q.stop()
+    return out

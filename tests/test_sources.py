@@ -1,0 +1,112 @@
+"""Source/sink operator tests (SURVEY.md §2.1): permissive CSV, JSONL,
+kafka-shaped batch, partitioned writes, feed ingest, archive move."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.schemas import ARTICLE_RAW_CSV, ARTICLE_WIRE
+from ssafynews_data_spark.sources.feeds import archive_files, entries_to_frame
+from ssafynews_data_spark.sources.readers import (
+    read_json_articles,
+    read_kafka_like_json,
+    read_pipe_csv,
+)
+from ssafynews_data_spark.sources.sinks import write_partitioned
+
+
+def test_pipe_csv_permissive_corrupt_records(spark, tmp_path):
+    p = tmp_path / "a.csv"
+    p.write_text(
+        "title|reporter|link|article|published|category|category_str\n"
+        "t1|r1 기자|l1|body text|2024-01-01|경제|x\n"
+        'bad"row|with|too|many|fields|entirely|broken|extra|cols\n'
+        "t2|r2 기자|l2|more body|2024-01-02|정치|y\n"
+    )
+    df = read_pipe_csv(spark, str(p), ARTICLE_RAW_CSV)
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert good[0].title == "t1"
+
+
+def test_jsonl_explicit_schema(spark, tmp_path):
+    p = tmp_path / "a.jsonl"
+    recs = [
+        {"author": "a1", "link": "l1", "summary": "s", "title": "t", "updated": "2024-01-01"},
+        {"author": "a2", "link": "l2", "summary": "s", "title": "t", "updated": "2024-01-02"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    df = read_json_articles(spark, str(p), ARTICLE_WIRE)
+    assert df.count() == 2
+    assert df.schema["author"].dataType.typeName() == "string"
+
+
+def test_kafka_like_json_batch(spark, tmp_path):
+    p = tmp_path / "topic_dump.txt"
+    msgs = [
+        {"author": "a", "link": "l1", "summary": "s1", "title": "t1", "updated": "2024-01-01"},
+        {"author": "b", "link": "l2", "summary": "s2", "title": "t2", "updated": "2024-01-02"},
+    ]
+    p.write_text("\n".join(json.dumps(m) for m in msgs))
+    df = read_kafka_like_json(spark, str(p), ARTICLE_WIRE)
+    assert sorted(r.link for r in df.collect()) == ["l1", "l2"]
+
+
+def test_write_partitioned_daily_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("l1", "2024-01-01 10:00:00"), ("l2", "2024-01-02 11:00:00")],
+        "link string, published_at string",
+    ).withColumn("published_at", F.to_timestamp("published_at"))
+    out = str(tmp_path / "archive")
+    write_partitioned(df, out)
+    parts = {d for d in os.listdir(out) if d.startswith("year_month_day=")}
+    assert parts == {"year_month_day=20240101", "year_month_day=20240102"}
+    back = spark.read.parquet(out)
+    # partition pruning: day filter touches one partition
+    pruned = back.filter(F.col("year_month_day") == "20240101")
+    assert pruned.count() == 1
+
+
+def test_feed_entries_project_and_dedup(spark):
+    entries = [
+        {"author": "a", "link": "l1", "summary": "s", "title": "t", "updated": "u",
+         "extra_field": "dropped"},
+        {"link": "l1", "title": "dup of l1"},
+        {"link": "l2"},  # sparse entry → nulls
+    ]
+    df = entries_to_frame(spark, entries)
+    rows = {r.link: r for r in df.collect()}
+    assert set(rows) == {"l1", "l2"}
+    assert rows["l2"].author is None
+    assert set(df.columns) == {"author", "link", "summary", "title", "updated"}
+
+
+def test_archive_files_moves_everything(spark, tmp_path):
+    src = tmp_path / "realtime"
+    dst = tmp_path / "news_archive"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.json").write_text("{}")
+    moved = archive_files(spark, str(src), str(dst))
+    assert moved == 3
+    assert sorted(os.listdir(dst)) == ["f0.json", "f1.json", "f2.json"]
+    assert os.listdir(src) == []
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from ssafynews_data_spark.operators.relational2 import approx_distinct_profile
+    from ssafynews_data_spark.sources.readers import load_table
+
+    est = approx_distinct_profile(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+    ).collect()[0]
+    assert abs(est.approx_orders - exact.o) / exact.o < 0.1
+    assert abs(est.approx_parts - exact.p) / exact.p < 0.1
