@@ -2,6 +2,7 @@
 
 from ssafynews_data_spark.operators import (  # noqa: F401
     dedup,
+    enrichment,
     multimodal,
     relational,
     relational2,

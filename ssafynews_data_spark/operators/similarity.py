@@ -185,6 +185,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_auto(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    threshold: float = NEAR_DUP_COS,
+    exact_limit: int = 10_000,
+) -> DataFrame:
+    """Adaptive near-dup: the library-level rewrite SURVEY.md §4 calls
+    out (no custom Catalyst rule needed).  Small corpora get the exact
+    quadratic self-join; above ``exact_limit`` rows the plan switches to
+    LSH bucket candidates + exact verify — same output contract
+    (id_a < id_b, cos_sim >= threshold), different physical strategy.
+
+    The count() here is a cheap planning action (count-star over
+    parquet metadata / cached input), the moral equivalent of AQE
+    choosing a join strategy from runtime stats.
+    """
+    n = corpus.count()
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    if n <= exact_limit:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:  # LSH candidates, then exact verify on candidates only
+        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = corpus.withColumn("_v0", array_to_vector(F.col(emb_col)))
+        vecs = Normalizer(inputCol="_v0", outputCol="_v", p=2.0).transform(vecs)
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="_v", outputCol="_h", seed=42, bucketLength=0.5, numHashTables=2
+        )
+        model = lsh.fit(vecs)
+        # cos >= t  ⇔  euclidean on unit vectors <= sqrt(2 - 2t)
+        radius = float((2.0 - 2.0 * threshold) ** 0.5)
+        j = model.approxSimilarityJoin(vecs, vecs, radius, distCol="_d")
+        cands = j.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+        ).filter(F.col("id_a") < F.col("id_b")).distinct()
+        pairs = cands.join(a, "id_a").join(b, "id_b")
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. IVF coarse-quantizer ANN (KMeans partitions + nprobe).
 # ---------------------------------------------------------------------------

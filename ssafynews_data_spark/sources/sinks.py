@@ -81,11 +81,16 @@ def foreach_batch_upsert(path: str, key: str = "link", fmt: str = "parquet"):
     return _sink
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """S2's value projection (producer.py:28's json.dumps serializer):
+    one JSON string column named ``value`` — the Kafka wire contract."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def to_kafka_json(df: DataFrame, topic: str):
     """Kafka JSON sink writer (producer.py:26-29,50). Returns the writer;
     caller must have the kafka connector on the classpath."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
-    return payload.write.format("kafka").option("topic", topic)
+    return kafka_payload(df).write.format("kafka").option("topic", topic)
 
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite") -> None:

