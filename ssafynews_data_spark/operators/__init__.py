@@ -7,6 +7,7 @@ from ssafynews_data_spark.operators import (  # noqa: F401
     relational,
     relational2,
     similarity,
+    sqlapi,
     streaming_queries,
     text,
     vectors,

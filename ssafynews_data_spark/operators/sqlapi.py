@@ -1,0 +1,85 @@
+"""SQL-API surface (SURVEY.md §1.5 / guide 'SQL API'): the same Catalyst
+plans via ``spark.sql`` over registered views — grouping sets and a
+Python UDTF, the two shapes the DataFrame modules don't cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets", "sql-api"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API — same Expand-based
+    physical plan as rollup/cube, arbitrary set list."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "udtf_token_bigrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                               x -> x <> '') AS t
+            FROM documents WHERE doc_id < 50
+        ),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> {'pos': i - 1, 'w1': t[i], 'w2': t[i + 1]})) AS bg
+            FROM toks
+        )
+        SELECT doc_id, CAST(bg.pos AS INT) AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM b
+    """,
+    tags=("udtf", "U7"),
+)
+def udtf_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY.md §2.11 — the reference's closest analog is
+    ``explode(keywords)``): a Python UDTF emitting one row per token
+    bigram.  Python UDTFs are per-row Python — fine for this demo row
+    count, but the hot-path form of the same op is posexplode over an
+    array column, which is what every other operator here uses."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, w1 string, w2 string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            # [\W_]+ mirrors the engine tokenizer's [^\p{L}\p{N}]+
+            toks = [t for t in re.split(r"[\W_]+", (text or "").lower()) if t]
+            for i in range(len(toks) - 1):
+                yield doc_id, i, toks[i], toks[i + 1]
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_udtf")
+    spark.udtf.register("token_bigrams", Bigrams)
+    return spark.sql(
+        "SELECT b.* FROM docs_udtf, LATERAL token_bigrams(doc_id, text) AS b"
+    )

@@ -58,6 +58,12 @@ def test_sentiment_labels(spark):
     assert out == ["긍정", "부정", "중립", "-"]
 
 
+def test_extract_nouns_tokenizer(spark):
+    df = spark.createDataFrame([("한국어 단어 a bb 기사 내용",)], "t string")
+    out = df.select(udfs.extract_nouns(F.col("t")).alias("n")).collect()[0].n
+    assert out == ["한국어", "단어", "bb", "기사", "내용"]  # len>=2 filter
+
+
 def test_crawler_mock_deterministic(spark):
     df = _articles(spark)
     a = [r.f for r in df.select(udfs.crawl_article(F.col("link")).alias("f")).collect()]
