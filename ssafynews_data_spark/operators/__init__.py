@@ -3,10 +3,12 @@
 from ssafynews_data_spark.operators import (  # noqa: F401
     dedup,
     enrichment,
+    merge,
     multimodal,
     relational,
     relational2,
     similarity,
+    skew,
     sqlapi,
     streaming_queries,
     text,

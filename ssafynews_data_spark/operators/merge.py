@@ -1,0 +1,87 @@
+"""MERGE / CDC emulation without a transactional table format (guide:
+'CDC / SCD2 → MERGE INTO (needs Delta; in v1 emulate with anti-join +
+union + window)').
+
+The reference's only write semantics is insert-ignore
+(ON CONFLICT DO NOTHING, collect/consumer.py:81).  Real pipelines also
+need *updates* — re-crawled articles, corrected categories.  Two
+emulations:
+
+- ``merge_upsert``: latest-wins upsert (UPDATE + INSERT) — the batch
+  MERGE equivalent, one anti-join + union.
+- ``scd2_apply``: slowly-changing-dimension type 2 — history preserved
+  with validity ranges, current-row flag maintained by a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE (latest wins): rows of ``existing`` whose key is NOT in
+    ``updates`` (anti-join), plus all of ``updates`` (deduped by key).
+    Both legs shuffle on the key once; at scale write the result
+    partitioned the same way as ``existing`` so the next merge's
+    anti-join co-locates."""
+    keep = existing.join(updates.select(key).distinct(), key, "left_anti")
+    return keep.unionByName(updates.dropDuplicates([key]))
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "valid_from",
+) -> DataFrame:
+    """SCD2: append change rows, then recompute per-key validity:
+    valid_to = next valid_from (lead), is_current = last row per key."""
+    merged = history.unionByName(changes, allowMissingColumns=True)
+    w = W.partitionBy(key).orderBy(ts_col)
+    return (
+        merged.withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey,
+                   'P' AS o_orderstatus,
+                   round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        kept AS (
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        )
+        SELECT * FROM kept
+        UNION ALL
+        SELECT * FROM updates
+    """,
+    tags=("merge", "cdc", "D2"),
+)
+def merge_upsert_orders(spark, sf_dir: str) -> DataFrame:
+    """MERGE emulation under the oracle gate: synthesize an update set
+    (every 10th order re-priced, status→'P'), merge latest-wins, and
+    hash-match the merged table against plain SQL set logic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    return merge_upsert(orders, updates, "o_orderkey")

@@ -1,0 +1,98 @@
+"""Property-based cross-engine tests (hypothesis): the Spark column
+expressions and their DuckDB oracle mirrors must agree on arbitrary
+input, not just the fixtures the driver happens to generate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.functions.strings import normalize_whitespace, strip_control_chars
+from ssafynews_data_spark.operators.text import tokens_col
+
+# one Spark job per example is expensive → few examples, many rows each
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _duck(rows, sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(vals):
+        return spark.createDataFrame(list(enumerate(vals)), "i int, s string")
+
+    return make
+
+
+@given(vals=texts)
+@SLOW
+def test_token_count_matches_duckdb(mk_df, vals):
+    df = mk_df(vals)
+    got = {
+        r.i: r.n
+        for r in df.select("i", F.size(tokens_col(F.col("s"))).alias("n")).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, len(list_filter(string_split_regex(lower(s), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')) FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(vals=texts)
+@SLOW
+def test_whitespace_normalize_matches_duckdb(mk_df, vals):
+    df = mk_df(vals)
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", normalize_whitespace(strip_control_chars(F.col("s"))).alias("c")
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, trim(regexp_replace(regexp_replace(s, '[\\n\\r\\t]', '', 'g'),"
+            " '\\s+', ' ', 'g')) FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(vals=texts)
+@SLOW
+def test_md5_fingerprint_matches_duckdb(mk_df, vals):
+    df = mk_df(vals)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("s")), "\\s+", " "))
+    got = {r.i: r.fp for r in df.select("i", F.md5(norm.cast("binary")).alias("fp")).collect()}
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) FROM t",
+        )
+    )
+    assert got == want
