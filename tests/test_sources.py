@@ -98,6 +98,16 @@ def test_archive_files_moves_everything(spark, tmp_path):
     assert os.listdir(src) == []
 
 
+def test_csv_sink_roundtrip(spark, tmp_path):
+    from ssafynews_data_spark.sources.sinks import write_csv
+
+    df = spark.createDataFrame([("t1", 1), ("t2", 2)], "title string, n int")
+    out = str(tmp_path / "csvout")
+    write_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted((r.title, int(r.n)) for r in back.collect()) == [("t1", 1), ("t2", 2)]
+
+
 def test_kafka_payload_roundtrip(spark):
     from ssafynews_data_spark.sources.sinks import kafka_payload
 
