@@ -21,8 +21,8 @@ def normalize_whitespace(c: Column, keep_single_space: bool = True) -> Column:
     entirely; the engine defaults to collapsing to single spaces, which is
     what dedup shingling needs)."""
     if keep_single_space:
-        return F.trim(F.regexp_replace(c, "\\s+", " "))
-    return F.regexp_replace(c, "\\s+", "")
+        return F.trim(F.regexp_replace(c, "[\\s\\x0B]+", " "))
+    return F.regexp_replace(c, "[\\s\\x0B]+", "")
 
 
 def truncate(c: Column, n: int) -> Column:
@@ -62,7 +62,7 @@ def tokenize_ws(c: Column) -> Column:
     """F10 test-mode tokenizer — whitespace split standing in for the
     konlpy Okt noun extractor (spark_daily_report.py:31-36); pluggable
     with the pandas_udf tokenizer in functions/udfs.py."""
-    return F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.trim(c), "[\\s\\x0B]+"), lambda t: t != F.lit(""))
 
 
 def tokenize_words(c: Column) -> Column:

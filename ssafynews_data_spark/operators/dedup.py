@@ -98,7 +98,7 @@ _DUCK_SHINGLES = f"""
 @register(
     "exact_dedup_groups",
     oracle="""
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'))) AS fp,
                min(doc_id) AS keeper_id,
                count(*) AS group_size
         FROM documents
@@ -111,7 +111,7 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; keeper = min doc_id.  Map-side partial agg means the
     shuffle carries one row per distinct fingerprint, not per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     return (
         docs.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -125,7 +125,7 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH k AS (
             SELECT min(doc_id) AS doc_id
             FROM documents
-            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            GROUP BY md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')))
         )
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d JOIN k USING (doc_id)
@@ -138,7 +138,7 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     free: aggregate keepers then semi-join back (both sides shuffle on
     the same key; AQE plans the join)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     keepers = (
         docs.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -210,12 +210,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: multiply-shift coefficients for the k minhash functions — derived
+#: deterministically so signatures are stable across runs/sessions.
+def _minhash_coefs(k: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1 << 62) * 2 + 1, rng.randrange(1 << 63)) for _ in range(k)
+    ]
+
+
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles of
-    xxhash64(shingle, i).  One aggregate, k min() columns — all
+    h_i(shingle), with h_i(x) = a_i * xxhash64(x) + b_i on wrapping
+    int64 (multiply-shift family).  The string is hashed ONCE per row
+    and the k hash functions are two long ops each — ~10x cheaper than
+    k independent string hashes.  One aggregate, k min() columns, all
     codegen'd; the shuffle carries one row per doc."""
+    h0 = F.xxhash64(F.col("sh"))
+    coefs = _minhash_coefs(k)
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)
+        F.min(h0 * F.lit(a) + F.lit(b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coefs)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)
     return sigs.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))

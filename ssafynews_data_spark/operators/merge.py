@@ -53,9 +53,13 @@ def scd2_apply(
     "merge_upsert_orders",
     oracle="""
         WITH updates AS (
+            -- flat-fee update: adding 100.0 to a 2-decimal double never
+            -- creates new decimals, so no re-round (a x1.1 re-price hit
+            -- .xx5 representational boundaries where Spark's HALF_UP-on-
+            -- decimal and DuckDB's double-nearest round disagree by 1 cent)
             SELECT o_orderkey,
                    'P' AS o_orderstatus,
-                   round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice
+                   round(o_totalprice, 2) + 100.0 AS o_totalprice
             FROM orders WHERE o_orderkey % 10 = 0
         ),
         kept AS (
@@ -81,7 +85,7 @@ def merge_upsert_orders(spark, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.lit("P").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
         )
     )
     return merge_upsert(orders, updates, "o_orderkey")

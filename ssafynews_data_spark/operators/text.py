@@ -56,9 +56,9 @@ def tokens_col(c: Column) -> Column:
     oracle="""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
-                                   '\\s+', ' ', 'g')) AS cleaned,
+                                   '[\\s\\x0B]+', ' ', 'g')) AS cleaned,
                length(trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
-                                          '\\s+', ' ', 'g'))) AS clean_len
+                                          '[\\s\\x0B]+', ' ', 'g'))) AS clean_len
         FROM documents
         WHERE length(text) > 100
     """,
@@ -227,7 +227,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS n_tok,
                    CAST(len(list_filter({_DUCK_TOKENS},
                         x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) AS n_stop,
-                   CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                   CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s\\x0B]', '', 'g')) AS DOUBLE)
                        AS n_punct
             FROM documents
         )
@@ -250,7 +250,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         tokens_col(F.col("text")).alias("toks"),
-        F.length(F.regexp_replace(F.col("text"), "[\\p{L}\\p{N}\\s]", ""))
+        F.length(F.regexp_replace(F.col("text"), "[\\p{L}\\p{N}\\s\\x0B]", ""))
         .cast("double")
         .alias("n_punct"),
     )
@@ -270,7 +270,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle="""
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'))) AS fp
         FROM documents
     """,
     tags=("fingerprint",),
@@ -279,7 +279,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercased
     text — the exact-dedup key (operators/dedup.py builds on this)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
 
 

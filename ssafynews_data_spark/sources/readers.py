@@ -34,6 +34,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # engine expressions rely on Java long wrap-around (minhash's
+        # multiply-shift hashing); Spark 4 defaults ANSI on, which throws
+        ("spark.sql.ansi.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

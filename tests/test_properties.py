@@ -77,7 +77,7 @@ def test_whitespace_normalize_matches_duckdb(mk_df, vals):
         _duck(
             list(enumerate(vals)),
             "SELECT i, trim(regexp_replace(regexp_replace(s, '[\\n\\r\\t]', '', 'g'),"
-            " '\\s+', ' ', 'g')) FROM t",
+            " '[\\s\\x0B]+', ' ', 'g')) FROM t",
         )
     )
     assert got == want
@@ -87,12 +87,12 @@ def test_whitespace_normalize_matches_duckdb(mk_df, vals):
 @SLOW
 def test_md5_fingerprint_matches_duckdb(mk_df, vals):
     df = mk_df(vals)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("s")), "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("s")), "[\\s\\x0B]+", " "))
     got = {r.i: r.fp for r in df.select("i", F.md5(norm.cast("binary")).alias("fp")).collect()}
     want = dict(
         _duck(
             list(enumerate(vals)),
-            "SELECT i, md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) FROM t",
+            "SELECT i, md5(trim(regexp_replace(lower(s), '[\\s\\x0B]+', ' ', 'g'))) FROM t",
         )
     )
     assert got == want

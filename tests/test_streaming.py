@@ -80,6 +80,41 @@ def test_idempotent_append_batch(spark):
     assert sorted(r.link for r in out.collect()) == ["c"]
 
 
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """ST1: the checkpoint replaces manual offset commits — after a
+    restart with the same checkpoint dir, already-committed input files
+    are not reprocessed into the idempotent sink."""
+    src = str(tmp_path / "src")
+    sink_path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "link string, v int"
+
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_upsert(sink_path))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    # second batch of input, then restart from the same checkpoint
+    spark.createDataFrame([("c", 3)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    rows = sorted((r.link, r.v) for r in spark.read.parquet(sink_path).collect())
+    assert rows == [("a", 1), ("b", 2), ("c", 3)]
+
+
 def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
     path = str(tmp_path / "sink")
     sink = foreach_batch_upsert(path)
