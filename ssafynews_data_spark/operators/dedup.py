@@ -98,7 +98,7 @@ _DUCK_SHINGLES = f"""
 @register(
     "exact_dedup_groups",
     oracle="""
-        SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'))) AS fp,
+        SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' ')) AS fp,
                min(doc_id) AS keeper_id,
                count(*) AS group_size
         FROM documents
@@ -125,7 +125,7 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH k AS (
             SELECT min(doc_id) AS doc_id
             FROM documents
-            GROUP BY md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')))
+            GROUP BY md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' '))
         )
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d JOIN k USING (doc_id)
@@ -170,7 +170,7 @@ def dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               round(common / (sa.n + sb.n - common), 4) AS jaccard
+               CAST(floor(common / (sa.n + sb.n - common) * 10000) AS BIGINT) AS jaccard_q4
         FROM pairs
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
@@ -201,7 +201,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # floor-scaled: ratio doubles hit .xxxx5 round-mode divergence
+        .select("doc_a", "doc_b", F.floor(jac * 10000).alias("jaccard_q4"))
     )
 
 

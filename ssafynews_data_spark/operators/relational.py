@@ -217,7 +217,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id, event_id, event_type,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-               rn
+               CAST(rn AS INT) AS rn
         FROM (
             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
             FROM events
@@ -282,7 +282,9 @@ def rolling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM g GROUP BY user_id
     """,
     tags=("windows", "sessionization"),
@@ -595,7 +597,7 @@ def doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sequential_ids",
     oracle="""
-        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS news_id
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS news_id
         FROM documents
     """,
     tags=("P14",),

@@ -18,7 +18,7 @@ from ssafynews_data_spark.sources.readers import load_table
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
                round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
         FROM events
         GROUP BY event_type

@@ -75,7 +75,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM q CROSS JOIN c
                  WHERE q.vec_id <> c.vec_id
              )
-        SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+        SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY sim DESC, neighbor_id) AS rank
               FROM sims)

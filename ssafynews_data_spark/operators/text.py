@@ -56,9 +56,9 @@ def tokens_col(c: Column) -> Column:
     oracle="""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
-                                   '[\\s\\x0B]+', ' ', 'g')) AS cleaned,
+                                   '[\\s\\x0B]+', ' ', 'g'), ' ') AS cleaned,
                length(trim(regexp_replace(regexp_replace(text, '[\\n\\r\\t]', '', 'g'),
-                                          '[\\s\\x0B]+', ' ', 'g'))) AS clean_len
+                                          '[\\s\\x0B]+', ' ', 'g'), ' ')) AS clean_len
         FROM documents
         WHERE length(text) > 100
     """,
@@ -232,19 +232,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               round(0.4 * least(1.0, n_chars / 500.0)
+               CAST(floor((0.4 * least(1.0, n_chars / 500.0)
                    + 0.4 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
-                   + 0.2 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)),
-                   4) AS quality
+                   + 0.2 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)))
+                   * 10000) AS BIGINT) AS quality_q4
         FROM t
     """,
     tags=("quality",),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality score: length saturation + stopword ratio +
-    (1 - punctuation ratio), weighted 0.4/0.4/0.2.  Every term is a
-    deterministic closed-form expression so the DuckDB oracle matches
-    bit-for-bit."""
+    (1 - punctuation ratio), weighted 0.4/0.4/0.2, emitted as
+    floor(q*10000) — ratio-valued doubles land on .xxxx5 shortest-decimal
+    boundaries where Spark's round (HALF_UP on Double.toString) and
+    DuckDB's (binary-double nearest) disagree; floor of the identical
+    double is bitwise-deterministic on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -263,14 +265,14 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
         + 0.2 * (1.0 - F.when(n_chars > 0, F.col("n_punct") / n_chars).otherwise(0.0))
     )
-    return t.select("doc_id", F.round(quality, 4).alias("quality"))
+    return t.select("doc_id", F.floor(quality * 10000).alias("quality_q4"))
 
 
 @register(
     "doc_fingerprints",
     oracle="""
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' ')) AS fp
         FROM documents
     """,
     tags=("fingerprint",),

@@ -57,7 +57,7 @@ def test_minhash_estimates_close(spark, sf_dir):
         for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
     }
     exact = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_q4 / 10000.0
         for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
     }
     common = set(est) & set(exact)

@@ -77,7 +77,7 @@ def test_whitespace_normalize_matches_duckdb(mk_df, vals):
         _duck(
             list(enumerate(vals)),
             "SELECT i, trim(regexp_replace(regexp_replace(s, '[\\n\\r\\t]', '', 'g'),"
-            " '[\\s\\x0B]+', ' ', 'g')) FROM t",
+            " '[\\s\\x0B]+', ' ', 'g'), ' ') FROM t",
         )
     )
     assert got == want
@@ -92,7 +92,7 @@ def test_md5_fingerprint_matches_duckdb(mk_df, vals):
     want = dict(
         _duck(
             list(enumerate(vals)),
-            "SELECT i, md5(trim(regexp_replace(lower(s), '[\\s\\x0B]+', ' ', 'g'))) FROM t",
+            "SELECT i, md5(trim(regexp_replace(lower(s), '[\\s\\x0B]+', ' ', 'g'), ' ')) FROM t",
         )
     )
     assert got == want
