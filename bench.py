@@ -42,9 +42,15 @@ def main() -> int:
     tiny = spark.range(16).select(
         F.col("id"), array_to_vector(F.array(F.rand(1), F.rand(2))).alias("vec")
     )
-    BucketedRandomProjectionLSH(
+    lsh_model = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="h", bucketLength=1.0, seed=1
-    ).fit(tiny).transform(tiny).count()
+    ).fit(tiny)
+    lsh_model.approxSimilarityJoin(tiny, tiny, 10.0, distCol="d").count()
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import PCA
+
+    KMeans(k=2, seed=1, featuresCol="vec").fit(tiny)
+    PCA(k=1, inputCol="vec", outputCol="p").fit(tiny)
     spark.range(16).toPandas()
 
     timings: dict[str, float] = {}

@@ -63,7 +63,7 @@ def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
     return shingles_from_tokens(tokens_col(c), w)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # persist() is a materialization barrier: without it CollapseProject
     # re-inlines the tokenizer split into the shingle lambda and the
@@ -71,12 +71,31 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays are ~text-sized; MEMORY_AND_DISK spills safely at scale.
     from pyspark import StorageLevel
 
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).persist(
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return toks.select(
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_tokens(spark, sf_dir).select(
         "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
     )
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h long): xxhash64 per distinct shingle, hashed straight
+    off the token-array slice — no intermediate shingle strings.  The
+    minhash path only ever consumes hashes, so skipping concat_ws saves
+    a string allocation per shingle (the exact-Jaccard oracle keeps the
+    string form for DuckDB parity)."""
+    toks = _doc_tokens(spark, sf_dir)
+    n = F.size(F.col("toks"))
+    seq = F.sequence(F.lit(1), n - (SHINGLE_W - 1))
+    hashes = F.transform(seq, lambda i: F.xxhash64(F.slice(F.col("toks"), i, SHINGLE_W)))
+    guarded = F.when(n >= SHINGLE_W, F.array_distinct(hashes)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return toks.select("doc_id", F.explode(guarded).alias("h"))
 
 
 #: DuckDB mirror of ``shingles_col`` (1-based inclusive list slicing).
@@ -224,12 +243,13 @@ def _minhash_coefs(k: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles of
-    h_i(shingle), with h_i(x) = a_i * xxhash64(x) + b_i on wrapping
-    int64 (multiply-shift family).  The string is hashed ONCE per row
-    and the k hash functions are two long ops each — ~10x cheaper than
-    k independent string hashes.  One aggregate, k min() columns, all
-    codegen'd; the shuffle carries one row per doc."""
-    h0 = F.xxhash64(F.col("sh"))
+    h_i(shingle), with h_i(x) = a_i * base(x) + b_i on wrapping int64
+    (multiply-shift family).  The shingle is hashed ONCE per row (or
+    arrives pre-hashed as column ``h``) and the k hash functions are two
+    long ops each — ~10x cheaper than k independent string hashes.  One
+    aggregate, k min() columns, all codegen'd; the shuffle carries one
+    row per doc."""
+    h0 = F.col("h") if "h" in sh.columns else F.xxhash64(F.col("sh"))
     coefs = _minhash_coefs(k)
     aggs = [
         F.min(h0 * F.lit(a) + F.lit(b)).alias(f"h{i}")
@@ -279,7 +299,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of agreeing signature rows.  Rows-only oracle (engine hash
     functions differ); tests/test_dedup.py checks candidate recall
     against exact ``ngram_jaccard_pairs`` ground truth."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingle_hashes(spark, sf_dir)
     # sigs feed candidate generation AND both sides of the estimate join —
     # persist so the shingle→signature lineage runs once, not three times.
     sigs = minhash_signatures(sh).persist()

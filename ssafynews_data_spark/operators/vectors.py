@@ -45,6 +45,15 @@ def pca_kmeans(
     if n == 0:
         return clean.drop("_vec", embedding_col)
 
+    # Right-size parallelism for the iterative fits: KMeans/PCA run ~20
+    # jobs each, and per-job task-scheduling overhead dominates when n is
+    # small relative to the partition count.  ~10k rows per task, clamped
+    # to cluster width — at real scale this is a no-op.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(width, n // 10_000 + 1))
+    if parts < clean.rdd.getNumPartitions():
+        clean = clean.coalesce(parts).cache()
+
     pca = PCA(k=k_pca, inputCol="_vec", outputCol="_pca").fit(clean)
     reduced = pca.transform(clean)
     k = min(max_k, n)
