@@ -1,0 +1,127 @@
+"""Sampling + time-rollup operators (training-data pipeline extensions).
+
+A 100 TB corpus pipeline needs reproducible subsetting: deterministic
+train/test splits (content-hash based, stable across runs and engines),
+stratified samples (per-class fractions), and multi-granularity time
+rollups (the hypertable continuous-aggregate analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+
+def hash_bucket(c, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from the md5 of a column's
+    string form — engine-independent (unlike ``hash()``/``xxhash64``,
+    md5 is standardized), so splits survive engine migrations."""
+    return F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10).cast(
+        "long"
+    ) % buckets
+
+
+def train_test_split(df: DataFrame, id_col: str, test_pct: int = 20) -> DataFrame:
+    """Adds a ``split`` column: 'test' for test_pct% of rows keyed on the
+    content-stable hash bucket, 'train' otherwise.  Never ``rand()`` for
+    splits — random splits aren't reproducible across retries/partitions
+    and leak when datasets are re-joined later."""
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn("split", F.when(b < test_pct, "test").otherwise("train"))
+
+
+@register(
+    "train_test_split_docs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                       % 100 AS b
+            FROM documents
+        )
+        SELECT CASE WHEN b < 20 THEN 'test' ELSE 'train' END AS split,
+               count(*) AS n,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM t GROUP BY 1
+    """,
+    tags=("sampling", "split"),
+)
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 split keyed on md5(doc_id) — the oracle recomputes the same
+    buckets in DuckDB, proving the split is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id")
+    return split.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register("stratified_sample_langs", tags=("sampling", "stratified"))
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 50% of 'en' docs, 10% of everything else
+    (``sampleBy`` — per-stratum Bernoulli, seeded).  Rows-only check
+    (Spark's sampler is engine-specific); determinism + fraction bounds
+    asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "time_rollup_events",
+    oracle="""
+        SELECT 'hour' AS grain, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+               count(*), round(sum(value), 2)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+               count(*), round(sum(value), 2)
+        FROM events GROUP BY 2
+    """,
+    tags=("rollup", "hypertable"),
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-aggregate
+    analog): hour/day/month buckets in one pass shape.
+
+    Spark-first detail: the three grains are built FROM the hourly
+    aggregate (day from hour, month from day) — the raw table is
+    scanned once and re-aggregation cost is proportional to the hourly
+    cardinality, which is how a continuous-aggregate hierarchy works at
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    ).persist()
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("h"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    ).persist()
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "h").alias("h"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+
+    def fmt(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("n"),
+            F.round("s", 2).alias("total"),
+        )
+
+    return fmt(hourly, "hour").unionByName(fmt(daily, "day")).unionByName(
+        fmt(monthly, "month")
+    )

@@ -1,0 +1,59 @@
+"""Sampling/split/rollup invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators.sampling import (
+    stratified_sample_langs,
+    time_rollup_events,
+    train_test_split,
+)
+from ssafynews_data_spark.sources.readers import load_table
+
+
+def test_split_deterministic_and_proportional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in train_test_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in train_test_split(docs, "doc_id").collect()}
+    assert a == b  # content-hash split: identical across runs
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert 0.1 < n_test / len(a) < 0.3  # ~20%
+
+
+def test_split_stable_under_subset(spark, sf_dir):
+    """A doc keeps its split assignment no matter which subset it's in —
+    the property rand()-based splits lack."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r.doc_id: r.split for r in train_test_split(docs, "doc_id").collect()}
+    half = {
+        r.doc_id: r.split
+        for r in train_test_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id").collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    a = sorted((r.lang, r.n) for r in stratified_sample_langs(spark, sf_dir).collect())
+    b = sorted((r.lang, r.n) for r in stratified_sample_langs(spark, sf_dir).collect())
+    assert a == b  # seeded sampler
+    counts = dict(a)
+    totals = {
+        r.lang: r.c
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    # en sampled ~50%, others ~10% (Bernoulli: loose bounds)
+    assert 0.3 < counts["en"] / totals["en"] < 0.7
+    for lang in ("de", "fr", "es", "zh"):
+        assert counts.get(lang, 0) / totals[lang] < 0.3
+
+
+def test_time_rollup_hierarchy_consistent(spark, sf_dir):
+    rows = time_rollup_events(spark, sf_dir).collect()
+    by_grain: dict[str, int] = {}
+    for r in rows:
+        by_grain[r.grain] = by_grain.get(r.grain, 0) + r.n
+    total = load_table(spark, sf_dir, "events").count()
+    # every grain partitions the same events
+    assert by_grain == {"hour": total, "day": total, "month": total}
