@@ -82,6 +82,61 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_counts",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+    tags=("streaming", "session_window"),
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization as a STREAM: ``session_window(ts, 30
+    minutes)`` merges events within the gap into one stateful session.
+    The oracle is the batch lag+cumsum formulation — the two different
+    algorithms (stateful window merge vs window-function scan) must
+    agree on (n_sessions, n_events) per user.
+
+    Boundary note: a gap of exactly 30:00 stays in the same session in
+    BOTH formulations (session_window extends through last+gap; the
+    batch rule splits only on `> gap`) — verified empirically in
+    tests/test_session_boundary.py.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    name = "ssc_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sessions = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        q.stop()
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+@register(
     "streaming_dedup_counts",
     oracle="""
         SELECT event_type, count(*) AS n
