@@ -1,0 +1,71 @@
+"""Corpus-curation composite — the end-to-end training-data pipeline
+(the north-star workload): quality filter → language filter → exact
+dedup → deterministic train/test split, as one lazy DataFrame chain.
+
+Each stage is an operator from the library; the composite exists to
+prove they compose without materialization barriers (one scan, one
+shuffle for the dedup aggregate) and to give the driver an oracle over
+the whole chain rather than stage-by-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators.sampling import train_test_split
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+MIN_CHARS = 100
+LANGS = ("en", "de", "fr")
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """documents → curated training rows.
+
+    Stage order matters at scale: cheap row-local predicates (length,
+    lang) run FIRST so the dedup shuffle only carries survivors; the
+    split adds no shuffle at all (hash expression).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    filtered = docs.filter(
+        (F.col("n_chars") >= MIN_CHARS) & F.col("lang").isin(*LANGS)
+    ).withColumn("fp", F.md5(norm.cast("binary")))
+    keepers = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    return train_test_split(deduped, "doc_id")
+
+
+@register(
+    "curate_corpus",
+    oracle="""
+        WITH filtered AS (
+            SELECT doc_id, lang,
+                   md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' ')) AS fp
+            FROM documents
+            WHERE n_chars >= 100 AND lang IN ('en', 'de', 'fr')
+        ),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+        deduped AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
+        split AS (
+            SELECT doc_id, lang,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS BIGINT) % 100 < 20
+                        THEN 'test' ELSE 'train' END AS split
+            FROM deduped
+        )
+        SELECT lang, split, count(*) AS n, min(doc_id) AS min_id
+        FROM split GROUP BY lang, split
+    """,
+    tags=("composite", "curate", "north-star"),
+    bench=True,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain under one oracle: per-(lang, split)
+    counts of the quality-filtered, deduped, split corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate(docs)
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )

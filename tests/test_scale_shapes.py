@@ -78,6 +78,28 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale claim from docs/SCALE.md made concrete: corpus
+    written partitioned by centroid id, a probe reads only its
+    partitions (PartitionFilters in the scan, not a post-filter)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = similarity._corpus(spark, sf_dir).withColumn(
+        "vec", array_to_vector(F.col("emb"))
+    )
+    km = KMeans(k=4, seed=42, featuresCol="vec", predictionCol="centroid").fit(corpus)
+    assigned = km.transform(corpus).select("vec_id", "emb", "centroid")
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("centroid").parquet(path)
+
+    back = spark.read.parquet(path)
+    probe = back.filter(F.col("centroid") == 1)
+    plan = _plan(probe)
+    assert "PartitionFilters: [isnotnull(centroid" in plan
+    assert probe.count() == assigned.filter(F.col("centroid") == 1).count()
+
+
 def test_near_dup_auto_exact_vs_lsh_consistent(spark, sf_dir):
     """The adaptive rewrite must keep the output contract when it
     switches physical strategy (forced by a tiny exact_limit)."""
