@@ -7,6 +7,7 @@ from ssafynews_data_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     relational2,
+    relational3,
     sampling,
     similarity,
     skew,

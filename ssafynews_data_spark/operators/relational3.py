@@ -1,0 +1,70 @@
+"""Third relational batch: ranking-function family and map-typed ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+
+@register(
+    "event_value_ranks",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_q4,
+               CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_q4
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("windows", "rank"),
+)
+def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window (rank, dense_rank,
+    ntile, percent_rank, cume_dist) — one shuffle on event_type serves
+    all five.  Ratio-valued ranks emitted floor-scaled (see
+    quality_scores for why round() can't cross engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.floor(F.percent_rank().over(w) * 10000).alias("pct_rank_q4"),
+        F.floor(F.cume_dist().over(w) * 10000).alias("cume_q4"),
+    )
+
+
+@register(
+    "props_map_stats",
+    oracle="""
+        WITH kv AS (
+            SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+        )
+        SELECT prop_key,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+                    AS BIGINT) AS total
+        FROM kv GROUP BY prop_key
+    """,
+    tags=("map", "F8"),
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse props as map<string,long>, explode entries,
+    aggregate per key — the schema-free form of parse_event_props for
+    payloads whose keys vary by row."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+    )
