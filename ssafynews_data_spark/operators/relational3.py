@@ -44,6 +44,40 @@ def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_unpivot",
+    oracle="""
+        WITH piv AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   coalesce(round(sum(CASE WHEN event_type = 'click'    THEN value END), 2), 0.0) AS click,
+                   coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase,
+                   coalesce(round(sum(CASE WHEN event_type = 'error'    THEN value END), 2), 0.0) AS error
+            FROM events GROUP BY 1
+        )
+        SELECT d, 'click' AS kind, click AS total FROM piv
+        UNION ALL SELECT d, 'purchase', purchase FROM piv
+        UNION ALL SELECT d, 'error', error FROM piv
+    """,
+    tags=("unpivot", "stack"),
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via ``stack`` (guide: 'Pivot / unpivot'): wide daily
+    metrics back to long form — a Generate (row-expansion) node, no
+    shuffle beyond the feeding aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "error"]
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", kinds)
+        .sum("value")
+    )
+    wide = piv.select(
+        "d", *[F.coalesce(F.round(F.col(k), 2), F.lit(0.0)).alias(k) for k in kinds]
+    )
+    stack_expr = "stack(3, " + ", ".join(f"'{k}', {k}" for k in kinds) + ") AS (kind, total)"
+    return wide.selectExpr("d", stack_expr)
+
+
+@register(
     "props_map_stats",
     oracle="""
         WITH kv AS (

@@ -83,6 +83,32 @@ def test_whitespace_normalize_matches_duckdb(mk_df, vals):
     assert got == want
 
 
+sentence_texts = st.lists(
+    st.text(alphabet=list("ab. d다"), max_size=30), min_size=1, max_size=25
+)
+
+
+@given(vals=sentence_texts)
+@SLOW
+def test_first_sentence_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.functions.strings import first_sentence
+
+    df = mk_df(vals)
+    got = {
+        r.i: r.s
+        for r in df.select("i", first_sentence(F.col("s"), ". ").alias("s")).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, CASE WHEN contains(s, '. ')"
+            " THEN split_part(s, '. ', 1) || '. '"
+            " ELSE substr(s, 1, 40) END FROM t",
+        )
+    )
+    assert got == want
+
+
 @given(vals=texts)
 @SLOW
 def test_md5_fingerprint_matches_duckdb(mk_df, vals):
