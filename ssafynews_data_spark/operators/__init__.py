@@ -3,6 +3,7 @@
 from ssafynews_data_spark.operators import (  # noqa: F401
     dedup,
     enrichment,
+    grouped_pandas,
     merge,
     multimodal,
     relational,
