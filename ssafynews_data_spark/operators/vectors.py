@@ -43,7 +43,14 @@ def pca_kmeans(
     clean.cache()  # reference recomputed the scan per action; we don't (§4)
     n = clean.count()
     if n == 0:
-        return clean.drop("_vec", embedding_col)
+        # empty-day path (spark_daily_report.py:107-112) — keep the
+        # output contract: same columns as the fitted path, zero rows
+        return (
+            clean.withColumn("cluster", F.lit(None).cast("int"))
+            .withColumn("pc1", F.lit(None).cast("double"))
+            .withColumn("pc2", F.lit(None).cast("double"))
+            .drop("_vec", embedding_col)
+        )
 
     # Right-size parallelism for the iterative fits: KMeans/PCA run ~20
     # jobs each, and per-job task-scheduling overhead dominates when n is
