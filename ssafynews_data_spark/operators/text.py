@@ -75,7 +75,8 @@ def clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             cleaned.alias("cleaned"),
-            F.length(cleaned).alias("clean_len"),
+            # long for parity: Spark length() is int32, DuckDB's BIGINT
+            F.length(cleaned).cast("long").alias("clean_len"),
         )
     )
 
