@@ -53,18 +53,31 @@ def main() -> int:
     PCA(k=1, inputCol="vec", outputCol="p").fit(tiny)
     spark.range(16).toPandas()
 
-    timings: dict[str, float] = {}
-    for name, fn in bench.items():
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    from ssafynews_data_spark.caching import release_pins
+
+    def run_set(d: str) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, fn in bench.items():
+            t0 = time.perf_counter()
+            n = fn(spark, d).count()
+            t[name] = round(time.perf_counter() - t0, 3)
+            release_pins()  # keep storage memory flat between queries
+            print(f"# {name} @{d}: {t[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return t
+
+    timings = run_set(sf_dir)
+
+    # Secondary small-SF pass: separates fixed fit/JIT cost from
+    # data-proportional shuffle cost round-over-round (VERDICT r1 §6).
+    secondary = os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "/root/testdata/sf0.01")
+    timings_small = run_set(secondary) if os.path.isdir(secondary) else {}
 
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_secondary_sf": timings_small,
         "sf": sf,
     }
     print(json.dumps(out))

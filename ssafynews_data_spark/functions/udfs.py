@@ -21,6 +21,7 @@ reference's driver-side sentiment loop is the anti-pattern, §2.11 U6).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -43,6 +44,17 @@ _CATEGORY_RULES: list[tuple[str, str]] = [
     ("slow", "건강"),
     ("stream", "문화"),
 ]
+
+#: explicit whitespace class shared with the DuckDB oracles: RE2's \s is
+#: [ \t\n\f\r] (no \x0B) while Python str.split() splits on ALL Unicode
+#: whitespace (\x0B, NBSP, \u2028, ...).  Both sides tokenize on exactly
+#: this set — the oracle side uses '[\s\x0B]+' which is the same class.
+_WS_RE = re.compile(r"[ \t\n\r\f\x0B]+")
+
+
+def _ws_tokens(t: str) -> list[str]:
+    return [w for w in _WS_RE.split(t) if w]
+
 
 _POS_WORDS = frozenset({"fast", "big", "merge", "join"})
 _NEG_WORDS = frozenset({"slow", "error", "small"})
@@ -69,7 +81,7 @@ def extract_keywords(text: pd.Series) -> pd.Series:
     stand-in for the LLM's '5 comma-separated keywords'."""
 
     def one(t: str | None) -> list[str]:
-        toks = [w for w in (t or "").lower().split() if w]
+        toks = _ws_tokens((t or "").lower())
         counts: dict[str, int] = {}
         for w in toks:
             counts[w] = counts.get(w, 0) + 1
@@ -104,7 +116,7 @@ def sentiment(text: pd.Series) -> pd.Series:
     def one(t: str | None) -> str:
         if not t:
             return "-"
-        toks = t[:300].lower().split()
+        toks = _ws_tokens(t[:300].lower())
         pos = sum(w in _POS_WORDS for w in toks)
         neg = sum(w in _NEG_WORDS for w in toks)
         if pos > neg:
@@ -134,7 +146,7 @@ def crawl_article(url: pd.Series) -> pd.Series:
 def extract_nouns(text: pd.Series) -> pd.Series:
     """U7 mock tokenizer standing in for konlpy Okt
     (spark_daily_report.py:31-36): words of length ≥2, lowered."""
-    return text.map(lambda t: [w.lower() for w in (t or "").split() if len(w) >= 2])
+    return text.map(lambda t: [w.lower() for w in _ws_tokens(t or "") if len(w) >= 2])
 
 
 def enrich(df, text_col: str = "summary", url_col: str = "link"):

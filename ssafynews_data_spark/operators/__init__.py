@@ -13,6 +13,7 @@ from ssafynews_data_spark.operators import (  # noqa: F401
     similarity,
     skew,
     sqlapi,
+    stateful,
     streaming_queries,
     text,
     vectors,

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -65,15 +66,12 @@ def shingles_col(c: Column, w: int = SHINGLE_W) -> Column:
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # persist() is a materialization barrier: without it CollapseProject
-    # re-inlines the tokenizer split into the shingle lambda and the
-    # regex runs once per shingle index (measured 2-3x slower).  Token
-    # arrays are ~text-sized; MEMORY_AND_DISK spills safely at scale.
-    from pyspark import StorageLevel
-
-    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # pin() (persist) is a materialization barrier: without it
+    # CollapseProject re-inlines the tokenizer split into the shingle
+    # lambda and the regex runs once per shingle index (measured 2-3x
+    # slower).  Token arrays are ~text-sized; MEMORY_AND_DISK spills
+    # safely at scale.  Released by the registry before the next query.
+    return pin(docs.select("doc_id", tokens_col(F.col("text")).alias("toks")))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +203,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash banding (``minhash_lsh_pairs``) and only candidate pairs pay
     the exact-intersection price.
     """
-    sh = _doc_shingles(spark, sf_dir).persist()  # feeds sizes + both join sides
+    sh = pin(_doc_shingles(spark, sf_dir))  # feeds sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -302,7 +300,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingle_hashes(spark, sf_dir)
     # sigs feed candidate generation AND both sides of the estimate join —
     # persist so the shingle→signature lineage runs once, not three times.
-    sigs = minhash_signatures(sh).persist()
+    sigs = pin(minhash_signatures(sh))
     cands = lsh_candidate_pairs(sigs)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -352,7 +350,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-@register("simhash_pairs", tags=("dedup", "simhash"))
+@register("simhash_pairs", tags=("dedup", "simhash"), bench=True)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, candidates from 4 ×
     16-bit band buckets (a pair within hamming 3 must agree exactly on

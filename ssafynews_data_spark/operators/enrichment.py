@@ -38,7 +38,7 @@ def _sentiment_case_sql() -> str:
     pos = ", ".join(f"'{w}'" for w in sorted(_POS_WORDS))
     neg = ", ".join(f"'{w}'" for w in sorted(_NEG_WORDS))
     # mirror of udfs.sentiment: truncate to 300 chars, whitespace split
-    toks = "list_filter(string_split_regex(lower(substr(text, 1, 300)), '\\s+'), x -> x <> '')"
+    toks = "list_filter(string_split_regex(lower(substr(text, 1, 300)), '[\\s\\x0B]+'), x -> x <> '')"
     return f"""
         CASE WHEN text IS NULL OR text = '' THEN '-'
              WHEN len(list_filter({toks}, x -> x IN ({pos})))
@@ -56,7 +56,7 @@ def _sentiment_case_sql() -> str:
                {_classify_case_sql()} AS category,
                {_sentiment_case_sql()} AS sentiment,
                CAST(least(5, len(list_distinct(
-                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))))
+                   list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> ''))))
                    AS INT) AS n_keywords,
                8 AS emb_dim
         FROM documents

@@ -61,6 +61,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         FROM s
     """,
     tags=("applyInPandas", "grouped-map", "U-surface"),
+    bench=True,
 )
 def zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score through applyInPandas, hash-matched against

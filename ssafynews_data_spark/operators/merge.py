@@ -89,3 +89,47 @@ def merge_upsert_orders(spark, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(orders, updates, "o_orderkey")
+
+
+@register(
+    "merge_scd2_orders",
+    oracle="""
+        WITH hist AS (
+            SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS vf FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'X' AS o_orderstatus, CAST(o_orderdate AS DATE) + 30 AS vf
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_orderkey, o_orderstatus,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(lead(vf) OVER w, '%Y-%m-%d') AS valid_to,
+               lead(vf) OVER w IS NULL AS is_current
+        FROM hist
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY vf)
+    """,
+    tags=("merge", "scd2", "cdc"),
+)
+def merge_scd2_orders(spark, sf_dir: str) -> DataFrame:
+    """SCD2 under the oracle gate: every 10th order gets a status change
+    30 days after its order date; ``scd2_apply`` appends the change rows
+    and recomputes validity ranges (valid_to = next valid_from via lead,
+    is_current = open-ended row).  Hash-matched against the plain-SQL
+    window formulation.  At scale both legs shuffle once on the key —
+    the same partitioning the history table is stored in."""
+    orders = load_table(spark, sf_dir, "orders")
+    history = orders.select(
+        "o_orderkey", "o_orderstatus", F.to_date("o_orderdate").alias("valid_from")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("valid_from"),
+    )
+    out = scd2_apply(history, changes, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )

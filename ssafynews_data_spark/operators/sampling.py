@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -101,14 +102,14 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, which is how a continuous-aggregate hierarchy works at
     scale."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
+    hourly = pin((
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
-    ).persist()
-    daily = (
+    ))
+    daily = pin((
         hourly.groupBy(F.date_trunc("day", "h").alias("h"))
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-    ).persist()
+    ))
     monthly = (
         daily.groupBy(F.date_trunc("month", "h").alias("h"))
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))

@@ -38,9 +38,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # `div` = exact integer division; floor(col/1000) loses precision on
+    # nanosecond longs > 2^53 (see sources/readers.py:load_table).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @register(

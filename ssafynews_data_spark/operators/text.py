@@ -22,6 +22,7 @@ from ssafynews_data_spark.functions.strings import (
     strip_control_chars,
     tokenize_words,
 )
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -323,7 +324,12 @@ def assign_block_ids(df: DataFrame, order_col: str, num_partitions: int = 32) ->
     zipWithIndex shape expressed in the DataFrame API and the 100 TB
     replacement for ``sequential_ids``'s global window.
     """
-    part = df.repartitionByRange(num_partitions, F.col(order_col))
+    # pin() before the counts collect: range boundaries come from
+    # sampling and are NOT guaranteed identical across re-executions
+    # (input re-listing, stage retry), so both the count job and the
+    # final id job must read the SAME materialized partitioning or
+    # seq_ids could duplicate/gap.  Released by the registry/test.
+    part = pin(df.repartitionByRange(num_partitions, F.col(order_col)))
     with_pid = part.withColumn("_pid", F.spark_partition_id())
     sizes = {
         r["_pid"]: r["n"]
@@ -341,4 +347,67 @@ def assign_block_ids(df: DataFrame, order_col: str, num_partitions: int = 32) ->
     return (
         with_pid.withColumn("seq_id", offset_col + F.row_number().over(w))
         .drop("_pid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Korean-path ops under the oracle gate (F2 + F5 on the reference's actual
+# domain: collect/consumer.py:109's [가-힣]{3,} and '다.' sentences).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "korean_text_ops",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^가-힣]', '', 'g')) AS BIGINT)
+                   AS hangul_chars,
+               coalesce(array_to_string(
+                   list_filter(string_split(text, chr(10)),
+                               x -> regexp_matches(x, '[가-힣]{3,}')), ' '), '')
+                   AS ko_lines,
+               CASE WHEN contains(text, '다.')
+                    THEN split_part(text, '다.', 1) || '다.'
+                    ELSE substr(text, 1, 40) END AS summary_ko
+        FROM documents
+    """,
+    tags=("F2", "F5", "korean"),
+)
+def korean_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 Korean line filter (consumer.py:103-113) + F5 '다.'-terminated
+    first sentence (spark_daily_report.py:180) + Hangul char count, all
+    oracle-checked.  On the Latin fixture most rows pass through the
+    fallback paths — the Hangul-heavy behavior is property-tested on
+    generated Hangul corpora in tests/test_properties.py."""
+    from ssafynews_data_spark.functions.strings import first_sentence, korean_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[^가-힣]", ""))
+        .cast("long")
+        .alias("hangul_chars"),
+        korean_line_filter(F.col("text")).alias("ko_lines"),
+        first_sentence(F.col("text"), "다.").alias("summary_ko"),
+    )
+
+
+@register(
+    "block_sequential_ids",
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id
+        FROM documents
+    """,
+    tags=("P14", "scale-path"),
+)
+def block_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14's 100 TB shape under the oracle gate: ``assign_block_ids``
+    (range-partition → per-partition count → offset + local row_number)
+    must produce EXACTLY the ids of a global ``row_number() OVER (ORDER
+    BY doc_id)`` — without the single-partition sort the registered
+    ``sequential_ids`` form pays."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_block_ids(docs, "doc_id", 8).select(
+        "doc_id", F.col("seq_id").cast("long").alias("seq_id")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -40,7 +41,7 @@ def pca_kmeans(
     clean = df.filter(F.col(embedding_col).isNotNull()).withColumn(
         "_vec", array_to_vector(F.col(embedding_col))
     )
-    clean.cache()  # reference recomputed the scan per action; we don't (§4)
+    pin(clean)  # reference recomputed the scan per action; we don't (§4)
     n = clean.count()
     if n == 0:
         # empty-day path (spark_daily_report.py:107-112) — keep the
@@ -59,7 +60,7 @@ def pca_kmeans(
     width = df.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(width, n // 10_000 + 1))
     if parts < clean.rdd.getNumPartitions():
-        clean = clean.coalesce(parts).cache()
+        clean = pin(clean.coalesce(parts))
 
     pca = PCA(k=k_pca, inputCol="_vec", outputCol="_pca").fit(clean)
     reduced = pca.transform(clean)

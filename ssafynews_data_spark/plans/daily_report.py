@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.functions.strings import first_sentence, truncate
 from ssafynews_data_spark.functions.udfs import sentiment
 from ssafynews_data_spark.operators.vectors import pca_kmeans
@@ -53,9 +54,9 @@ def build_daily_report(
 ) -> DailyReport:
     """P2+P3 day filter → A1 category counts → A2/T2 keyword top-10 →
     U6 sentiment + F5 summary → M1-M4 PCA/KMeans."""
-    day = articles.filter(
+    day = pin(articles.filter(
         F.to_date(F.col(date_col)) == F.to_date(F.lit(report_date))
-    ).cache()
+    ))
 
     category_counts = (
         day.groupBy(category_col).agg(F.count("*").alias("n")).orderBy(F.desc("n"))

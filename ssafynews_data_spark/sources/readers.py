@@ -65,11 +65,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             and isinstance(want_field.dataType, T.TimestampType)
             and isinstance(field.dataType, T.LongType)
         ):
+            # Integer division, NOT F.floor(col / 1000): Spark's `/` on
+            # longs is double division, and 2024-era epoch nanos (~1.7e18)
+            # exceed double's 53-bit exact range (ulp = 256 ns), so the
+            # floored quotient drifts ±1 µs vs DuckDB's exact truncation.
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(
-                    F.floor(F.col(field.name) / F.lit(1000)).cast("long")
-                ),
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
     return df
 

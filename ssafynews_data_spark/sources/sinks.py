@@ -71,9 +71,15 @@ def foreach_batch_upsert(path: str, key: str = "link", fmt: str = "parquet"):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # Only a *missing path* means "first batch".  A transient or
+        # corrupt-file read error must FAIL the batch (checkpoint retry
+        # preserves idempotence); swallowing it would treat existing
+        # keys as empty and append the whole micro-batch as duplicates.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             existing = spark.read.format(fmt).load(path).select(key)
-        except Exception:  # first batch: nothing at path yet
+        else:
             existing = spark.createDataFrame([], batch_df.select(key).schema)
         out = idempotent_append(batch_df, existing, key)
         out.write.mode("append").format(fmt).save(path)

@@ -21,3 +21,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_pinned_caches():
+    """Tests call operator fns directly (unwrapped), so release their
+    pinned persists at teardown — mirrors what the registry wrapper does
+    between driver queries."""
+    yield
+    from ssafynews_data_spark.caching import release_pins
+
+    release_pins()
