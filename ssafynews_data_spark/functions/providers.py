@@ -1,0 +1,76 @@
+"""Provider implementations for the real-model UDF factories.
+
+``make_embedding_udf`` / ``make_sentiment_udf`` (functions/udfs.py) take
+any picklable factory returning an object with the provider contract:
+
+- embedding: ``model.encode(text) -> sequence[float]``
+  (the SentenceTransformer contract, collect/ollama_consumer.py:196)
+- sentiment: ``model.predict(text) -> label``
+  (the HF-pipeline contract, dags/scripts/spark_daily_report.py:121-125)
+
+``default_embedding_factory`` loads the real model when the library is
+installed and degrades to the deterministic hash model otherwise, so the
+same pipeline code runs in CI (no models, no network) and in production
+unchanged.  Classes live in the package — NOT in test modules — because
+factories ship to executor Python workers by pickle reference.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from ssafynews_data_spark.functions.udfs import (
+    _NEG_WORDS,
+    _POS_WORDS,
+    _seeded_vec,
+    _ws_tokens,
+    EMBED_DIM,
+)
+
+
+class HashEmbeddingModel:
+    """Deterministic stand-in with the SentenceTransformer contract:
+    equal text ⇒ equal unit vector, on any worker."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+
+    def encode(self, text: str):
+        return _seeded_vec(text or "", self.dim)
+
+
+class LexiconSentimentModel:
+    """Deterministic stand-in with the classifier contract — same rules
+    as the ``sentiment`` mock UDF (±lexicon over the first 300 chars)."""
+
+    def predict(self, text: str) -> str:
+        toks = _ws_tokens((text or "")[:300].lower())
+        pos = sum(w in _POS_WORDS for w in toks)
+        neg = sum(w in _NEG_WORDS for w in toks)
+        return "긍정" if pos > neg else ("부정" if neg > pos else "중립")
+
+
+def default_embedding_factory():
+    """Real model when installed, deterministic fallback otherwise."""
+    try:  # pragma: no cover - model lib absent in the test image
+        from sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer("all-mpnet-base-v2")
+    except ImportError:
+        return HashEmbeddingModel()
+
+
+class MarkingFactory:
+    """Test instrumentation: a factory that records every instantiation
+    as a unique pid-tagged file in ``marker_dir`` — counting files vs
+    distinct pids proves get_provider's once-per-worker guarantee."""
+
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+
+    def __call__(self) -> HashEmbeddingModel:
+        fname = f"pid_{os.getpid()}_{uuid.uuid4().hex}"
+        with open(os.path.join(self.marker_dir, fname), "w") as f:
+            f.write("x")
+        return HashEmbeddingModel(dim=2)

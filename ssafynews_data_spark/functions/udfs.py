@@ -159,3 +159,53 @@ def enrich(df, text_col: str = "summary", url_col: str = "link"):
         .withColumn("keywords", extract_keywords(F.col(text_col)))
         .withColumn("embedding", generate_embedding(F.col(text_col)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable REAL-model providers — lazy executor-side singletons.
+# ---------------------------------------------------------------------------
+
+#: per-Python-worker model handles.  Executor processes each materialize
+#: a handle once, on the first Arrow batch that needs it — the Flink
+#: ``open()`` analog (collect/consumer2.py:81-95) and the documented
+#: pattern for SentenceTransformer / KR-FinBert loading
+#: (ollama_consumer.py:196, spark_daily_report.py:121-125).
+_PROVIDERS: dict[str, object] = {}
+
+
+def get_provider(name: str, factory):
+    """Return the worker-local singleton for ``name``, creating it with
+    ``factory()`` exactly once per Python worker process.  ``factory``
+    must be picklable (module-level callable) — it ships to executors
+    inside the UDF closure; the heavy model object itself never does."""
+    if name not in _PROVIDERS:
+        _PROVIDERS[name] = factory()
+    return _PROVIDERS[name]
+
+
+def make_embedding_udf(factory, name: str = "embedding"):
+    """Arrow UDF over a real embedding provider: ``factory() -> model``
+    with ``model.encode(text) -> sequence[float]`` (the
+    SentenceTransformer contract).  The model loads lazily per worker;
+    the mock (``generate_embedding``) needs no provider at all."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(text: pd.Series) -> pd.Series:
+        model = get_provider(name, factory)
+        return text.map(lambda t: [float(x) for x in model.encode(t or "")])
+
+    return embed
+
+
+def make_sentiment_udf(factory, name: str = "sentiment"):
+    """Arrow UDF over a real classifier provider: ``model.predict(text)
+    -> label`` (the HF-pipeline contract, spark_daily_report.py:121-125
+    — which the reference ran in a driver-side loop; here it is
+    executor-parallel with one lazy model handle per worker)."""
+
+    @F.pandas_udf(T.StringType())
+    def sent(text: pd.Series) -> pd.Series:
+        model = get_provider(name, factory)
+        return text.map(lambda t: "-" if not t else str(model.predict(t[:300])))
+
+    return sent

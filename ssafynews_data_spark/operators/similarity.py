@@ -328,12 +328,20 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank within the probed partitions.  Rows-only check (KMeans is not
     SQL-expressible); recall vs exact top-k is pytest-gated."""
     import os
-    import tempfile
+
+    import ssafynews_data_spark
 
     corpus = _corpus(spark, sf_dir)
+    if corpus.isEmpty():  # KMeans cannot fit on zero rows (empty-day path)
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, sim DOUBLE, rank INT"
+        )
+    # repo-local scratch (spark-warehouse/ is gitignored); keyed by SF so
+    # concurrent checks at different scale factors don't clobber
     path = os.path.join(
-        tempfile.gettempdir(),
-        "ssafynews_ivf_index_" + os.path.basename(os.path.normpath(sf_dir)),
+        os.path.dirname(os.path.dirname(os.path.abspath(ssafynews_data_spark.__file__))),
+        "spark-warehouse",
+        "ivf_index_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     model = write_ivf_index(corpus, path)
 

@@ -411,3 +411,58 @@ def block_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_block_ids(docs, "doc_id", 8).select(
         "doc_id", F.col("seq_id").cast("long").alias("seq_id")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        sc AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST((tf.tf * (n.n + 1) * 10000) // (df.df + 1) AS BIGINT)
+                       AS score_q
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, score_q, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_q DESC, term) AS rank
+              FROM sc)
+        WHERE rank <= 3
+    """,
+    tags=("tfidf", "A2", "north-star"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by a tf-idf-family score.
+
+    The idf weight is the RATIONAL form tf·(N+1)/(df+1), quantized via
+    integer division — bitwise-deterministic across engines (a log-idf
+    would rank identically for fixed tf but ln() is libm-dependent and
+    can flip ties across Spark/DuckDB).  Shape at scale: explode →
+    map-side partial counts → one shuffle each for tf and df, broadcast
+    of the scalar N, per-doc top-3 via WindowGroupLimit — everything
+    linear in total tokens, no quadratic term-doc blowup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count("*").alias("n"))
+    sc = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("CAST((tf * (n + 1) * 10000) div (df + 1) AS BIGINT)").alias(
+                "score_q"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), "term")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score_q", "rank")
+    )

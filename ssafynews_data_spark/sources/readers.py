@@ -121,3 +121,50 @@ def read_kafka_like_json(spark: SparkSession, path: str, schema: T.StructType) -
 
     raw = spark.read.text(path)  # one JSON message per line, like a topic dump
     return raw.select(F.from_json(F.col("value"), schema).alias("m")).select("m.*")
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S3/S4 real Kafka source (collect/consumer.py:152-159): JSON value
+    messages → parsed struct → flattened columns, exactly the shape of
+    ``read_kafka_like_json``.  Offsets are managed by the streaming
+    checkpoint (the engine replacement for the reference's manual
+    ``consumer.commit()``); pair with ``sinks.foreach_batch_upsert`` for
+    effectively-once delivery.
+
+    Requires the ``spark-sql-kafka`` connector on the classpath — see
+    ``kafka_connector_available`` and tests/test_kafka_gated.py (the
+    test image has no connector jar and no network, so the integration
+    path is exercised only where a broker + jar exist).
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return (
+        raw.select(F.col("value").cast("string").alias("value"))
+        .select(F.from_json(F.col("value"), schema).alias("m"))
+        .select("m.*")
+    )
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka DataSource can be resolved."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

@@ -122,3 +122,100 @@ def test_md5_fingerprint_matches_duckdb(mk_df, vals):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hangul / mixed CJK-ASCII corpora (VERDICT r1 #7): the reference's actual
+# domain is Korean news (collect/consumer.py:109 '[가-힣]{3,}',
+# spark_daily_report.py:180 '다.' sentences).
+# ---------------------------------------------------------------------------
+
+#: Hangul syllables + ASCII + the '다.' terminator + whitespace variants —
+#: biased so filters/terminators actually trigger.
+_HANGUL_ALPHABET = (
+    "가나다라마바사아자차카타파하거너더러머버서어저기니디리미비시이지"
+    "뉴스속보정치경제사회문화세계과학다." 
+    "abcXYZ 019 \n\t\x0b."
+)
+
+hangul_texts = st.lists(
+    st.text(alphabet=st.sampled_from(list(_HANGUL_ALPHABET)), max_size=60),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vals=hangul_texts)
+@SLOW
+def test_hangul_char_count_matches_duckdb(mk_df, vals):
+    df = mk_df(vals)
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i",
+            F.length(F.regexp_replace(F.col("s"), "[^가-힣]", "")).alias("n"),
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, length(regexp_replace(s, '[^가-힣]', '', 'g')) FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(vals=hangul_texts)
+@SLOW
+def test_korean_line_filter_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.functions.strings import korean_line_filter
+
+    df = mk_df(vals)
+    got = {r.i: r.k for r in df.select("i", korean_line_filter(F.col("s")).alias("k")).collect()}
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, coalesce(array_to_string(list_filter(string_split(s, chr(10)),"
+            " x -> regexp_matches(x, '[가-힣]{3,}')), ' '), '') FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(vals=hangul_texts)
+@SLOW
+def test_korean_first_sentence_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.functions.strings import first_sentence
+
+    df = mk_df(vals)
+    got = {
+        r.i: r.f
+        for r in df.select("i", first_sentence(F.col("s"), "다.").alias("f")).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, CASE WHEN contains(s, '다.')"
+            " THEN split_part(s, '다.', 1) || '다.'"
+            " ELSE substr(s, 1, 40) END FROM t",
+        )
+    )
+    assert got == want
+
+
+@given(vals=hangul_texts)
+@SLOW
+def test_hangul_tokenizer_matches_duckdb(mk_df, vals):
+    df = mk_df(vals)
+    got = {
+        r.i: r.n
+        for r in df.select("i", F.size(tokens_col(F.col("s"))).alias("n")).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            "SELECT i, len(list_filter(string_split_regex(lower(s), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')) FROM t",
+        )
+    )
+    assert got == want

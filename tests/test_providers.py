@@ -1,0 +1,91 @@
+"""Lazy-singleton real-model provider pattern (VERDICT r1 #3): the
+factory must run at most once per Python worker process, regardless of
+how many Arrow batches / actions flow through the UDF; provider classes
+live in the package so they pickle to workers."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.functions.providers import (
+    HashEmbeddingModel,
+    LexiconSentimentModel,
+    MarkingFactory,
+    default_embedding_factory,
+)
+from ssafynews_data_spark.functions.udfs import (
+    _seeded_vec,
+    get_provider,
+    make_embedding_udf,
+    make_sentiment_udf,
+)
+
+
+def test_factory_runs_once_per_worker(spark, tmp_path):
+    marker_dir = str(tmp_path)
+    embed = make_embedding_udf(MarkingFactory(marker_dir), name="emb_" + uuid.uuid4().hex[:6])
+
+    df = spark.range(200).repartition(4).selectExpr("CAST(id AS STRING) AS s")
+    # two separate actions -> multiple batches through the same workers.
+    # (sum over the result, NOT count(): count lets Catalyst prune the
+    # UDF column and the factory would never run at all)
+    out = df.select(F.size(embed(F.col("s"))).alias("n"))
+    assert out.agg(F.sum("n")).collect()[0][0] == 400
+    assert out.agg(F.sum("n")).collect()[0][0] == 400
+
+    files = os.listdir(marker_dir)
+    pids = {f.split("_")[1] for f in files}
+    assert files, "factory never ran"
+    assert len(files) == len(pids), (
+        "factory ran more than once in a worker process: "
+        f"{len(files)} instantiations across {len(pids)} workers"
+    )
+
+
+def test_embedding_udf_real_contract(spark):
+    embed = make_embedding_udf(HashEmbeddingModel, name="emb_c_" + uuid.uuid4().hex[:6])
+    rows = (
+        spark.createDataFrame([("abc",), (None,)], "s string")
+        .select(embed(F.col("s")).alias("e"))
+        .collect()
+    )
+    # same math as the mock UDF: md5-seeded unit vector, None -> ""
+    assert [round(x, 5) for x in rows[0].e] == [
+        round(x, 5) for x in _seeded_vec("abc", 8)
+    ]
+    assert [round(x, 5) for x in rows[1].e] == [
+        round(x, 5) for x in _seeded_vec("", 8)
+    ]
+
+
+def test_sentiment_udf_real_contract(spark):
+    sent = make_sentiment_udf(LexiconSentimentModel, name="sent_c_" + uuid.uuid4().hex[:6])
+    rows = (
+        spark.createDataFrame([("fast car",), ("meh",), (None,)], "s string")
+        .select(sent(F.col("s")).alias("y"))
+        .collect()
+    )
+    assert [r.y for r in rows] == ["긍정", "중립", "-"]
+
+
+def test_default_factory_degrades_without_model_lib():
+    model = default_embedding_factory()
+    # test image has no sentence_transformers -> deterministic fallback
+    v = model.encode("hello")
+    assert len(list(v)) in (8, 768) and all(isinstance(float(x), float) for x in v)
+
+
+def test_get_provider_driver_side_singleton():
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return object()
+
+    name = "drv_" + uuid.uuid4().hex[:6]
+    a = get_provider(name, factory)
+    b = get_provider(name, factory)
+    assert a is b and len(calls) == 1

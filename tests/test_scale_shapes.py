@@ -115,3 +115,21 @@ def test_near_dup_auto_exact_vs_lsh_consistent(spark, sf_dir):
     assert exact, "fixture should contain near-dup pairs at the threshold"
     assert approx <= exact  # LSH path may miss candidates, never invent
     assert len(approx) / len(exact) >= 0.5  # and should find most
+
+
+def test_ivf_probe_reads_only_probed_partitions(spark, tmp_path):
+    """IVF write path: the probe's isin on the partition column must
+    reach the scan as PartitionFilters — a 1-centroid probe reads 1/k of
+    the index, which is the entire point of the layout."""
+    sf = "/root/testdata/sf0.001"
+    corpus = similarity._corpus(spark, sf)
+    idx = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(corpus, idx, k=4)
+
+    pruned = similarity.read_ivf_probe(spark, idx, [1])
+    plan = _plan(pruned)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "centroid" in pf  # pruning predicate reached the scan
+
+    rows = pruned.select("centroid").distinct().collect()
+    assert [r.centroid for r in rows] == [1]  # only the probed partition
