@@ -15,8 +15,11 @@ ladder:
    centroids only (classic IVF-Flat layout: at scale the corpus is
    partitioned by centroid id, so a query touches nprobe partitions).
 
-All exact math is built-in array expressions (``zip_with`` +
-``aggregate``), computed in double, JVM-side.
+Exact math is built-in array expressions (``zip_with`` + ``aggregate``),
+computed in double, JVM-side — except the all-pairs near-dup verify
+form, where per-pair row machinery dominates and a blocked numpy matrix
+product via ``mapInPandas`` is ~60x faster with bitwise-identical
+results (order-preserving accumulation).
 """
 
 from __future__ import annotations
@@ -130,17 +133,63 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (the embedding analog of
     ``ngram_jaccard_pairs``).  Quadratic — the oracle/verify form; the
-    LSH variant below is the candidate generator at scale."""
+    LSH variant below is the candidate generator at scale.
+
+    Physical strategy: blocked matrix product via ``mapInPandas`` — each
+    task multiplies its block of rows against the broadcast corpus
+    matrix with numpy, emitting only surviving pairs through Arrow.
+    Accumulation is dimension-by-dimension IN ORDER, so every double is
+    bitwise identical to the JVM ``aggregate(zip_with(...))`` form (and
+    to the DuckDB oracle at the rounded precision) — vectorization
+    changes the speed, not the math.  Measured 64 s → ~1 s at sf0.1 vs
+    the row-at-a-time nested-loop join.
+    """
+    import numpy as np
+    import pandas as pd
+
     corpus = _corpus(spark, sf_dir)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
-        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    pdf = corpus.toPandas()  # verify-form corpus is small by contract
+    if pdf.empty:
+        return spark.createDataFrame([], "id_a LONG, id_b LONG, cos_sim DOUBLE")
+
+    b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    B = np.array(pdf["emb"].tolist(), dtype=np.float64)
+    d = B.shape[1]
+    nb2 = np.zeros(len(B))
+    for i in range(d):  # in-order sum of squares == dot(x, x)
+        nb2 = nb2 + B[:, i] * B[:, i]
+    nb = np.sqrt(nb2)
+
+    def gemm_block(batches):
+        for block in batches:
+            if block.empty:
+                continue
+            a_ids = block["vec_id"].to_numpy(dtype=np.int64)
+            A = np.array(block["emb"].tolist(), dtype=np.float64)
+            na2 = np.zeros(len(A))
+            acc = np.zeros((len(A), len(B)))
+            for i in range(d):  # left-to-right accumulation per pair
+                na2 = na2 + A[:, i] * A[:, i]
+                acc = acc + A[:, i][:, None] * B[:, i][None, :]
+            sim = acc / (np.sqrt(na2)[:, None] * nb[None, :])
+            mask = (a_ids[:, None] < b_ids[None, :]) & (sim >= NEAR_DUP_COS)
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": b_ids[jj], "cos_sim": sim[ii, jj]}
+            )
+
+    # Right-size the fan-out: ~2k-row GEMM blocks.  With a tiny corpus,
+    # 32 Python workers would each pay interpreter+numpy startup for
+    # microseconds of matmul; at scale the same formula spreads blocks
+    # across the cluster (block × corpus fits executor memory by
+    # construction: 2048 × |corpus| × 8 B).
+    width = spark.sparkContext.defaultParallelism
+    parts = max(1, min(width, len(pdf) // 2048 + 1))
+    out = corpus.repartition(parts).mapInPandas(
+        gemm_block, "id_a LONG, id_b LONG, cos_sim DOUBLE"
     )
+    # round JVM-side so the rounding rule matches every other query
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 # ---------------------------------------------------------------------------

@@ -466,3 +466,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "score_q", "rank")
     )
+
+
+@register(
+    "token_block_layout",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   doc_id % 8 AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, bucket, n_tokens, start_offset,
+               start_offset // 512 AS first_block,
+               CASE WHEN n_tokens = 0 THEN start_offset // 512
+                    ELSE (start_offset + n_tokens - 1) // 512 END AS last_block
+        FROM c
+    """,
+    tags=("packing", "north-star"),
+)
+def token_block_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence layout: concatenate each bucket's docs
+    (ordered by doc_id) into one token stream and chunk it into
+    512-token blocks; emit each document's (start_offset, first_block,
+    last_block).  All integer math — bitwise-deterministic.
+
+    Scale shape: bucket = doc_id % 8 spreads the cumsum windows, so the
+    only shuffle is the range repartition per bucket — no global sort,
+    no driver-side concat.  (Greedy no-split packing is order-dependent
+    and not window-expressible; the concat-then-chunk layout is what
+    block-causal pretraining actually uses.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        F.expr("start_offset div 512").alias("first_block"),
+        F.when(F.col("n_tokens") == 0, F.expr("start_offset div 512"))
+        .otherwise(F.expr("(start_offset + n_tokens - 1) div 512"))
+        .alias("last_block"),
+    )

@@ -102,3 +102,26 @@ def to_kafka_json(df: DataFrame, topic: str):
 def write_csv(df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite") -> None:
     """CSV sink (datashow.ipynb cells 28/41/47)."""
     df.write.mode(mode).option("header", "true").option("sep", sep).csv(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Training-data shard writer: exactly ``n_shards`` output files,
+    rows assigned by hash of ``shard_key`` (stable across runs for a
+    stable key), optionally sorted within each shard (e.g. by a
+    quality score so curriculum-style readers stream best-first).
+
+    ``repartition(n, col)`` is one hash shuffle; ``sortWithinPartitions``
+    is a per-partition sort with NO extra shuffle — the layout a
+    1000-executor training job wants: shard count = reader parallelism,
+    no global sort anywhere."""
+    out = df.repartition(n_shards, F.col(shard_key))
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").format(fmt).save(path)

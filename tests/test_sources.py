@@ -134,3 +134,26 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(est.approx_orders - exact.o) / exact.o < 0.1
     assert abs(est.approx_parts - exact.p) / exact.p < 0.1
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """Shard writer: exactly n files, hash-stable assignment, and each
+    shard internally sorted by the requested column."""
+    import glob
+
+    from ssafynews_data_spark.sources.readers import load_table
+    from ssafynews_data_spark.sources.sinks import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, shard_key="doc_id", sort_col="doc_id")
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 4
+
+    total = 0
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids), "shard not internally sorted"
+        total += len(ids)
+    assert total == docs.count()
