@@ -528,3 +528,107 @@ def token_block_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(start_offset + n_tokens - 1) div 512"))
         .alias("last_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation signals: PII redaction + repetition scoring (C4/Gopher-style).
+# ---------------------------------------------------------------------------
+
+#: shared between Spark (Java regex) and DuckDB (RE2): only constructs
+#: with identical semantics in both dialects.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones
+        FROM documents
+    """,
+    tags=("pii", "curate", "north-star"),
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: emails then phone-shaped number
+    runs replaced with typed placeholders, plus per-doc match counts for
+    filtering/auditing.  Pure regexp_replace — codegen'd, no shuffle;
+    patterns restricted to constructs with identical Java-regex/RE2
+    semantics so both engines redact identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE))).alias("n_phones"),
+    )
+
+
+@register(
+    "repetition_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_DUCK_TOKENS} AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((1.0 - CAST(len(list_distinct(
+                             list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])))
+                             AS DOUBLE) / (len(toks) - 1)) * 10000) AS BIGINT)
+               END AS bigram_rep_q4,
+               CAST(floor((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines)) * 10000) AS BIGINT) AS dup_line_q4
+        FROM t
+    """,
+    tags=("quality", "curate", "north-star"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/C4 filters): fraction of
+    repeated token bigrams and fraction of duplicate lines per document,
+    floor-quantized to 4 digits (ratio rounding is never bit-stable
+    across engines; floor(x*10000) is).  Array expressions only — one
+    narrow stage, no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("toks"),
+        F.split(F.col("text"), "\n", -1).alias("lines"),
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    bigram_rep = F.when(n < 2, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1))
+            )
+            * 10000
+        )
+    )
+    dup_line = F.floor(
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("lines")).cast("double") / F.size("lines")
+        )
+        * 10000
+    )
+    return t.select(
+        "doc_id",
+        bigram_rep.alias("bigram_rep_q4"),
+        dup_line.alias("dup_line_q4"),
+    )

@@ -82,3 +82,45 @@ def test_assign_block_ids_matches_global_order(spark, sf_dir):
     rows = sorted((r.doc_id, r.seq_id) for r in out.collect())
     # ids are dense 1..n and follow doc_id order
     assert [s for _, s in rows] == list(range(1, len(rows) + 1))
+
+
+def test_redact_pii_replaces_emails_and_phones(spark):
+    from ssafynews_data_spark.operators.text import _EMAIL_RE, _PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@example.co.uk or call +82 10-1234-5678 now"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    rows = {r.doc_id: r.r for r in df.select("doc_id", red.alias("r")).collect()}
+    assert rows[1] == "mail me at [EMAIL] or call [PHONE] now"
+    assert rows[2] == "no pii here"
+    assert rows[3] == "two mails [EMAIL] [EMAIL]"
+
+
+def test_repetition_scores_flag_repeats(spark, tmp_path):
+    import os
+
+    from ssafynews_data_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),     # one distinct bigram of 4
+            (1, "all words here are distinct"),  # no repeated bigrams
+            (2, "line\nline\nline"),             # duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: (r.bigram_rep_q4, r.dup_line_q4)
+           for r in repetition_scores(spark, d).collect()}
+    assert got[0] == (7500, 0)   # 1 distinct / 4 bigrams -> 0.75
+    assert got[1] == (0, 0)
+    assert got[2][1] == 6666     # 1 distinct / 3 lines -> floor(2/3*1e4)
