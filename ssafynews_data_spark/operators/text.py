@@ -447,7 +447,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, not from tok: tf rows are unique (doc, term) pairs, so
+    # count(*) == countDistinct(doc_id) — and the documents scan +
+    # tokenize + explode runs once instead of twice.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n"))
     sc = (
         tf.join(df_, "term")
@@ -572,25 +575,45 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: DuckDB mirror of ``bigram_repetition_q4`` — shared with composite
+#: oracles (plans/curate.py) so chain and standalone stay in lockstep.
+_DUCK_BIGRAM_REP = f"""
+    CASE WHEN len({_DUCK_TOKENS}) < 2 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor((1.0 - CAST(len(list_distinct(
+                  list_transform(range(1, len({_DUCK_TOKENS})),
+                                 i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1])))
+                  AS DOUBLE) / (len({_DUCK_TOKENS}) - 1)) * 10000) AS BIGINT)
+    END"""
+
+
+def bigram_repetition_q4(text: Column) -> Column:
+    """Repeated-bigram fraction, floor-quantized to 4 digits: row-local
+    array math (no explode, no shuffle) — safe to use as a cheap
+    pre-shuffle curation predicate."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    return F.when(n < 2, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1)))
+            * 10000
+        )
+    )
+
+
 @register(
     "repetition_scores",
     oracle=f"""
-        WITH t AS (
-            SELECT doc_id,
-                   {_DUCK_TOKENS} AS toks,
-                   string_split(text, chr(10)) AS lines
-            FROM documents
-        )
         SELECT doc_id,
-               CASE WHEN len(toks) < 2 THEN CAST(0 AS BIGINT)
-                    ELSE CAST(floor((1.0 - CAST(len(list_distinct(
-                             list_transform(range(1, len(toks)),
-                                            i -> toks[i] || ' ' || toks[i+1])))
-                             AS DOUBLE) / (len(toks) - 1)) * 10000) AS BIGINT)
-               END AS bigram_rep_q4,
-               CAST(floor((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
-                           / len(lines)) * 10000) AS BIGINT) AS dup_line_q4
-        FROM t
+               {_DUCK_BIGRAM_REP} AS bigram_rep_q4,
+               CAST(floor((1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                           AS DOUBLE) / len(string_split(text, chr(10)))) * 10000)
+                   AS BIGINT) AS dup_line_q4
+        FROM documents
     """,
     tags=("quality", "curate", "north-star"),
 )
@@ -601,34 +624,13 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines; floor(x*10000) is).  Array expressions only — one
     narrow stage, no explode, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        tokens_col(F.col("text")).alias("toks"),
-        F.split(F.col("text"), "\n", -1).alias("lines"),
-    )
-    n = F.size("toks")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(2)),
-        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-    )
-    bigram_rep = F.when(n < 2, F.lit(0).cast("long")).otherwise(
-        F.floor(
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1))
-            )
-            * 10000
-        )
-    )
+    lines = F.split(F.col("text"), "\n", -1)
     dup_line = F.floor(
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct("lines")).cast("double") / F.size("lines")
-        )
+        (F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(lines))
         * 10000
     )
-    return t.select(
+    return docs.select(
         "doc_id",
-        bigram_rep.alias("bigram_rep_q4"),
+        bigram_repetition_q4(F.col("text")).alias("bigram_rep_q4"),
         dup_line.alias("dup_line_q4"),
     )

@@ -14,11 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.operators.sampling import train_test_split
+from ssafynews_data_spark.operators.text import _DUCK_BIGRAM_REP, bigram_repetition_q4
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
 MIN_CHARS = 100
 LANGS = ("en", "de", "fr")
+#: max repeated-bigram fraction (floor-quantized 4dp): the C4/Gopher-
+#: style repetition gate, applied row-locally BEFORE the dedup shuffle.
+MAX_BIGRAM_REP_Q4 = 3000
 
 
 def curate(docs: DataFrame) -> DataFrame:
@@ -30,7 +34,9 @@ def curate(docs: DataFrame) -> DataFrame:
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     filtered = docs.filter(
-        (F.col("n_chars") >= MIN_CHARS) & F.col("lang").isin(*LANGS)
+        (F.col("n_chars") >= MIN_CHARS)
+        & F.col("lang").isin(*LANGS)
+        & (bigram_repetition_q4(F.col("text")) < MAX_BIGRAM_REP_Q4)
     ).withColumn("fp", F.md5(norm.cast("binary")))
     keepers = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
@@ -39,12 +45,13 @@ def curate(docs: DataFrame) -> DataFrame:
 
 @register(
     "curate_corpus",
-    oracle="""
+    oracle=f"""
         WITH filtered AS (
             SELECT doc_id, lang,
                    md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' ')) AS fp
             FROM documents
             WHERE n_chars >= 100 AND lang IN ('en', 'de', 'fr')
+              AND ({_DUCK_BIGRAM_REP}) < 3000
         ),
         keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
         deduped AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
