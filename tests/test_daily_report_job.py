@@ -44,3 +44,27 @@ def test_job_empty_day(spark, tmp_path):
     summary = spark.read.parquet(os.path.join(out, "summary")).collect()[0]
     assert summary.n == 0
     assert not os.path.exists(os.path.join(out, "category_counts"))
+
+
+def test_curate_job_end_to_end(spark, sf_dir, tmp_path):
+    """jobs/curate_job.py main(): documents in → sharded train/test out."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    out = str(tmp_path / "corpus")
+    rc = curate_job.main(
+        ["--input", f"{sf_dir}/documents.parquet", "--output", out, "--shards", "3"]
+    )
+    assert rc == 0
+    train = spark.read.parquet(out + "/train")
+    test = spark.read.parquet(out + "/test")
+    assert len(glob.glob(out + "/train/part-*.parquet")) == 3
+    n_train, n_test = train.count(), test.count()
+    assert n_train > 0 and n_test > 0
+    # split is the deterministic 80/20 md5-bucket rule
+    assert 0.5 < n_train / max(n_test, 1) / 4 < 2.0
+    # no doc appears in both splits
+    assert train.join(test, "doc_id", "inner").count() == 0

@@ -219,3 +219,45 @@ def test_hangul_tokenizer_matches_duckdb(mk_df, vals):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the email/phone regexes claim identical Java-regex/RE2
+# semantics; hypothesis hunts for dialect divergence.
+# ---------------------------------------------------------------------------
+
+_pii_fragment = st.one_of(
+    st.text(alphabet=st.sampled_from(list("abcZ09._%+- @가나다\n")), max_size=12),
+    st.just("john.doe+x@example.co.uk"),
+    st.just("a@b.io"),
+    st.just("+82 10-1234-5678"),
+    st.just("0123456789"),
+    st.just("not@an@email"),
+    st.just("1-2"),
+)
+
+pii_texts = st.lists(
+    st.tuples(_pii_fragment, _pii_fragment, _pii_fragment).map(" ".join),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vals=pii_texts)
+@SLOW
+def test_pii_redaction_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.operators.text import _EMAIL_RE, _PHONE_RE
+
+    df = mk_df(vals)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("s"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    got = {r.i: r.r for r in df.select("i", red.alias("r")).collect()}
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            f"SELECT i, regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '[EMAIL]', 'g'),"
+            f" '{_PHONE_RE}', '[PHONE]', 'g') FROM t",
+        )
+    )
+    assert got == want
