@@ -1,0 +1,165 @@
+"""Corpus-hygiene operators: eval-set decontamination and incremental
+(batch-vs-history) dedup.
+
+Neither exists in the reference — its dedup stops at the exact link key
+(collect/producer.py:7-15, collect/consumer.py:81) — but both are table
+stakes for an LLM training-data pipeline at 100 TB:
+
+- **decontamination**: documents that share long n-grams with an
+  evaluation/benchmark set leak test answers into training data; the
+  standard mitigation (GPT-3 appendix C / PaLM-style) drops or flags any
+  training doc with a k-gram overlap against the eval suite.
+- **incremental dedup**: a pipeline ingests batches continuously; each
+  new batch must dedup against the *entire* historical corpus without
+  re-shuffling history.
+
+Both are expressed as joins against a side that is tiny relative to the
+corpus (eval suites are MBs; a batch is ≪ history), so the 100 TB plan
+is "stream the big side once, broadcast/bloom the small side".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+#: k-gram width for contamination checks.  Real pipelines use 8-13 word
+#: grams; 4 keeps hit rates testable on the synthetic corpus.
+CONTAM_W = 4
+#: documents with doc_id % BENCH_MOD == 0 stand in for the eval set.
+BENCH_MOD = 17
+#: documents with doc_id % BATCH_MOD == 0 stand in for the "new batch";
+#: the rest are the historical corpus.
+BATCH_MOD = 10
+
+
+def _shingle_hashes(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, h long): xxhash64 per distinct w-token shingle, hashed
+    straight off the token-array slice (no intermediate shingle strings
+    — same trick as dedup._doc_shingle_hashes).  The token array is
+    pinned so CollapseProject can't re-inline the tokenizer regex into
+    the per-shingle lambda (the O(len²) trap, dedup.py:49)."""
+    toks = pin(docs.select("doc_id", tokens_col(F.col("text")).alias("toks")))
+    n = F.size(F.col("toks"))
+    seq = F.sequence(F.lit(1), n - (w - 1))
+    hashes = F.transform(seq, lambda i: F.xxhash64(F.slice(F.col("toks"), i, w)))
+    guarded = F.when(n >= w, F.array_distinct(hashes)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return toks.select("doc_id", F.explode(guarded).alias("h"))
+
+
+#: DuckDB mirror: distinct CONTAM_W-token string shingles.  The engine
+#: joins on xxhash64(token-slice) while the oracle joins on the shingle
+#: string — equivalent because tokens contain no spaces (the tokenizer
+#: splits on non-alphanumerics), so concat-by-space is injective and a
+#: 64-bit collision across a test corpus is ~1e-10.
+_DUCK_CONTAM_SHINGLES = f"""
+    list_distinct(
+        CASE WHEN len(toks) >= {CONTAM_W}
+             THEN list_transform(
+                      range(1, len(toks) - {CONTAM_W - 2}),
+                      i -> array_to_string(toks[i:i + {CONTAM_W - 1}], ' '))
+             ELSE [] END)
+"""
+
+
+@register(
+    "decontaminate_docs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_CONTAM_SHINGLES}) AS sh
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+        ),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+        sizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hit_ngrams
+            FROM corpus c JOIN bench b USING (sh)
+            GROUP BY 1
+        )
+        SELECT h.doc_id, h.n_hit_ngrams,
+               CAST(floor(h.n_hit_ngrams / s.n * 10000) AS BIGINT)
+                   AS contam_ratio_q4
+        FROM hits h JOIN sizes s USING (doc_id)
+    """,
+    tags=("curation", "decontamination"),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing ≥1 distinct CONTAM_W-gram with the
+    eval set (docs where doc_id % 17 == 0), with the overlap count and
+    the contaminated fraction of each doc's distinct shingles.
+
+    100 TB shape: the eval side reduces to a distinct-shingle-hash set
+    (MB-scale even for large suites) and is **broadcast**, so the
+    corpus is scanned exactly once with no shuffle until the per-doc
+    count — which is a map-side-combining hash aggregate on doc_id.
+    The quantized ratio uses floor() per the cross-engine rule
+    (registry.py module docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs, CONTAM_W)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    ratio = F.col("n_hit_ngrams") / F.col("n")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit_ngrams",
+        F.floor(ratio * 10000).alias("contam_ratio_q4"),
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'),
+                            ' ')) AS fp
+            FROM documents
+        ),
+        hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % {BATCH_MOD} <> 0),
+        batch AS (SELECT * FROM fp WHERE doc_id % {BATCH_MOD} = 0),
+        fresh AS (
+            SELECT b.* FROM batch b LEFT JOIN hist h USING (fp)
+            WHERE h.fp IS NULL
+        )
+        SELECT fp, min(doc_id) AS keeper_id, count(*) AS batch_dups
+        FROM fresh GROUP BY 1
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new ingest batch (doc_id % 10 == 0) against the full
+    historical corpus: drop batch docs whose content fingerprint already
+    exists in history, then keep-first within the batch itself.
+
+    100 TB shape: history contributes only its fingerprint column — a
+    compact table maintained incrementally by the ingest job, never the
+    full corpus — and the anti-join shuffles fingerprints, not text.
+    When the batch ≪ history (the steady state), enable Spark's runtime
+    bloom-filter join (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    or broadcast the batch fingerprints so the history scan prunes at
+    the row-group level instead of shuffling history at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    fp = docs.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
+    hist = fp.filter(F.col("doc_id") % BATCH_MOD != 0).select("fp").distinct()
+    batch = fp.filter(F.col("doc_id") % BATCH_MOD == 0)
+    fresh = batch.join(hist, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("batch_dups")
+    )

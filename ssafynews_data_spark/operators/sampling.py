@@ -75,6 +75,65 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+#: per-language keep rates (percent) for the domain-mixing sampler —
+#: the DoReMi/data-mixture analog: up/down-weight domains toward a
+#: target token budget.  CASE-expressible so the oracle can mirror it.
+MIX_WEIGHTS: dict[str, int] = {"en": 80, "de": 40, "fr": 40, "es": 40, "zh": 20}
+MIX_DEFAULT = 40
+#: salt decorrelating the mixing decision from the train/test split
+#: (both hash doc_id; identical buckets would couple the two samples).
+MIX_SALT = "mix"
+
+
+def _mix_case_duck() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+    return f"CASE lang {arms} ELSE {MIX_DEFAULT} END"
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id, n_chars,
+                   CAST(('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM t
+        WHERE b < {_mix_case_duck()}
+        GROUP BY 1
+    """,
+    tags=("sampling", "mixing"),
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each doc iff its
+    salted md5 bucket falls under the per-language target rate
+    (en 80% / de,fr,es 40% / zh 20%) — the reweighting step of a data-
+    mixture pipeline (DoReMi-style), engine-independent so a resumed or
+    migrated job reproduces the exact same subset.
+
+    100 TB shape: a row-local filter — no shuffle at all until the
+    per-language audit aggregate; composes with any downstream op
+    without a repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string")))
+    rate = F.lit(MIX_DEFAULT)
+    for k, v in MIX_WEIGHTS.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    kept = docs.filter(b < rate)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 @register(
     "time_rollup_events",
     oracle="""

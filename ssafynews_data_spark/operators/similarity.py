@@ -342,7 +342,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. IVF write path — partitioned-by-centroid layout with partition pruning.
+# 5. Semantic dedup (SemDeDup-style: cluster, then pairwise within cluster).
+# ---------------------------------------------------------------------------
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_EPS = NEAR_DUP_COS
+
+
+@register("semantic_dedup", tags=("dedup", "similarity", "semdedup"))
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): KMeans the
+    embeddings into coarse clusters, then drop any vector that has a
+    smaller-id neighbor in the SAME cluster with cosine >= eps (greedy
+    keep-lowest-id).  Returns (vec_id, centroid) of the keepers plus the
+    per-cluster drop count.
+
+    100 TB shape: the pairwise step is confined within clusters — cost
+    Σ|cluster|² instead of |corpus|², and each cluster's pairs build
+    from an equi-join on the centroid id, so the shuffle is one
+    hash-partition of the corpus by centroid.  Skewed/giant clusters are
+    the known failure mode: cap them by re-clustering recursively or
+    salting the within-cluster join (docs/SCALE.md).  Rows-only check
+    (KMeans isn't SQL-expressible); semantics vs the exact pair set are
+    pytest-gated (tests/test_similarity.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        return spark.createDataFrame([], "vec_id LONG, centroid INT, n_dropped_in_cluster LONG")
+    vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
+    km = KMeans(k=SEMDEDUP_K, seed=42, featuresCol="vec", predictionCol="centroid")
+    # assigned feeds both sides of the in-cluster join AND the keeper
+    # anti-join — pin so the KMeans transform runs once.
+    assigned = pin(km.fit(vecs).transform(vecs).select("vec_id", "emb", "centroid"))
+
+    a = assigned.select("centroid", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = assigned.select("centroid", F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    dropped = (
+        a.join(b, on=["centroid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= SEMDEDUP_EPS)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = assigned.join(dropped, "vec_id", "left_anti")
+    drops = (
+        assigned.join(dropped, "vec_id", "left_semi")
+        .groupBy("centroid")
+        .agg(F.count("*").alias("n_dropped_in_cluster"))
+    )
+    return (
+        kept.select("vec_id", "centroid")
+        .join(drops, "centroid", "left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.coalesce("n_dropped_in_cluster", F.lit(0)).alias("n_dropped_in_cluster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. IVF write path — partitioned-by-centroid layout with partition pruning.
 # ---------------------------------------------------------------------------
 
 

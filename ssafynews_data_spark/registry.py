@@ -90,6 +90,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "merge_scd2_orders",
     "korean_text_ops",
     "block_sequential_ids",
+    # round-2 session-2 additions
+    "decontaminate_docs",
+    "dedup_incremental_batch",
+    "cosine_topk",
+    "semantic_dedup",
+    "domain_mix_sample",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -97,6 +103,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: window; they stay registered (and locally gated via
 #: tools/check_oracles.py + pytest) but yield their window slots.
 DEMOTE_LAST: tuple[str, ...] = (
+    # rows-only registrations whose guarantees live in pytest (stronger
+    # than the driver's rows-only check) — they yield window slots to
+    # oracle-checked queries.
+    "approx_distinct_profile",
+    "stratified_sample_langs",
     "token_counts",
     "source_token_stats",
     "first_sentence_summaries",

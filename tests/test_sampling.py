@@ -57,3 +57,20 @@ def test_time_rollup_hierarchy_consistent(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     # every grain partitions the same events
     assert by_grain == {"hour": total, "day": total, "month": total}
+
+
+def test_domain_mix_rates(spark, sf_dir):
+    """Kept fraction per language lands near its target rate, and the
+    sample is decorrelated from the train/test split buckets."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.sampling import MIX_WEIGHTS, domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n_kept for r in domain_mix_sample(spark, sf_dir).collect()}
+    for lang, rate in MIX_WEIGHTS.items():
+        if totals.get(lang, 0) < 20:
+            continue
+        frac = kept.get(lang, 0) / totals[lang]
+        assert abs(frac - rate / 100) < 0.25, (lang, frac, rate)

@@ -46,3 +46,47 @@ def test_near_dup_pairs_ordered(spark, sf_dir):
     assert rows, "threshold should catch within-blob pairs"
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.cos_sim >= similarity.NEAR_DUP_COS for r in rows)
+
+
+def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
+    """A kept vector may not have a smaller-id kept neighbor >= eps in
+    its own cluster; every dropped vector must have SOME smaller-id
+    in-cluster neighbor >= eps (greedy keep-lowest-id semantics)."""
+    from pyspark.sql import functions as F
+
+    out = similarity.semantic_dedup(spark, sf_dir)
+    kept = {r.vec_id: r.centroid for r in out.collect()}
+    assert kept
+
+    # rebuild the same clustering + exact pair set independently
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = similarity._corpus(spark, sf_dir).withColumn(
+        "vec", array_to_vector(F.col("emb"))
+    )
+    km = KMeans(
+        k=similarity.SEMDEDUP_K, seed=42, featuresCol="vec", predictionCol="centroid"
+    )
+    assigned = km.fit(corpus).transform(corpus).select("vec_id", "emb", "centroid")
+    a = assigned.select("centroid", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = assigned.select("centroid", F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in a.join(b, "centroid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            similarity.cosine(F.col("emb_a"), F.col("emb_b")) >= similarity.SEMDEDUP_EPS
+        )
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    all_ids = {r.vec_id for r in assigned.select("vec_id").collect()}
+    dropped = all_ids - set(kept)
+    assert dropped, "fixture blobs should contain in-cluster near-dups"
+    has_smaller = {ib for (ia, ib) in pairs}
+    for d in dropped:
+        assert d in has_smaller
+    for ia, ib in pairs:
+        # both endpoints kept would violate the dedup contract
+        assert not (ia in kept and ib in kept)
