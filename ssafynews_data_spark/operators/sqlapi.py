@@ -41,6 +41,84 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lateral_top_nations",
+    oracle="""
+        SELECT r.r_name AS region, t.n_name AS nation, t.n_cust AS n_cust
+        FROM region r,
+             LATERAL (
+                 SELECT n.n_name, count(c.c_custkey) AS n_cust
+                 FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+                 WHERE n.n_regionkey = r.r_regionkey
+                 GROUP BY n.n_name
+                 ORDER BY n_cust DESC, n.n_name
+                 LIMIT 2
+             ) t
+    """,
+    tags=("sql-api", "lateral"),
+)
+def lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL API: for each region,
+    the top-2 nations by customer count.  Catalyst rewrites the lateral
+    into a join + per-group limit (DomainJoin → window-style plan) — the
+    declarative form of "top-N per group" that arrives with ANSI lateral
+    syntax rather than an explicit Window."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_lat")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, t.n_name AS nation, t.n_cust AS n_cust
+        FROM region_lat r,
+             LATERAL (
+                 SELECT n.n_name, count(c.c_custkey) AS n_cust
+                 FROM nation_lat n LEFT JOIN customer_lat c
+                      ON c.c_nationkey = n.n_nationkey
+                 WHERE n.n_regionkey = r.r_regionkey
+                 GROUP BY n.n_name
+                 ORDER BY n_cust DESC, n.n_name
+                 LIMIT 2
+             ) t
+        """
+    )
+
+
+@register(
+    "exists_above_avg_orders",
+    oracle="""
+        SELECT c.c_mktsegment AS segment, count(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        )
+        GROUP BY 1
+    """,
+    tags=("sql-api", "subquery"),
+)
+def exists_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + uncorrelated scalar subquery through the SQL API: per
+    market segment, customers holding at least one order priced above
+    the global average.  Catalyst plans the scalar subquery as a
+    one-row broadcast and the EXISTS as a left-semi hash join — no
+    per-row re-execution (the classic decorrelation rewrite)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, count(*) AS n_cust
+        FROM customer_sq c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_sq o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)
+        )
+        GROUP BY 1
+        """
+    )
+
+
+@register(
     "udtf_token_bigrams",
     oracle="""
         WITH toks AS (

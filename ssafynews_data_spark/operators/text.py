@@ -590,16 +590,27 @@ _DUCK_BIGRAM_REP = f"""
 def bigram_repetition_q4(text: Column) -> Column:
     """Repeated-bigram fraction, floor-quantized to 4 digits: row-local
     array math (no explode, no shuffle) — safe to use as a cheap
-    pre-shuffle curation predicate."""
+    pre-shuffle curation predicate.
+
+    Shape matters: bigrams come from ``zip_with`` over two slices of the
+    token array, so the lambda touches only its own variables.  The
+    earlier ``transform(sequence(...), i -> toks[i] ...)`` form embedded
+    the tokenizer-split expression inside the lambda body, and
+    higher-order functions re-evaluate the body per element — the regex
+    split ran once per bigram index, O(len²) per row (the same trap as
+    dedup.shingles_from_tokens; measured 18 s → 4 s on the sf0.1
+    curation composite)."""
     toks = tokens_col(text)
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(2)),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
-    )
+    # heads = toks[0..n-2], tails = toks[1..n-1] → n-1 bigram pairs; the
+    # struct pair stands in for the concat string (tokens contain no
+    # spaces, so pair-distinct == string-distinct, minus the allocation).
+    heads = F.slice(toks, 1, n - 1)
+    tails = F.slice(toks, 2, n - 1)
+    pairs = F.zip_with(heads, tails, lambda x, y: F.struct(x.alias("a"), y.alias("b")))
     return F.when(n < 2, F.lit(0).cast("long")).otherwise(
         F.floor(
-            (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1)))
+            (F.lit(1.0) - F.size(F.array_distinct(pairs)).cast("double") / (n - F.lit(1)))
             * 10000
         )
     )

@@ -38,9 +38,20 @@ def curate(docs: DataFrame) -> DataFrame:
         & F.col("lang").isin(*LANGS)
         & (bigram_repetition_q4(F.col("text")) < MAX_BIGRAM_REP_Q4)
     ).withColumn("fp", F.md5(norm.cast("binary")))
-    keepers = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
-    return train_test_split(deduped, "doc_id")
+    # keep-first as ONE argmin aggregate: min(struct(doc_id, ...)) picks
+    # the min-doc_id row per fingerprint (struct compares field-by-field,
+    # doc_id leads).  vs the agg + semi-join form this halves the work —
+    # no second evaluation of the filter/tokenize lineage and no join;
+    # map-side partial min means the shuffle carries one row per
+    # distinct fingerprint per partition.
+    cols = [c for c in filtered.columns if c != "fp"]
+    assert cols[0] == "doc_id"  # struct-min must order by doc_id first
+    keep = (
+        filtered.groupBy("fp")
+        .agg(F.min(F.struct(*cols)).alias("_k"))
+        .select("_k.*")
+    )
+    return train_test_split(keep, "doc_id")
 
 
 @register(

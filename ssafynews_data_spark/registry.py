@@ -108,6 +108,12 @@ DEMOTE_LAST: tuple[str, ...] = (
     # oracle-checked queries.
     "approx_distinct_profile",
     "stratified_sample_langs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "media_decode_features",
+    # md5-bucket split mechanism is oracle-covered in-window by
+    # domain_mix_sample; the split variant yields its slot
+    "train_test_split_docs",
     "token_counts",
     "source_token_stats",
     "first_sentence_summaries",
