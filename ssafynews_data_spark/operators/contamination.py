@@ -90,6 +90,7 @@ _DUCK_CONTAM_SHINGLES = f"""
         FROM hits h JOIN sizes s USING (doc_id)
     """,
     tags=("curation", "decontamination"),
+    bench=True,
 )
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag training docs sharing ≥1 distinct CONTAM_W-gram with the

@@ -66,7 +66,8 @@ def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
         "vec", array_to_vector(F.col("emb"))
     )
     km = KMeans(
-        k=similarity.SEMDEDUP_K, seed=42, featuresCol="vec", predictionCol="centroid"
+        k=similarity.SEMDEDUP_K, seed=42, maxIter=similarity.SEMDEDUP_MAXITER,
+        featuresCol="vec", predictionCol="centroid",
     )
     assigned = km.fit(corpus).transform(corpus).select("vec_id", "emb", "centroid")
     a = assigned.select("centroid", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))

@@ -157,3 +157,28 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         assert ids == sorted(ids), "shard not internally sorted"
         total += len(ids)
     assert total == docs.count()
+
+
+def test_orc_round_trip_with_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC is the second built-in columnar format: write the documents
+    table partitioned by lang, read it back intact, and confirm a
+    single-lang filter compiles to a partition-pruned ORC scan."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.sources.readers import load_table
+    from ssafynews_data_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_partitioned(docs, path, partition_col="lang", fmt="orc")
+
+    back = spark.read.orc(path)
+    assert back.count() == docs.count()
+    spark_sum = back.agg(F.sum("n_chars")).first()[0]
+    assert spark_sum == docs.agg(F.sum("n_chars")).first()[0]
+
+    en = back.filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PartitionFilters: [isnotnull(lang)" in plan or "lang#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert en.count() == docs.filter(F.col("lang") == "en").count()
