@@ -350,6 +350,113 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges0 AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges0
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges0
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t(a)
+            UNION
+            SELECT reach.node, edges.b FROM reach JOIN edges ON edges.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
+    """,
+    tags=("dedup", "graph", "components"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dup GROUPS (pairs alone under-merge:
+    A~B, B~C must collapse to one keeper even when A!~C).  Iterative
+    min-label propagation: each round every node takes the min label in
+    its neighborhood; converges in O(graph diameter) rounds.
+
+    The DuckDB oracle computes the same components via a recursive CTE
+    (transitive closure + min reachable id), so the iterative DataFrame
+    algorithm is hash-verified, not just rows-counted.
+
+    100 TB shape: per round one shuffle of the edge list joined to the
+    label table (both keyed on node id); the edge list is pinned once
+    and reused.  Near-dup graphs are shallow (dup clusters are
+    near-cliques), so rounds ≈ 2-4 in practice; for adversarial
+    diameters use large-star/small-star (Kiveris et al. 2014) which
+    converges in O(log²) rounds with the same per-round join shape.  At
+    scale the edges come from ``minhash_lsh_pairs`` (banded candidates);
+    the exact-Jaccard edges here keep the oracle engine-independent.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pin(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    )
+    # right-size the iteration frames: the dup graph is orders of
+    # magnitude smaller than the corpus (only docs with a near-dup
+    # appear), and each round pays per-task scheduling for every shuffle
+    # partition.  ~100k edges per task, clamped to cluster width — the
+    # same recipe as the ML fits (no-op at real scale).
+    n_edges = edges.count()
+    width = spark.sparkContext.defaultParallelism
+    parts = max(1, min(width, n_edges // 100_000 + 1))
+    edges = pin(edges.repartition(parts, "a"))
+    labels = pin(
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    n_parts_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _propagate_min_labels(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts_conf)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation rounds until a fixpoint (capped)."""
+    for _ in range(20):  # cap; convergence check below exits early
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = pin(
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 @register("simhash_pairs", tags=("dedup", "simhash"), bench=True)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, candidates from 4 ×

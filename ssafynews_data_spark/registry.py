@@ -96,6 +96,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "cosine_topk",
     "semantic_dedup",
     "domain_mix_sample",
+    "dedup_connected_components",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -114,6 +115,9 @@ DEMOTE_LAST: tuple[str, ...] = (
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
+    # r01-green 2-row range-join variant; as-of join keeps the
+    # range-predicate surface in-window
+    "value_band_join",
     "token_counts",
     "source_token_stats",
     "first_sentence_summaries",

@@ -78,3 +78,40 @@ def test_simhash_pairs_symmetric_threshold(spark, sf_dir):
     rows = dedup.simhash_pairs(spark, sf_dir).collect()
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(0 <= r.hamming <= dedup.HAMMING_THRESHOLD for r in rows)
+
+
+def test_connected_components_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair lands in one component; every component id is
+    the min doc_id of its member set; docs without any pair are absent."""
+    from ssafynews_data_spark.operators.dedup import (
+        dedup_connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()]
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    assert pairs and comp
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    # component id == min member id
+    members: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, nodes in members.items():
+        assert c == min(nodes)
+    # membership is exactly the union-find closure of the pair list
+    parent = {n: n for n in comp}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in comp:
+        assert comp[n] == find(n)
