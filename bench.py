@@ -52,6 +52,10 @@ def main() -> int:
     KMeans(k=2, seed=1, featuresCol="vec").fit(tiny)
     PCA(k=1, inputCol="vec", outputCol="p").fit(tiny)
     spark.range(16).toPandas()
+    # spin up the executor-side Python worker pool (mapInPandas /
+    # grouped-map queries otherwise pay interpreter+Arrow startup in
+    # their first timed run — an environment constant, not query cost)
+    spark.range(64).repartition(4).mapInPandas(lambda it: it, "id long").count()
 
     from ssafynews_data_spark.caching import release_pins
 

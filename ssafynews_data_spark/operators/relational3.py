@@ -102,3 +102,42 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_sum,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_max
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("variant", "semi-structured", "F8"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant, then ``try_variant_get``
+    path extraction — no schema declaration, unlike the ``from_json``
+    form in ``parse_event_props``.  At scale VARIANT beats re-parsing
+    JSON strings per field: the shredded binary encoding is parsed once
+    at scan/ingest and each path access is an O(path) lookup, not a
+    full-document parse.  Oracle: DuckDB's JSON path extraction over the
+    same strings."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -137,6 +137,84 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+        WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id,
+               count(*) AS n_pairs,
+               CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS total_gap_us
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND cts BETWEEN pts - INTERVAL 30 MINUTE AND pts
+        GROUP BY 1
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition:
+    purchases matched to every click by the same user in the preceding
+    30 minutes.  Both sides are watermarked, so the join state is
+    bounded — Spark drops buffered clicks once the watermark passes
+    click_ts + 30 minutes; without the time bound a stream-stream join
+    would buffer forever (the unbounded-state trap).
+
+    The streaming part is the pure append-mode join; the per-user
+    rollup happens on the materialized result (chaining an aggregation
+    after a stream-stream join would need another watermark hop and
+    tests nothing new).  Oracle: the identical batch interval join in
+    DuckDB, inclusive BETWEEN on both engines."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = user_id AND
+            click_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts
+            """
+        ),
+    )
+    name = "sij_" + uuid.uuid4().hex[:10]
+    # Stream-stream joins schedule one state-store task per shuffle
+    # partition per side per micro-batch; scope the partition count to
+    # the data (the driver's plain session defaults to 200 — 400 state
+    # stores for a 10k-row fixture).  At scale this knob is sized to
+    # state volume, not left at default, exactly as done here.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pairs = spark.createDataFrame(
+                spark.table(name).collect(), spark.table(name).schema
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    gap_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("click_ts"))
+    return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(gap_us).alias("total_gap_us"),
+    )
+
+
+@register(
     "streaming_dedup_counts",
     oracle="""
         SELECT event_type, count(*) AS n

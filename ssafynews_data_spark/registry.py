@@ -97,6 +97,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "semantic_dedup",
     "domain_mix_sample",
     "dedup_connected_components",
+    "streaming_interval_join",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -112,6 +113,10 @@ DEMOTE_LAST: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_pairs",
     "media_decode_features",
+    # layout demo whose real guarantee is the pytest PartitionFilters
+    # plan assertion; rows-only driver slot yields to the oracle-checked
+    # stream-stream join
+    "ivf_partition_pruning",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

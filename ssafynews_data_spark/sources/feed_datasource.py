@@ -1,0 +1,76 @@
+"""S1 as a REAL Spark data source: the Python DataSource API (Spark 4).
+
+The reference polls RSS feeds in a driver-side loop
+(collect/producer.py:20,60-89).  The Spark-native shape is a custom
+batch source: one input partition per feed, so a 29-feed poll is 29
+parallel tasks on executors rather than a sequential driver loop — and
+the result is a plain DataFrame that composes with every downstream
+operator (dedup, enrichment, sinks).
+
+The fetch itself is deterministic and offline here (the test image has
+no network/feedparser); the partition-planning, option handling, and
+per-partition iteration — the parts that ARE Spark's concern — are
+real.  A production deployment swaps ``_entries_for_feed`` for a
+feedparser call without touching the source contract.
+
+Classes live in the package (not a test module) because Python workers
+unpickle them by module path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: wire-field order must match schemas.ARTICLE_WIRE.
+_FIELDS = ("author", "link", "summary", "title", "updated")
+
+
+def _entries_for_feed(feed_idx: int, n_entries: int) -> Iterator[tuple]:
+    """Deterministic stand-in for one feed's parsed entries."""
+    for j in range(n_entries):
+        yield (
+            f"author-{feed_idx % 7}",
+            f"https://feed{feed_idx}.example.com/item/{j}",
+            f"summary of feed {feed_idx} item {j}",
+            f"feed {feed_idx} headline {j}",
+            f"2025-06-{(j % 28) + 1:02d}T0{feed_idx % 10}:00:00",
+        )
+
+
+class FeedInputPartition(InputPartition):
+    def __init__(self, feed_idx: int, n_entries: int):
+        self.feed_idx = feed_idx
+        self.n_entries = n_entries
+
+
+class FeedReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_feeds = int(options.get("feeds", "4"))
+        self.n_entries = int(options.get("entriesperfeed", "25"))
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per feed — the unit of parallel fetch
+        return [FeedInputPartition(i, self.n_entries) for i in range(self.n_feeds)]
+
+    def read(self, partition: FeedInputPartition) -> Iterator[tuple]:
+        return _entries_for_feed(partition.feed_idx, partition.n_entries)
+
+
+class FeedDataSource(DataSource):
+    """``spark.read.format("news_feed").option("feeds", N)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "news_feed"
+
+    def schema(self) -> str:
+        return ", ".join(f"{f} string" for f in _FIELDS)
+
+    def reader(self, schema) -> FeedReader:
+        return FeedReader(self.options)
+
+
+def register_feed_source(spark) -> None:
+    spark.dataSource.register(FeedDataSource)

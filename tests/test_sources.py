@@ -182,3 +182,35 @@ def test_orc_round_trip_with_partition_pruning(spark, sf_dir, tmp_path):
     assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
     assert "PartitionFilters: [isnotnull(lang)" in plan or "lang#" in plan.split("PartitionFilters")[1].split("]")[0]
     assert en.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_python_datasource_feed(spark):
+    """The Python DataSource API feed source: partition-per-feed
+    parallel ingest, option handling, schema contract, and composition
+    with the link-dedup that follows ingest."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.schemas import ARTICLE_WIRE
+    from ssafynews_data_spark.sources.feed_datasource import register_feed_source
+
+    register_feed_source(spark)
+    df = (
+        spark.read.format("news_feed")
+        .option("feeds", 3)
+        .option("entriesPerFeed", 10)
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [f.name for f in ARTICLE_WIRE.fields]
+    assert df.rdd.getNumPartitions() == 3  # one task per feed
+    rows = df.collect()
+    assert len(rows) == 30
+    assert len({r.link for r in rows}) == 30  # links unique across feeds
+    per_feed = (
+        df.groupBy(F.regexp_extract("link", r"https://feed(\d+)", 1).alias("feed"))
+        .count()
+        .collect()
+    )
+    assert {r.feed: r["count"] for r in per_feed} == {"0": 10, "1": 10, "2": 10}
+    # composes with the ingest dedup (S1 -> D1)
+    deduped = df.dropDuplicates(["link"])
+    assert deduped.count() == 30
