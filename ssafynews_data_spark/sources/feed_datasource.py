@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: wire-field order must match schemas.ARTICLE_WIRE.
 _FIELDS = ("author", "link", "summary", "title", "updated")
@@ -58,8 +63,49 @@ class FeedReader(DataSourceReader):
         return _entries_for_feed(partition.feed_idx, partition.n_entries)
 
 
+class FeedStreamReader(SimpleDataSourceStreamReader):
+    """The reference's poll-every-N-minutes producer loop
+    (collect/producer.py:60-89) as a STREAMING source: each micro-batch
+    is one poll cycle over all feeds.  Offsets are the poll counter, so
+    recovery replays deterministically (``readBetweenOffsets``) — the
+    property the reference's at-most-once loop lacked.
+
+    ``max_polls`` bounds the demo source; past it ``read`` returns no
+    rows and an unchanged offset, so ``processAllAvailable`` terminates.
+    """
+
+    def __init__(self, options: dict):
+        self.n_feeds = int(options.get("feeds", "4"))
+        self.n_entries = int(options.get("entriesperfeed", "25"))
+        self.max_polls = int(options.get("maxpolls", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _rows_for_poll(self, poll: int) -> list[tuple]:
+        rows = []
+        for i in range(self.n_feeds):
+            for r in _entries_for_feed(i, self.n_entries):
+                # poll-specific links model fresh entries per cycle
+                rows.append(r[:1] + (f"{r[1]}?poll={poll}",) + r[2:])
+        return rows
+
+    def read(self, start: dict):
+        poll = start["poll"]
+        if poll >= self.max_polls:
+            return iter([]), start
+        return iter(self._rows_for_poll(poll)), {"poll": poll + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for poll in range(start["poll"], end["poll"]):
+            rows.extend(self._rows_for_poll(poll))
+        return iter(rows)
+
+
 class FeedDataSource(DataSource):
-    """``spark.read.format("news_feed").option("feeds", N)`` source."""
+    """``spark.read.format("news_feed").option("feeds", N)`` source —
+    batch via ``reader``, streaming via ``simpleStreamReader``."""
 
     @classmethod
     def name(cls) -> str:
@@ -70,6 +116,9 @@ class FeedDataSource(DataSource):
 
     def reader(self, schema) -> FeedReader:
         return FeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FeedStreamReader:
+        return FeedStreamReader(self.options)
 
 
 def register_feed_source(spark) -> None:

@@ -214,3 +214,49 @@ def test_python_datasource_feed(spark):
     # composes with the ingest dedup (S1 -> D1)
     deduped = df.dropDuplicates(["link"])
     assert deduped.count() == 30
+
+
+def test_python_datasource_feed_stream(spark, tmp_path):
+    """Streaming form of the feed source: each micro-batch is one poll
+    cycle; the source exhausts after max_polls so processAllAvailable
+    terminates; offsets replay deterministically."""
+    import uuid
+
+    from ssafynews_data_spark.sources.feed_datasource import (
+        FeedStreamReader,
+        register_feed_source,
+    )
+
+    register_feed_source(spark)
+    stream = (
+        spark.readStream.format("news_feed")
+        .option("feeds", 2)
+        .option("entriesPerFeed", 5)
+        .option("maxPolls", 3)
+        .load()
+    )
+    name = "feedstream_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 3 * 2 * 5  # polls x feeds x entries
+    assert len({r.link for r in rows}) == 30  # poll-qualified links unique
+
+    # recovery contract: readBetweenOffsets == the union of the polls
+    r = FeedStreamReader({"feeds": "2", "entriesperfeed": "5", "maxpolls": "3"})
+    replay = list(r.readBetweenOffsets({"poll": 0}, {"poll": 3}))
+    assert len(replay) == 30
+    direct = []
+    off = r.initialOffset()
+    for _ in range(5):
+        it, off = r.read(off)
+        direct.extend(it)
+    assert sorted(replay) == sorted(direct)
