@@ -91,6 +91,72 @@ def _session_update(
     )
 
 
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` (the Spark 4 stateful API that
+    supersedes applyInPandasWithState) drives its state server over a
+    protobuf channel; the test image ships no ``google.protobuf``, so
+    the path is gated exactly like Kafka/Delta (import-probe + skip)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class UserTotalsProcessor:
+    """StatefulProcessor for ``transformWithStateInPandas``: per-user
+    running (n_events, max_value) in a ValueState.  Class lives in the
+    package because workers unpickle it by module path.  Defined lazily
+    (plain object + __init_subclass__-free) so importing this module
+    never touches the gated API."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Impl(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState(
+                    "totals", "n LONG, max_v DOUBLE"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                n, max_v = (
+                    self._state.get() if self._state.exists() else (0, float("-inf"))
+                )
+                for pdf in rows:
+                    if pdf.empty:
+                        continue
+                    n += len(pdf)
+                    max_v = max(max_v, float(pdf["value"].max()))
+                self._state.update((n, max_v))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "max_value": [max_v]}
+                )
+
+            def close(self):
+                pass
+
+        return _Impl()
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """events stream → per-user totals via transformWithStateInPandas.
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and protobuf on
+    the Python side — see ``tws_available``."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType="user_id LONG, n_events LONG, max_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def session_stats_stream(events: DataFrame) -> DataFrame:
     """events stream → per-user session stats via keyed pandas state."""
     return (

@@ -117,3 +117,63 @@ def test_unsorted_batch_is_sorted_internally(spark, tmp_path):
     ]
     got = _run_stream(spark, str(tmp_path), [events])
     assert got[5] == (2, 3, 2)
+
+
+def test_transform_with_state_user_totals(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas (gated: needs protobuf +
+    RocksDB state store, absent from this image): per-user running
+    totals must equal the batch aggregate."""
+    import pytest
+
+    from ssafynews_data_spark.operators.stateful import tws_available, user_totals_tws
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (state "
+            "server channel); not installed in this image"
+        )
+
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.streaming_queries import _events_stream
+    from ssafynews_data_spark.sources.readers import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = user_totals_tws(_events_stream(spark, sf_dir))
+        name = "tws_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.user_id: (r.n_events, r.max_value)
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
