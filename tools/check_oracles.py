@@ -10,11 +10,16 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+# runnable as `python tools/check_oracles.py` from anywhere — no
+# PYTHONPATH needed (the repo root is this file's parent's parent)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ssafynews_data_spark import get_session, registry
 from ssafynews_data_spark.sources.readers import TESTDATA_TABLES

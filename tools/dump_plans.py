@@ -3,7 +3,10 @@ evidence for docs/SCALE.md).  Usage: PYTHONPATH=. python tools/dump_plans.py [sf
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ssafynews_data_spark import get_session, registry
 
