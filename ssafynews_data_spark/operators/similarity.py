@@ -438,6 +438,59 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_capped_clusters(
+    corpus: DataFrame,
+    k: int = SEMDEDUP_K,
+    cap: int = 10_000,
+    seed: int = 42,
+    max_depth: int = 3,
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Cluster assignment with a SIZE CAP — the giant-cluster mitigation
+    ``semantic_dedup`` documents: any cluster larger than ``cap`` is
+    re-clustered recursively (k' = ceil(size / cap), capped at k), so
+    the downstream within-cluster pairwise work is bounded by cap² per
+    group no matter how skewed the embedding space is.
+
+    Returns (input columns…, cluster STRING) where cluster is the
+    hierarchy path ("3", "3/1", …) — stable keys for groupBy.  The
+    driver loop runs one KMeans fit per oversized cluster per level
+    (cheap: fits see only that cluster's rows); splitting CAN separate a
+    borderline pair — acceptable because SemDeDup is already
+    cluster-approximate by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _assign(df: DataFrame, kk: int, prefix: str) -> DataFrame:
+        vecs = df.withColumn("_v", array_to_vector(F.col(emb_col)))
+        km = KMeans(
+            k=kk, seed=seed, maxIter=SEMDEDUP_MAXITER,
+            featuresCol="_v", predictionCol="_c",
+        )
+        out = km.fit(vecs).transform(vecs)
+        label = F.concat(F.lit(prefix), F.col("_c").cast("string"))
+        return out.withColumn("cluster", label).drop("_v", "_c")
+
+    result = pin(_assign(corpus, k, ""))
+    for _ in range(max_depth):
+        sizes = result.groupBy("cluster").agg(F.count("*").alias("n"))
+        big = [(r.cluster, r.n) for r in sizes.filter(F.col("n") > cap).collect()]
+        if not big:
+            break
+        keep = result.filter(~F.col("cluster").isin([c for c, _ in big]))
+        pieces = [keep]
+        for c, n in big:
+            sub = result.filter(F.col("cluster") == c).drop("cluster")
+            kk = min(k, max(2, -(-n // cap)))  # ceil div, >=2 to make progress
+            pieces.append(_assign(sub, kk, c + "/"))
+        acc = pieces[0]
+        for p in pieces[1:]:
+            acc = acc.unionByName(p)
+        result = pin(acc)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # 6. IVF write path — partitioned-by-centroid layout with partition pruning.
 # ---------------------------------------------------------------------------

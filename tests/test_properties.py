@@ -261,3 +261,25 @@ def test_pii_redaction_matches_duckdb(mk_df, vals):
         )
     )
     assert got == want
+
+
+@given(vals=texts)
+@SLOW
+def test_bigram_repetition_matches_duckdb(mk_df, vals):
+    """The zip_with/struct-pair bigram form must equal DuckDB's
+    string-concat form on arbitrary text — guards the pair-distinct ==
+    string-distinct equivalence (tokens contain no spaces) and the
+    floor-quantized ratio across engines."""
+    from ssafynews_data_spark.operators.text import _DUCK_BIGRAM_REP, bigram_repetition_q4
+
+    df = mk_df(vals)
+    got = {
+        r.i: r.q for r in df.select("i", bigram_repetition_q4(F.col("s")).alias("q")).collect()
+    }
+    want = dict(
+        _duck(
+            list(enumerate(vals)),
+            f"SELECT i, {_DUCK_BIGRAM_REP.replace('text', 's')} FROM t",
+        )
+    )
+    assert got == want

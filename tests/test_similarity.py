@@ -91,3 +91,21 @@ def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
     for ia, ib in pairs:
         # both endpoints kept would violate the dedup contract
         assert not (ia in kept and ib in kept)
+
+
+def test_capped_clusters_respect_cap(spark, sf_dir):
+    """With a small cap, every cluster ends at or under the cap (up to
+    max_depth), the hierarchy labels nest properly, and no vector is
+    lost or duplicated."""
+    corpus = similarity._corpus(spark, sf_dir)
+    n_total = corpus.count()
+    out = similarity.assign_capped_clusters(corpus, k=4, cap=60, max_depth=4)
+    rows = out.select("vec_id", "cluster").collect()
+    assert len(rows) == n_total
+    assert len({r.vec_id for r in rows}) == n_total
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    assert max(sizes.values()) <= 60
+    # hierarchy labels: child labels extend a parent path with "/"
+    assert any("/" in c for c in sizes), "cap should force at least one split"
