@@ -164,3 +164,67 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.groupBy("fp").agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").alias("batch_dups")
     )
+
+
+#: span width for cross-document repeated-substring detection.
+SPAN_W = 4
+
+
+@register(
+    "repeated_span_groups",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= {SPAN_W}
+                     THEN list_transform(
+                              range(1, len(toks) - {SPAN_W - 2}),
+                              i -> array_to_string(toks[i:i + {SPAN_W - 1}], ' '))
+                     ELSE [] END)) AS sh
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+        ),
+        shared AS (
+            SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n_shared_spans
+            FROM sh s JOIN shared USING (sh)
+            GROUP BY 1
+        )
+        SELECT h.doc_id, h.n_shared_spans,
+               CAST(floor(h.n_shared_spans / z.n * 10000) AS BIGINT)
+                   AS shared_frac_q4
+        FROM hits h JOIN sizes z USING (doc_id)
+    """,
+    tags=("dedup", "substring", "curation"),
+)
+def repeated_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the shuffle-friendly
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    SPAN_W-token span occurring in >=2 distinct documents marks
+    boilerplate/templated text; each doc reports how many of its
+    distinct spans are shared and the shared fraction.
+
+    100 TB shape: two hash aggregates on span hashes (per-span doc
+    count, then per-doc hit count) and a self-equi-join on the span
+    hash — shuffle-linear in total spans, never all-pairs.  The true
+    suffix-array form finds arbitrary-length repeats; fixed-width spans
+    trade that for distributability (the standard production tradeoff).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = pin(_shingle_hashes(docs, SPAN_W))
+    shared = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = sh.join(shared, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared_spans")
+    )
+    frac = F.col("n_shared_spans") / F.col("n")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id", "n_shared_spans", F.floor(frac * 10000).alias("shared_frac_q4")
+    )

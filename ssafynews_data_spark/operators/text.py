@@ -645,3 +645,73 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_repetition_q4(F.col("text")).alias("bigram_rep_q4"),
         dup_line.alias("dup_line_q4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021 §A1.1 heuristics, C4-adjacent).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_LEN_Q4 = 40_000  # mean word length >= 4.0 (q4-scaled)
+GOPHER_MAX_MEAN_LEN_Q4 = 100_000  # <= 10.0
+GOPHER_MIN_STOPWORDS = 2
+
+_DUCK_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                                        / len(toks) * 10000) AS BIGINT) END
+                       AS mean_word_len_q4,
+                   CAST(len(list_intersect(toks, {_DUCK_STOP_LIST})) AS BIGINT)
+                       AS n_stop_distinct
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len_q4, n_stop_distinct,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (mean_word_len_q4 BETWEEN {GOPHER_MIN_MEAN_LEN_Q4}
+                                         AND {GOPHER_MAX_MEAN_LEN_Q4})
+               AND (n_stop_distinct >= {GOPHER_MIN_STOPWORDS}) AS passes
+        FROM m
+    """,
+    tags=("quality", "gopher", "curate", "north-star"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality gate (word-count bounds, mean word
+    length bounds, stopword presence) as row-local array math — the
+    standard pre-model heuristic pass of an LLM data pipeline.  All
+    signals come from one tokenization; the mean length uses
+    length(concat_ws('')) == Σ len(token) so both engines sum the same
+    integers before the single quantized division.  No shuffle at all —
+    this composes in front of any dedup stage for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    total_chars = F.length(F.concat_ws("", F.col("toks"))).cast("double")
+    mean_q4 = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(total_chars / n * 10000)
+    )
+    n_stop = F.size(F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in STOPWORDS])))
+    m = t.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_q4.alias("mean_word_len_q4"),
+        n_stop.cast("long").alias("n_stop_distinct"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len_q4").between(
+            GOPHER_MIN_MEAN_LEN_Q4, GOPHER_MAX_MEAN_LEN_Q4
+        )
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
+    )
+    return m.withColumn("passes", passes)

@@ -113,16 +113,21 @@ DEMOTE_LAST: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_pairs",
     "media_decode_features",
-    # layout demo whose real guarantee is the pytest PartitionFilters
-    # plan assertion; rows-only driver slot yields to the oracle-checked
-    # stream-stream join
-    "ivf_partition_pruning",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
     # r01-green 2-row range-join variant; as-of join keeps the
     # range-predicate surface in-window
     "value_band_join",
+    # r01-green queries whose surface is covered by an in-window
+    # relative: sessionization (streaming_session_counts +
+    # stateful_session_stats), daily_event_counts
+    # (daily_category_report), merge_upsert_orders (merge_scd2_orders),
+    # doc_fingerprints (exact_dedup_groups' md5 fingerprint)
+    "sessionization",
+    "daily_event_counts",
+    "merge_upsert_orders",
+    "doc_fingerprints",
     "token_counts",
     "source_token_stats",
     "first_sentence_summaries",

@@ -86,3 +86,34 @@ def test_incremental_dedup_keeps_first_in_batch(spark, sf_dir):
     )
     joined = out.join(batch, "fp").collect()
     assert joined and all(r.keeper_id == r.want for r in joined)
+
+
+def test_repeated_spans_are_true_cross_doc_shares(spark, sf_dir):
+    """Every reported span count equals the doc's exact number of
+    distinct spans that occur in at least one other document."""
+    from ssafynews_data_spark.operators.contamination import (
+        SPAN_W,
+        repeated_span_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs, SPAN_W).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    from collections import Counter
+
+    owners = Counter()
+    for d, hs in by_doc.items():
+        for h in hs:
+            owners[h] += 1
+    expected = {}
+    for d, hs in by_doc.items():
+        n = sum(1 for h in hs if owners[h] >= 2)
+        if n:
+            expected[d] = n
+    got = {
+        r.doc_id: r.n_shared_spans
+        for r in repeated_span_groups(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -124,3 +124,29 @@ def test_repetition_scores_flag_repeats(spark, tmp_path):
     assert got[0] == (7500, 0)   # 1 distinct / 4 bigrams -> 0.75
     assert got[1] == (0, 0)
     assert got[2][1] == 6666     # 1 distinct / 3 lines -> floor(2/3*1e4)
+
+
+def test_gopher_filter_flags_consistent(spark, sf_dir):
+    """passes == conjunction of the three rule predicates, recomputed
+    from the emitted signal columns."""
+    from ssafynews_data_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN_Q4,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN_Q4,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        gopher_quality_filter,
+    )
+
+    rows = gopher_quality_filter(spark, sf_dir).collect()
+    assert rows
+    n_pass = 0
+    for r in rows:
+        want = (
+            GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_LEN_Q4 <= r.mean_word_len_q4 <= GOPHER_MAX_MEAN_LEN_Q4
+            and r.n_stop_distinct >= GOPHER_MIN_STOPWORDS
+        )
+        assert r.passes == want
+        n_pass += want
+    assert 0 < n_pass < len(rows)  # the gate must split the corpus
