@@ -1,3 +1,8 @@
 """Composite pipelines — importing populates the query registry."""
 
-from ssafynews_data_spark.plans import curate, daily_report, preprocess  # noqa: F401
+from ssafynews_data_spark.plans import (  # noqa: F401
+    curate,
+    daily_report,
+    pipeline,
+    preprocess,
+)

@@ -98,6 +98,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "domain_mix_sample",
     "dedup_connected_components",
     "streaming_interval_join",
+    "llm_corpus_pipeline",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -128,6 +129,9 @@ DEMOTE_LAST: tuple[str, ...] = (
     "daily_event_counts",
     "merge_upsert_orders",
     "doc_fingerprints",
+    # r01-green; its F1/F3/P8 chain is in-window via
+    # preprocess_source_counts and korean_text_ops
+    "clean_documents",
     "token_counts",
     "source_token_stats",
     "first_sentence_summaries",

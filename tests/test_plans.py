@@ -83,3 +83,22 @@ def test_clean_articles_chain(spark):
     assert set(out.columns) == {
         "title", "author", "link", "full_text", "updated", "category", "summary"
     }
+
+
+def test_llm_pipeline_plan_shape(spark, sf_dir):
+    """The full-pipeline composite keeps its scale shape: the
+    decontamination reference set arrives via broadcast, the dedup
+    keep-first is a partial_min aggregate (no self-join), and nothing
+    degenerates into a nested-loop or cartesian join."""
+    from ssafynews_data_spark.plans.pipeline import llm_corpus_pipeline
+
+    plan = (
+        llm_corpus_pipeline(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

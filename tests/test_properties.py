@@ -16,7 +16,16 @@ from ssafynews_data_spark.operators.text import tokens_col
 # one Spark job per example is expensive → few examples, many rows each
 texts = st.lists(
     st.text(
-        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+            # JVM regex classes follow Java 17's Unicode 13 tables while
+            # DuckDB's RE2 ships newer ones, so codepoints assigned after
+            # Unicode 13 (e.g. U+31350, CJK Ext H — hypothesis found it)
+            # legitimately disagree on \p{L}.  Property-test the range
+            # both engines classify identically; the engine-skew caveat
+            # is documented in docs/SCALE.md.
+            max_codepoint=0x2FFFF,
+        ),
         max_size=80,
     ),
     min_size=1,
