@@ -31,12 +31,19 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--input", required=True, help="documents parquet path")
     parser.add_argument("--output", required=True, help="output directory")
     parser.add_argument("--shards", type=int, default=64, help="shards per split")
+    parser.add_argument(
+        "--full",
+        action="store_true",
+        help="run the full chain (Gopher rules + decontamination + "
+        "domain mixing) instead of the basic quality/dedup/split chain",
+    )
     args = parser.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
     from ssafynews_data_spark.plans.curate import curate
+    from ssafynews_data_spark.plans.pipeline import curate_full
     from ssafynews_data_spark.sources.readers import _ensure_session_conf
     from ssafynews_data_spark.sources.sinks import write_training_shards
 
@@ -44,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     _ensure_session_conf(spark)
 
     docs = spark.read.parquet(args.input)
-    curated = curate(docs)
+    curated = curate_full(docs) if args.full else curate(docs)
     for split in ("train", "test"):
         write_training_shards(
             curated.filter(curated["split"] == split).drop("split"),

@@ -123,6 +123,17 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every gate.  Eval docs (doc_id % 17 == 0) are excluded from training
     AND act as the decontamination reference set."""
     docs = load_table(spark, sf_dir, "documents")
+    return curate_full(docs).groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def curate_full(docs: DataFrame) -> DataFrame:
+    """documents → fully-curated training rows (doc_id, lang, text,
+    split).  The row-level form consumed by jobs/curate_job.py --full;
+    the registered query aggregates it for the oracle."""
     base = docs.select("doc_id", "lang", "text", tokens_col(F.col("text")).alias("toks"))
 
     gated = base.filter(
@@ -143,13 +154,15 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     clean = (
         gated.join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", F.md5(norm.cast("binary")).alias("fp"))
+        .select("doc_id", "lang", "text", F.md5(norm.cast("binary")).alias("fp"))
     )
     # keep-first dedup as one argmin aggregate (struct compares doc_id
-    # first) — same single-shuffle shape as plans/curate.py
+    # first) — same single-shuffle shape as plans/curate.py; text rides
+    # the shuffle inside the struct, one row per distinct fingerprint
+    # after map-side partial min.
     deduped = (
         clean.groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "lang")).alias("_k"))
+        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("_k"))
         .select("_k.*")
     )
     from ssafynews_data_spark.operators.sampling import MIX_DEFAULT, MIX_WEIGHTS
@@ -161,11 +174,6 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = deduped.filter(b < rate)
 
     split_b = hash_bucket(F.col("doc_id"))
-    out = mixed.withColumn(
+    return mixed.withColumn(
         "split", F.when(split_b < 20, "test").otherwise("train")
-    )
-    return out.groupBy("lang", "split").agg(
-        F.count("*").alias("n"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
     )

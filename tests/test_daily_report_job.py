@@ -68,3 +68,41 @@ def test_curate_job_end_to_end(spark, sf_dir, tmp_path):
     assert 0.5 < n_train / max(n_test, 1) / 4 < 2.0
     # no doc appears in both splits
     assert train.join(test, "doc_id", "inner").count() == 0
+
+
+def test_curate_job_full_chain(spark, sf_dir, tmp_path):
+    """jobs/curate_job.py --full: the complete gopher+decon+mix chain
+    writes sharded splits whose membership matches curate_full."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    from ssafynews_data_spark.plans.pipeline import curate_full
+
+    out = str(tmp_path / "full_out")
+    rc = curate_job.main(
+        [
+            "--input",
+            os.path.join(sf_dir, "documents.parquet"),
+            "--output",
+            out,
+            "--shards",
+            "4",
+            "--full",
+        ]
+    )
+    assert rc == 0
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = {
+        (r.doc_id, r.split)
+        for r in curate_full(docs).select("doc_id", "split").collect()
+    }
+    got = set()
+    for split in ("train", "test"):
+        path = os.path.join(out, split)
+        if os.path.isdir(path):
+            for r in spark.read.parquet(path).select("doc_id").collect():
+                got.add((r.doc_id, split))
+    assert got == want and got
