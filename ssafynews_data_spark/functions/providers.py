@@ -61,6 +61,68 @@ def default_embedding_factory():
         return HashEmbeddingModel()
 
 
+#: common Korean particles (josa) + copula, longest-match-first — the
+#: suffixes stripped from Hangul runs to approximate noun stems.
+_JOSA = tuple(
+    sorted(
+        (
+            "에서", "으로", "부터", "까지", "께서", "에게", "한테", "보다",
+            "처럼", "이다", "은", "는", "이", "가", "을", "를", "의", "에",
+            "로", "와", "과", "도", "만",
+        ),
+        key=len,
+        reverse=True,
+    )
+)
+
+
+#: explicit verbal/copular endings dropped as non-nouns.
+_VERB_ENDINGS = ("했다", "한다", "하다", "된다", "됐다", "였다", "있다", "없다")
+
+
+class HeuristicKoreanNounExtractor:
+    """Dependency-free Korean noun extraction with the konlpy Okt
+    contract (``nouns(text) -> list[str]``, spark_daily_report.py:31-36):
+    Hangul runs with longest-match josa/copula suffix stripping, stems
+    shorter than 2 chars keep the original run, common verbal endings
+    (했다/한다/하다/된다/됐다/였다/있다/없다) are dropped — a plain
+    다-final filter would wrongly drop nouns like 바다.  A heuristic,
+    not a morphological analyzer —
+    it exists so the provider interface has a REAL, deterministic,
+    picklable implementation in environments without konlpy; swap in
+    ``default_noun_factory`` resolves Okt when installed."""
+
+    def nouns(self, text: str) -> list[str]:
+        import re
+
+        out = []
+        for run in re.findall(r"[가-힣]+", text or ""):
+            w = run
+            for j in _JOSA:
+                if w.endswith(j) and len(w) - len(j) >= 2:
+                    w = w[: -len(j)]
+                    break
+            if len(w) >= 2 and not w.endswith(_VERB_ENDINGS):
+                out.append(w)
+        return out
+
+
+def default_noun_factory():
+    """konlpy Okt when installed, the heuristic extractor otherwise."""
+    try:  # pragma: no cover - konlpy absent in the test image
+        from konlpy.tag import Okt
+
+        okt = Okt()
+
+        class _OktAdapter:
+            def nouns(self, text: str) -> list[str]:
+                return okt.nouns(text or "")
+
+        return _OktAdapter()
+    except ImportError:
+        return HeuristicKoreanNounExtractor()
+
+
 class MarkingFactory:
     """Test instrumentation: a factory that records every instantiation
     as a unique pid-tagged file in ``marker_dir`` — counting files vs

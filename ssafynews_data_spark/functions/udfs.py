@@ -183,6 +183,20 @@ def get_provider(name: str, factory):
     return _PROVIDERS[name]
 
 
+def make_noun_udf(factory, name: str = "nouns"):
+    """Arrow UDF over a real Korean tokenizer provider: ``model.nouns(
+    text) -> list[str]`` (the konlpy Okt contract,
+    spark_daily_report.py:31-36).  Same lazy once-per-worker handle as
+    the embedding/sentiment factories."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def nouns(text: pd.Series) -> pd.Series:
+        model = get_provider(name, factory)
+        return text.map(lambda t: [str(w) for w in model.nouns(t or "")])
+
+    return nouns
+
+
 def make_embedding_udf(factory, name: str = "embedding"):
     """Arrow UDF over a real embedding provider: ``factory() -> model``
     with ``model.encode(text) -> sequence[float]`` (the

@@ -89,3 +89,34 @@ def test_get_provider_driver_side_singleton():
     a = get_provider(name, factory)
     b = get_provider(name, factory)
     assert a is b and len(calls) == 1
+
+
+def test_heuristic_korean_noun_extractor_units():
+    """Josa stripping on known sentences — the dependency-free Okt
+    stand-in must produce sensible noun stems deterministically."""
+    from ssafynews_data_spark.functions.providers import HeuristicKoreanNounExtractor
+
+    m = HeuristicKoreanNounExtractor()
+    assert m.nouns("대통령이 국회에서 연설을 했다") == ["대통령", "국회", "연설"]
+    assert m.nouns("한국의 수도는 서울이다") == ["한국", "수도", "서울"]
+    # too-short stems keep the original run; ASCII is ignored
+    assert m.nouns("사이 good 바다") == ["사이", "바다"]
+    assert m.nouns("") == []
+    assert m.nouns(None) == []
+
+
+def test_noun_udf_runs_via_provider(spark):
+    """make_noun_udf ships the factory to workers and extracts per-row
+    noun arrays through the lazy provider handle."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.functions.providers import default_noun_factory
+    from ssafynews_data_spark.functions.udfs import make_noun_udf
+
+    nouns = make_noun_udf(default_noun_factory, name="nouns_test")
+    df = spark.createDataFrame(
+        [(1, "대통령이 국회에서 연설을 했다"), (2, "hello world")], "i int, s string"
+    )
+    got = {r.i: r.n for r in df.select("i", nouns(F.col("s")).alias("n")).collect()}
+    assert got[1] == ["대통령", "국회", "연설"]
+    assert got[2] == []
