@@ -292,3 +292,40 @@ def test_bigram_repetition_matches_duckdb(mk_df, vals):
         )
     )
     assert got == want
+
+
+@given(vals=texts)
+@SLOW
+def test_shingle_hash_count_matches_duckdb_strings(mk_df, vals):
+    """decontaminate/repeated-span rely on xxhash64(token-slice) sets
+    standing in for string shingle sets: per-row distinct counts must
+    match DuckDB's string-form shingles on arbitrary text (collision-
+    free at test scale, injective because tokens contain no spaces)."""
+    from ssafynews_data_spark.operators.contamination import _shingle_hashes
+
+    W = 4
+    df = mk_df(vals).withColumnRenamed("i", "doc_id").withColumnRenamed("s", "text")
+    got = {
+        r.doc_id: r.n
+        for r in _shingle_hashes(df, W)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = {}
+    for i, n in _duck(
+        list(enumerate(vals)),
+        f"""
+        SELECT i, len(list_distinct(
+            CASE WHEN len(toks) >= {W}
+                 THEN list_transform(range(1, len(toks) - {W - 2}),
+                                     x -> array_to_string(toks[x:x + {W - 1}], ' '))
+                 ELSE [] END)) AS n
+        FROM (SELECT i, list_filter(string_split_regex(lower(s),
+                  '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS toks FROM t)
+        """,
+    ):
+        if n:
+            want[i] = n
+    assert got == want
