@@ -111,6 +111,7 @@ def write_training_shards(
     shard_key: str,
     sort_col: str | None = None,
     fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> None:
     """Training-data shard writer: exactly ``n_shards`` output files,
     rows assigned by hash of ``shard_key`` (stable across runs for a
@@ -120,8 +121,11 @@ def write_training_shards(
     ``repartition(n, col)`` is one hash shuffle; ``sortWithinPartitions``
     is a per-partition sort with NO extra shuffle — the layout a
     1000-executor training job wants: shard count = reader parallelism,
-    no global sort anywhere."""
+    no global sort anywhere.  zstd by default: at 100 TB of text the
+    ~30% size win over snappy is storage AND scan-time bandwidth (text
+    shards are read many times per epoch), worth zstd's slightly higher
+    encode cost on the one-time write."""
     out = df.repartition(n_shards, F.col(shard_key))
     if sort_col is not None:
         out = out.sortWithinPartitions(sort_col)
-    out.write.mode("overwrite").format(fmt).save(path)
+    out.write.mode("overwrite").option("compression", compression).format(fmt).save(path)
