@@ -141,3 +141,36 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register("hll_daily_user_sketches", tags=("sketch", "hll", "approx"))
+def hll_daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB architecture for
+    "distinct users per day AND overall": one ``hll_sketch_agg`` pass
+    builds a per-day sketch, and the global figure is ``hll_union_agg``
+    over the (tiny) sketches — no second scan of the events table, no
+    re-shuffle of raw user ids.  This is how rollup hierarchies keep
+    distinct counts incremental: store sketches per partition, union on
+    read.  Rows-only check (HLL registers are engine-specific);
+    tests/test_relational_sketch.py bounds the estimates against exact
+    distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    per_day = daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_day.unionByName(total)

@@ -114,6 +114,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_pairs",
     "media_decode_features",
+    "hll_daily_user_sketches",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
