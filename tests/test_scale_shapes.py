@@ -133,3 +133,31 @@ def test_ivf_probe_reads_only_probed_partitions(spark, tmp_path):
 
     rows = pruned.select("centroid").distinct().collect()
     assert [r.centroid for r in rows] == [1]  # only the probed partition
+
+
+def test_curate_argmin_is_join_free_two_shuffles(spark, sf_dir):
+    """The curation composite's keep-first dedup is ONE argmin aggregate
+    (min(struct(doc_id, ...)) per fingerprint), not agg + semi-join: the
+    whole chain — filters → dedup → split → report — must show zero
+    joins and exactly two exchanges (the fp aggregate and the final
+    (lang, split) rollup; the split itself is shuffle-free hash math)."""
+    from ssafynews_data_spark.plans.curate import curate_corpus
+
+    plan = _plan(curate_corpus(spark, sf_dir))
+    assert "Join" not in plan  # argmin form, no keeper semi-join
+    assert plan.count("Exchange") == 2
+    assert "partial_min" in plan  # map-side combine carries one row/fp/partition
+
+
+def test_decontaminate_broadcasts_bench_hashes(spark, sf_dir):
+    """Decontamination's 100 TB contract: the eval-suite distinct-hash
+    set (MB-scale) broadcasts, so the corpus side is never shuffled for
+    the overlap probe — the shingle join must be a BroadcastHashJoin on
+    the hash key with zero sort-merge joins anywhere in the plan."""
+    import re
+
+    from ssafynews_data_spark.operators.contamination import decontaminate_docs
+
+    plan = _plan(decontaminate_docs(spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin \[h#", plan)  # bench side broadcast
+    assert "SortMergeJoin" not in plan
