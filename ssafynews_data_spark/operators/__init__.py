@@ -17,5 +17,6 @@ from ssafynews_data_spark.operators import (  # noqa: F401
     stateful,
     streaming_queries,
     text,
+    textstats,
     vectors,
 )

@@ -143,6 +143,102 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_stats",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("windows", "session-window", "ST8"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` in BATCH mode — Spark's dynamic-gap
+    session operator (the same expression Structured Streaming uses for
+    ST8-style windows), oracle-checked against the lag/cumsum
+    gaps-and-islands formulation.  One shuffle on user_id serves the
+    whole query; a new session opens when the gap is >= 10 min at
+    microsecond precision (``epoch_us`` truncation on both engines, the
+    nanos-parquet rule from readers.load_table)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+@register(
+    "robust_value_stats",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        m AS (SELECT event_type, median(cents) AS med FROM c GROUP BY 1),
+        j AS (SELECT c.event_type, c.cents, m.med
+              FROM c JOIN m USING (event_type))
+        SELECT event_type,
+               CAST(2 * min(med) AS BIGINT) AS med_cents_x2,
+               CAST(4 * median(abs(cents - med)) AS BIGINT) AS mad_cents_x4,
+               count(*) AS n
+        FROM j GROUP BY event_type
+    """,
+    tags=("robust-stats", "median", "mad"),
+)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust location/scale per event type: exact median and
+    MAD (median absolute deviation) via ``F.median``.  All arithmetic
+    is on integer cents so every interpolated median lands on an
+    exactly-representable half/quarter — scaled (×2/×4) back to BIGINT,
+    the comparison is bit-exact across engines with no float rounding.
+
+    Scale shape: two aggregation passes over events, but the per-type
+    medians (a handful of rows) come back via a BROADCAST join, so the
+    fact table shuffles only for the two groupBys on the same key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    meds = ev.groupBy("event_type").agg(
+        (F.median("cents") * 2).cast("long").alias("med2")
+    )
+    j = ev.join(F.broadcast(meds), "event_type").withColumn(
+        "dev2", F.abs(F.col("cents") * 2 - F.col("med2"))
+    )
+    return j.groupBy("event_type").agg(
+        F.min("med2").alias("med_cents_x2"),
+        (F.median("dev2") * 2).cast("long").alias("mad_cents_x4"),
+        F.count("*").alias("n"),
+    )
+
+
 @register("hll_daily_user_sketches", tags=("sketch", "hll", "approx"))
 def hll_daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the 100 TB architecture for

@@ -115,6 +115,13 @@ DEMOTE_LAST: tuple[str, ...] = (
     "simhash_pairs",
     "media_decode_features",
     "hll_daily_user_sketches",
+    # round-2 session-3 additions: oracle-checked locally via
+    # tools/check_oracles.py; they yield window slots to the established
+    # in-window set (zero-sum 50-row driver cap)
+    "char_stats_quality",
+    "nfc_normalize_docs",
+    "session_window_stats",
+    "robust_value_stats",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

@@ -20,10 +20,11 @@ texts = st.lists(
             blacklist_categories=("Cs",),  # no lone surrogates
             # JVM regex classes follow Java 17's Unicode 13 tables while
             # DuckDB's RE2 ships newer ones, so codepoints assigned after
-            # Unicode 13 (e.g. U+31350, CJK Ext H — hypothesis found it)
-            # legitimately disagree on \p{L}.  Property-test the range
-            # both engines classify identically; the engine-skew caveat
-            # is documented in docs/SCALE.md.
+            # Unicode 13 (U+31350 CJK Ext H, U+1DF00 Latin Ext-G — both
+            # hypothesis finds) legitimately disagree on \p{L}.  The cap
+            # trims the worst of it; the `sanitize` fixture below removes
+            # the rest by asking both engines' tables directly.  The
+            # engine-skew caveat is documented in docs/SCALE.md.
             max_codepoint=0x2FFFF,
         ),
         max_size=80,
@@ -54,9 +55,41 @@ def mk_df(spark):
     return make
 
 
+_skew_cache: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module")
+def sanitize(spark):
+    """Neutralize Unicode-version skew, authoritatively: Java 17 ships
+    Unicode 13 tables while Python/DuckDB ship newer ones, so codepoints
+    assigned after U13 (U+31350 CJK Ext H, but also in-BMP-adjacent
+    blocks like U+1DF00 Latin Ext-G — hypothesis found both) disagree on
+    \\p{L} and case mapping.  A max_codepoint cap can't express
+    "assigned in U13", so instead ask the JVM (Character.isDefined) and
+    Python (unicodedata) directly and replace any codepoint whose
+    assignment status differs with 'a'."""
+    import unicodedata
+
+    jdef = spark.sparkContext._jvm.java.lang.Character.isDefined
+
+    def fix_char(ch: str) -> str:
+        out = _skew_cache.get(ch)
+        if out is None:
+            defined_py = unicodedata.category(ch) != "Cn"
+            out = ch if bool(jdef(ord(ch))) == defined_py else "a"
+            _skew_cache[ch] = out
+        return out
+
+    def fix(vals: list[str]) -> list[str]:
+        return ["".join(map(fix_char, v)) for v in vals]
+
+    return fix
+
+
 @given(vals=texts)
 @SLOW
-def test_token_count_matches_duckdb(mk_df, vals):
+def test_token_count_matches_duckdb(mk_df, sanitize, vals):
+    vals = sanitize(vals)
     df = mk_df(vals)
     got = {
         r.i: r.n
@@ -120,7 +153,8 @@ def test_first_sentence_matches_duckdb(mk_df, vals):
 
 @given(vals=texts)
 @SLOW
-def test_md5_fingerprint_matches_duckdb(mk_df, vals):
+def test_md5_fingerprint_matches_duckdb(mk_df, sanitize, vals):
+    vals = sanitize(vals)
     df = mk_df(vals)
     norm = F.trim(F.regexp_replace(F.lower(F.col("s")), "[\\s\\x0B]+", " "))
     got = {r.i: r.fp for r in df.select("i", F.md5(norm.cast("binary")).alias("fp")).collect()}
@@ -274,11 +308,12 @@ def test_pii_redaction_matches_duckdb(mk_df, vals):
 
 @given(vals=texts)
 @SLOW
-def test_bigram_repetition_matches_duckdb(mk_df, vals):
+def test_bigram_repetition_matches_duckdb(mk_df, sanitize, vals):
     """The zip_with/struct-pair bigram form must equal DuckDB's
     string-concat form on arbitrary text — guards the pair-distinct ==
     string-distinct equivalence (tokens contain no spaces) and the
     floor-quantized ratio across engines."""
+    vals = sanitize(vals)
     from ssafynews_data_spark.operators.text import _DUCK_BIGRAM_REP, bigram_repetition_q4
 
     df = mk_df(vals)
@@ -296,11 +331,12 @@ def test_bigram_repetition_matches_duckdb(mk_df, vals):
 
 @given(vals=texts)
 @SLOW
-def test_shingle_hash_count_matches_duckdb_strings(mk_df, vals):
+def test_shingle_hash_count_matches_duckdb_strings(mk_df, sanitize, vals):
     """decontaminate/repeated-span rely on xxhash64(token-slice) sets
     standing in for string shingle sets: per-row distinct counts must
     match DuckDB's string-form shingles on arbitrary text (collision-
     free at test scale, injective because tokens contain no spaces)."""
+    vals = sanitize(vals)
     from ssafynews_data_spark.operators.contamination import _shingle_hashes
 
     W = 4
@@ -328,4 +364,30 @@ def test_shingle_hash_count_matches_duckdb_strings(mk_df, vals):
     ):
         if n:
             want[i] = n
+    assert got == want
+
+
+# NFC normalization: ASCII, precomposed + decomposed accents, combining
+# marks, Hangul jamo/syllables, and the U+212B Å singleton — all stable
+# since early Unicode, so Python's unicodedata and DuckDB's utf8proc
+# agree regardless of their table versions (the 0x2FFFF caveat above is
+# about post-U13 *assignments*, not these).
+nfc_texts = st.lists(
+    st.text(
+        alphabet=list("abe 가각éȩ̂́̀각Å"),
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(vals=nfc_texts)
+@SLOW
+def test_nfc_normalize_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.operators.textstats import nfc_normalize_udf
+
+    df = mk_df(vals)
+    got = {r.i: r.n for r in df.select("i", nfc_normalize_udf("s").alias("n")).collect()}
+    want = dict(_duck(list(enumerate(vals)), "SELECT i, nfc_normalize(s) FROM t"))
     assert got == want

@@ -150,3 +150,21 @@ def test_gopher_filter_flags_consistent(spark, sf_dir):
         assert r.passes == want
         n_pass += want
     assert 0 < n_pass < len(rows)  # the gate must split the corpus
+
+
+def test_char_stats_handles_astral_and_empty(spark):
+    """Codepoint (not UTF-16 code unit) granularity: an astral emoji is
+    ONE character on both engines, and empty/null-ish docs yield zeros."""
+    from ssafynews_data_spark.operators.textstats import _char_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a\U0001F600\U0001F600b"), (2, ""), (3, "aaaa")], "doc_id int, text string"
+    )
+    rows = {
+        r.doc_id: (r.s.n_distinct_chars, r.s.top_cnt)
+        for r in df.select("doc_id", _char_stats("text").alias("s")).collect()
+    }
+    assert rows[1] == (3, 2)  # a, 😀(×2), b — emoji counted once per occurrence
+    assert rows[2] == (0, 0)
+    assert rows[3] == (1, 4)
