@@ -2,6 +2,7 @@
 
 from ssafynews_data_spark.operators import (  # noqa: F401
     contamination,
+    curation_blocks,
     dedup,
     enrichment,
     grouped_pandas,

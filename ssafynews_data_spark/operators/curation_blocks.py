@@ -1,0 +1,354 @@
+"""Block-level curation extensions: boilerplate removal, training-window
+chunking, count-min heavy hitters, and an Arrow-native stats pass.
+
+None of these exist in the reference (its cleaning stops at per-article
+regex passes, collect/consumer.py:100-116) — they are the corpus-level
+ops an LLM training-data pipeline runs after per-document cleaning:
+
+- **boilerplate block removal** is the RefinedWeb / CCNet "drop
+  duplicated lines" pass re-expressed over fixed-width token blocks
+  (the synthetic corpus has no newlines, so the dedup *unit* is a
+  token block; the Spark shape — explode units, count distinct docs
+  per unit, anti-join the frequent set, reassemble in order — is
+  identical to line-level dedup on real web text).
+- **token chunk windows** is the max-seq-len packing precursor: split
+  every document into overlapping L-token windows (stride S) so long
+  documents become multiple training rows without losing boundary
+  context.
+- **count-min heavy hitters** mirrors hll_daily_user_sketches
+  (relational3.py): per-day mergeable sketches whose union equals the
+  whole-range sketch — the incremental-rollup architecture for "top
+  users overall" without re-scanning history.
+- **arrow byte stats** exercises ``mapInArrow`` — the zero-copy Arrow
+  RecordBatch API underneath the pandas paths; for byte-level stats
+  pyarrow.compute on the raw batch skips the pandas conversion both
+  directions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+#: token-block width for boilerplate removal (the "line" stand-in).
+BLOCK_W = 4
+#: a block string occurring in >= this many distinct docs is boilerplate.
+BOILER_MIN_DOCS = 3
+
+#: training-window length / stride (tokens).  Overlap = L - S.
+CHUNK_L = 32
+CHUNK_S = 24
+
+#: count-min sketch depth (hash rows) and width (buckets per row).
+CMS_D = 4
+CMS_W = 512
+
+
+def _doc_blocks(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, bi, btoks, h): non-overlapping w-token blocks in order,
+    with the block's xxhash64.  The token array is pinned so
+    CollapseProject can't re-inline the tokenizer regex into the
+    per-block lambda (the O(len²) trap, dedup.py:49); the trailing
+    partial block is kept as a (shorter) unit so every token belongs to
+    exactly one block."""
+    toks = pin(docs.select("doc_id", tokens_col(F.col("text")).alias("toks")))
+    n = F.size(F.col("toks"))
+    nb = F.ceil(n / F.lit(float(w))).cast("int")  # n < 2^31 ≪ 2^53: exact
+    blocks = F.transform(
+        F.sequence(F.lit(1), nb),
+        lambda i: F.struct(
+            i.alias("bi"), F.slice(F.col("toks"), (i - 1) * w + 1, w).alias("btoks")
+        ),
+    )
+    guarded = F.when(n > 0, blocks).otherwise(
+        F.array().cast("array<struct<bi:int,btoks:array<string>>>")
+    )
+    return toks.select(
+        "doc_id", F.explode(guarded).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.bi").alias("bi"),
+        F.col("b.btoks").alias("btoks"),
+        F.xxhash64("b.btoks").alias("h"),
+    )
+
+
+@register(
+    "boilerplate_block_removal",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+        bl AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, CAST(ceil(len(toks) / {BLOCK_W}.0) AS BIGINT) + 1),
+                       i -> {{'bi': i,
+                             'btext': array_to_string(
+                                 toks[(i-1)*{BLOCK_W}+1 : i*{BLOCK_W}], ' ')}}
+                   )) AS b
+            FROM tok
+        ),
+        blocks AS (SELECT doc_id, b.bi AS bi, b.btext AS btext FROM bl),
+        boiler AS (
+            SELECT btext FROM blocks GROUP BY btext
+            HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        kept AS (
+            SELECT b.doc_id,
+                   count(*) AS n_kept,
+                   array_to_string(list(b.btext ORDER BY b.bi), ' ') AS kept_text
+            FROM blocks b ANTI JOIN boiler USING (btext)
+            GROUP BY 1
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY 1)
+        SELECT s.doc_id, s.n_blocks,
+               coalesce(k.n_kept, 0) AS n_kept_blocks,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM sizes s LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("curation", "dedup", "boilerplate"),
+    bench=True,
+)
+def boilerplate_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove text blocks that repeat across >= BOILER_MIN_DOCS distinct
+    documents (headers, navboxes, templated footers) and reassemble each
+    document from its surviving blocks in original order — RefinedWeb's
+    line-wise filter with a fixed-width token block as the line unit.
+
+    100 TB shape: one explode + two hash aggregates on the 64-bit block
+    hash (distinct-doc count, then per-doc reassembly) and one anti
+    equi-join — shuffle-linear in total blocks, never all-pairs, no
+    driver-side state.  The boilerplate set is the frequency tail above
+    the threshold (small by Zipf), so at scale the anti-join qualifies
+    for Spark's broadcast / runtime-bloom pruning automatically.  The
+    engine joins on xxhash64(block tokens) while the oracle joins on the
+    block string — equivalent because tokens contain no spaces (see
+    contamination.py's injectivity note; property-tested in
+    tests/test_properties.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = pin(_doc_blocks(docs, BLOCK_W))
+    boiler = (
+        blocks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("h")
+    )
+    kept = (
+        blocks.join(boiler, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bi", "btoks"))
+                        ),
+                        lambda s: s["btoks"],
+                    )
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    sizes = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    return sizes.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept_blocks"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+@register(
+    "token_chunk_windows",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks,
+                   len({_DUCK_TOKENS}) AS n
+            FROM documents
+        ),
+        nc AS (
+            SELECT doc_id, toks,
+                   CASE WHEN n <= 0 THEN 0
+                        WHEN n <= {CHUNK_L} THEN 1
+                        ELSE 1 + (n - {CHUNK_L} + {CHUNK_S - 1}) // {CHUNK_S}
+                   END AS n_chunks
+            FROM tok
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n_chunks + 1),
+                       i -> {{'cid': i,
+                             'ctoks': toks[(i-1)*{CHUNK_S}+1
+                                           : (i-1)*{CHUNK_S}+{CHUNK_L}]}})) AS c
+            FROM nc
+        )
+        SELECT doc_id, c.cid AS chunk_id,
+               CAST(len(c.ctoks) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(c.ctoks, ' ') AS chunk_text
+        FROM ch
+    """,
+    tags=("curation", "chunking", "training-prep"),
+)
+def token_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping CHUNK_L-token windows with
+    stride CHUNK_S (overlap L-S), the standard max-seq-len preparation
+    for training rows: every token is covered, long documents become
+    multiple rows, and window boundaries overlap so no context is cut
+    mid-sequence.  The final window may be shorter (never padded here —
+    padding is the tokenizer's job downstream).
+
+    100 TB shape: a narrow per-row transform (sequence → slice →
+    posexplode), zero shuffle, fully codegen'd; output row count is
+    ~n_tokens/S so the op is scan-bound.  Chunk counts use integer
+    arithmetic (``(n-L+S-1) div S``) — never float floor/ceil — per the
+    cross-engine rule (readers.py:68)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = pin(docs.select("doc_id", tokens_col(F.col("text")).alias("toks")))
+    t = toks.withColumn("n", F.size("toks")).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= 0, F.lit(0))
+        .when(F.col("n") <= CHUNK_L, F.lit(1))
+        .otherwise(F.expr(f"1 + (n - {CHUNK_L} + {CHUNK_S - 1}) div {CHUNK_S}"))
+        .cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.col("n_chunks")),
+        lambda i: F.struct(
+            i.alias("cid"),
+            F.slice(F.col("toks"), (i - 1) * CHUNK_S + 1, CHUNK_L).alias("ctoks"),
+        ),
+    )
+    guarded = F.when(F.col("n_chunks") > 0, chunks).otherwise(
+        F.array().cast("array<struct<cid:int,ctoks:array<string>>>")
+    )
+    return t.select("doc_id", F.explode(guarded).alias("c")).select(
+        "doc_id",
+        F.col("c.cid").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
+
+
+def _cms_bucket_rows(ev: DataFrame) -> DataFrame:
+    """(day, user_id, r, b): each event lands in CMS_D (row, bucket)
+    cells; bucket = xxhash64(user_id, seed=r) mod CMS_W, all JVM-side."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col("user_id"), F.lit(r)), F.lit(CMS_W))
+                .cast("int")
+                .alias("b"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    return ev.select(
+        F.to_date("ts").alias("day"), "user_id", F.explode(cells).alias("c")
+    ).select("day", "user_id", F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+
+
+def cms_daily_sketches(ev: DataFrame) -> DataFrame:
+    """(day, r, b, cnt): one count-min sketch per day — D*W counters,
+    mergeable by summing cell-wise (tested in
+    tests/test_curation_blocks.py: union-of-days == whole-range)."""
+    return (
+        _cms_bucket_rows(ev)
+        .groupBy("day", "r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register("cms_heavy_hitters", tags=("sketch", "count-min", "approx"))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by count-min-estimated event count, with the exact
+    count alongside.  The 100 TB architecture mirror of
+    hll_daily_user_sketches: per-day D×W-counter sketches are built in
+    one pass and merged cell-wise (sum), so "top users over any date
+    range" needs only the tiny sketch table — never a re-scan or
+    re-shuffle of raw events.  Estimates are min-over-rows of the
+    merged counters: always >= the true count (one-sided error), within
+    εN with probability 1-δ for W=e/ε, D=ln(1/δ).
+
+    Rows-only check (bucket hashing is engine-specific); the sketch
+    guarantees — est >= exact everywhere, day-union == whole-range —
+    are asserted in tests/test_curation_blocks.py."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        cms_daily_sketches(ev)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = ev.select("user_id").distinct()
+    key_cells = _cms_bucket_rows(
+        ev.select("ts", "user_id")
+    ).select("user_id", "r", "b").distinct()
+    est = (
+        key_cells.join(merged, ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est_count").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "arrow_byte_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(strlen(text) - length(text) AS BIGINT) AS n_multibyte_extra
+        FROM documents
+    """,
+    tags=("arrow", "mapInArrow", "U-api"),
+)
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte/char stats via ``mapInArrow`` — the zero-copy Arrow
+    RecordBatch API underneath the pandas UDF paths.  pyarrow.compute
+    kernels (binary_length = bytes, utf8_length = codepoints) run
+    directly on the Arrow buffers with no pandas materialization in
+    either direction — the right call when the per-batch work is itself
+    columnar.  Byte-vs-char deltas locate multibyte (CJK etc.) content
+    for storage budgeting.
+
+    100 TB shape: narrow map, zero shuffle; Arrow batch size is
+    spark.sql.execution.arrow.maxRecordsPerBatch.  Oracle: DuckDB
+    strlen() is bytes, length() is codepoints — same split as
+    pyarrow's binary_length/utf8_length."""
+    import pyarrow as pa
+
+    def batch_stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            n_bytes = pc.cast(pc.binary_length(text), pa.int64())
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    n_bytes,
+                    n_chars,
+                    pc.subtract(n_bytes, n_chars),
+                ],
+                ["doc_id", "n_bytes", "n_chars", "n_multibyte_extra"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        batch_stats,
+        "doc_id long, n_bytes long, n_chars long, n_multibyte_extra long",
+    )

@@ -122,6 +122,11 @@ DEMOTE_LAST: tuple[str, ...] = (
     "nfc_normalize_docs",
     "session_window_stats",
     "robust_value_stats",
+    # round-2 session-4 additions: same zero-sum window policy
+    "boilerplate_block_removal",
+    "token_chunk_windows",
+    "cms_heavy_hitters",
+    "arrow_byte_stats",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
