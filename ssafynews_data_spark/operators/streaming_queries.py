@@ -215,6 +215,62 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment,
+               count(*) AS n,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+    tags=("streaming", "stream-static-join", "S4"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins a
+    static customer dimension (user_id = c_custkey) and aggregates
+    revenue per market segment.  This is the canonical streaming-ETL
+    enrich step (reference: consumer rows joined to the news_article
+    dim before upsert, collect/consumer2.py) expressed the Spark way:
+    the static side is re-read per micro-batch, and because it is small
+    it is explicitly ``broadcast()`` — each micro-batch plans a
+    BroadcastHashJoin with NO shuffle of the stream side and no state
+    store (stream-static inner joins are stateless, unlike
+    stream-stream).  At 100 TB/day the dim table is still MBs: the
+    broadcast is the right plan at every scale."""
+    from ssafynews_data_spark.sources.readers import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    name = "sse_" + uuid.uuid4().hex[:10]
+    # scope state-store count to the data (see streaming_interval_join)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out = spark.createDataFrame(
+                spark.table(name).collect(), spark.table(name).schema
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+@register(
     "streaming_dedup_counts",
     oracle="""
         SELECT event_type, count(*) AS n

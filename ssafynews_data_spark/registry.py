@@ -127,6 +127,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "token_chunk_windows",
     "cms_heavy_hitters",
     "arrow_byte_stats",
+    "streaming_static_enrich",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
