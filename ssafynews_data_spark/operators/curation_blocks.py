@@ -137,32 +137,22 @@ def boilerplate_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
-        .select("h")
+        .select("h", F.lit(True).alias("is_boiler"))
     )
-    kept = (
-        blocks.join(boiler, "h", "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("bi", "btoks"))
-                        ),
-                        lambda s: s["btoks"],
-                    )
-                ),
-                " ",
-            ).alias("kept_text"),
-        )
+    # mark-then-aggregate: ONE shuffle on doc_id (vs anti-join + separate
+    # sizes aggregate = two doc_id exchanges + an extra join).  Kept
+    # blocks are the ones the broadcast left join didn't mark.
+    marked = blocks.join(F.broadcast(boiler), "h", "left")
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(F.struct("bi", "is_boiler", "btoks"))),
+        lambda s: s["is_boiler"].isNull(),
     )
-    sizes = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
-    return sizes.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_blocks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept_blocks"),
-        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("is_boiler").isNull().cast("long")).alias("n_kept_blocks"),
+        F.array_join(
+            F.flatten(F.transform(kept_structs, lambda s: s["btoks"])), " "
+        ).alias("kept_text"),
     )
 
 
