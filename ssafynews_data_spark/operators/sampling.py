@@ -134,6 +134,93 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: salt for temperature resampling — distinct from MIX_SALT so the two
+#: samplers draw independent buckets.
+TEMP_SALT = "temp"
+
+
+@register(
+    "temperature_resample",
+    oracle=f"""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS w
+              FROM c),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                     CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        th AS (SELECT source, n_docs,
+                      least(10000,
+                            ((total // 2) * 10000 // wsum) * w // n_docs)
+                          AS threshold_bp
+               FROM w, t),
+        k AS (
+            SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN th USING (source)
+            WHERE CAST(('0x' || substr(md5('{TEMP_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 10000 < threshold_bp
+            GROUP BY 1
+        )
+        SELECT th.source, th.n_docs, th.threshold_bp,
+               coalesce(k.n_kept, 0) AS n_kept
+        FROM th LEFT JOIN k USING (source)
+    """,
+    tags=("sampling", "mixing", "temperature"),
+)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (α = 0.5): sample each
+    source toward a quota ∝ sqrt(n_docs), total budget = half the
+    corpus — the standard multiplicity-flattening used for multilingual
+    / multi-domain training mixes (upweights rare domains, downweights
+    oversampled ones).
+
+    Every quantity is integer (weights floor(sqrt·1000), thresholds in
+    basis points, one fixed division order) so Spark and DuckDB agree
+    bit-for-bit — a floating Σ n^α would differ in summation order.
+    The keep decision is a salted md5 bucket per doc: row-local,
+    shuffle-free, reproducible across engines/retries/resumes.  At
+    extreme corpus sizes the intermediate ``(total/2)*10000`` stays
+    ≪ 2^63 up to ~10^14 docs; beyond that, widen to DECIMAL on both
+    sides.
+
+    100 TB shape: one tiny per-source aggregate (broadcast back), then
+    a row-local filter — the corpus shuffles zero times."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("w", F.floor(F.sqrt("n_docs") * 1000).cast("long"))
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("wsum")
+    )
+    th = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold_bp",
+            F.least(
+                F.lit(10000),
+                F.expr("((total div 2) * 10000 div wsum) * w div n_docs"),
+            ),
+        )
+        .select("source", "n_docs", "threshold_bp")
+    )
+    b = hash_bucket(
+        F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string")), 10000
+    )
+    kept = (
+        docs.join(F.broadcast(th), "source")
+        .filter(b < F.col("threshold_bp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return th.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "threshold_bp",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
 @register(
     "time_rollup_events",
     oracle="""

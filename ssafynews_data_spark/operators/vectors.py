@@ -144,3 +144,81 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+#: linear rule generating the weak labels: 2*stopword_ratio +
+#: distinct_ratio above this marks a "quality" doc on the fixture.
+QUALITY_LABEL_CUT = 0.6
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, stop_ratio, distinct_ratio, log_n, label):
+    JVM-only features mirroring operators/text.quality_scores, plus the
+    weak label from the linear cut."""
+    from ssafynews_data_spark.operators.text import STOPWORDS, tokens_col
+
+    toks = pin(
+        docs.select("doc_id", "source", tokens_col(F.col("text")).alias("toks"))
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks").cast("double")
+    stop_ratio = (
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) / n
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")) / n
+    f = toks.select(
+        "doc_id",
+        "source",
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.log1p(n).alias("log_n"),
+    )
+    label = (
+        F.col("stop_ratio") * 2 + F.col("distinct_ratio") > QUALITY_LABEL_CUT
+    ).cast("double")
+    return f.withColumn("label", label)
+
+
+@register("quality_classifier", tags=("quality", "ML", "classifier"))
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText/DCLM-classifier
+    stage of an LLM data pipeline as a Spark ML LogisticRegression:
+    weak labels from a cheap heuristic rule, a model fit on JVM-computed
+    features, and corpus-wide scoring entirely inside the engine (no
+    Python in the scoring path: MLlib transform is JVM codegen).
+
+    Here the teacher rule is itself computable (so tests can assert the
+    student recovers it, accuracy > 0.95 — linearly separable by
+    construction); in production the labels come from an external
+    teacher (human ratings, LLM judges) and the SAME graph applies.
+
+    100 TB shape: the fit runs on a SAMPLE (`labeled.sample(0.5)` here;
+    fixed fraction+seed), because classifier training needs thousands of
+    rows, not billions — then the fitted weights broadcast inside the
+    transform and scoring is a row-local map over the full corpus, no
+    shuffle until the per-source audit aggregate.  Rows-only check
+    (LBFGS weights are float-path-dependent); invariants live in
+    tests/test_vectors.py."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = pin(quality_features(docs))
+    asm = VectorAssembler(
+        inputCols=["stop_ratio", "distinct_ratio", "log_n"], outputCol="_f"
+    )
+    train = asm.transform(labeled.sample(fraction=0.5, seed=SEED))
+    lr = LogisticRegression(
+        featuresCol="_f", labelCol="label", maxIter=25, regParam=1e-4
+    ).fit(train)
+    scored = lr.transform(asm.transform(labeled))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_label_good"),
+            F.sum("prediction").cast("long").alias("n_pred_good"),
+            F.sum((F.col("label") == F.col("prediction")).cast("long")).alias(
+                "n_agree"
+            ),
+        )
+    )

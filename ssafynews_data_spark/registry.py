@@ -128,6 +128,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "cms_heavy_hitters",
     "arrow_byte_stats",
     "streaming_static_enrich",
+    "temperature_resample",
+    "quality_classifier",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

@@ -74,3 +74,39 @@ def test_domain_mix_rates(spark, sf_dir):
             continue
         frac = kept.get(lang, 0) / totals[lang]
         assert abs(frac - rate / 100) < 0.25, (lang, frac, rate)
+
+
+def test_temperature_resample_flattens_and_is_exact(spark, sf_dir):
+    """Rare sources keep a higher fraction than common ones (the point
+    of temperature sampling), thresholds are integer basis points, and
+    n_kept is consistent with an independent recount."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.sampling import (
+        TEMP_SALT,
+        hash_bucket,
+        temperature_resample,
+    )
+
+    rows = {r.source: r for r in temperature_resample(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.threshold_bp <= 10000
+        assert 0 <= r.n_kept <= r.n_docs
+    # α=0.5 flattening: if source sizes differ enough, the smaller
+    # source's keep-threshold must be >= the larger's
+    by_size = sorted(rows.values(), key=lambda r: r.n_docs)
+    if by_size[0].n_docs * 2 <= by_size[-1].n_docs:
+        assert by_size[0].threshold_bp >= by_size[-1].threshold_bp
+    # recount independently with the same salt + buckets
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string")), 10000)
+    th = {r.source: r.threshold_bp for r in rows.values()}
+    recount = {
+        r.source: r.n
+        for r in docs.filter(
+            b < F.coalesce(*[F.when(F.col("source") == s, F.lit(t)) for s, t in th.items()])
+        ).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, r in rows.items():
+        assert recount.get(s, 0) == r.n_kept, s

@@ -47,3 +47,17 @@ def test_empty_input_survives(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = vectors.pca_kmeans(df)
     assert out.count() == 0  # reference's empty-day path (:107-112)
+
+
+def test_quality_classifier_recovers_teacher_rule(spark, sf_dir):
+    """The weak-label rule is linearly separable by construction, so LR
+    must recover it almost everywhere; scoring covers every doc with
+    tokens."""
+    rows = vectors.quality_classifier(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    agree = sum(r.n_agree for r in rows)
+    assert n > 0
+    assert agree / n > 0.95, (agree, n)
+    # both classes are represented on the fixture (the cut is not degenerate)
+    good = sum(r.n_label_good for r in rows)
+    assert 0 < good < n
