@@ -342,3 +342,164 @@ def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_stats,
         "doc_id long, n_bytes long, n_chars long, n_multibyte_extra long",
     )
+
+
+@register(
+    "token_rarity_scores",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+        ),
+        vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+        ppm AS (
+            SELECT token, (cnt * 1000000) // total AS freq_ppm
+            FROM vocab, tot
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(p.freq_ppm) AS BIGINT) // count(*) AS avg_freq_ppm,
+               min(p.freq_ppm) AS min_freq_ppm
+        FROM tok t JOIN ppm p USING (token)
+        GROUP BY 1
+    """,
+    tags=("curation", "quality", "unigram-lm"),
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring in exact integer form — the CCNet/perplexity
+    filter's distributable core: each token's corpus frequency in parts
+    per million (an integer-exact rational, never float log — floating
+    Σ log p would be summation-order- and libm-dependent across
+    engines), aggregated per document as mean and min.  Low avg ppm ≈
+    rare-token-heavy (OCR garbage or jargon); min ppm flags docs
+    carrying hapax tokens.  Thresholding these buckets into
+    head/middle/tail per source is exactly CCNet's split.
+
+    100 TB shape: vocab build = one explode + hash agg (map-side
+    combine, rows-per-distinct-token); per-doc score = equi-join of the
+    exploded corpus with the vocab on token — Zipf makes the vocab far
+    smaller than the corpus, and integer sums commute so partial
+    aggregation is exact no matter the shuffle order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = pin(
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    ppm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.expr("(cnt * 1000000) div total").alias("freq_ppm")
+    )
+    return (
+        tok.join(ppm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(freq_ppm) div count(*)").alias("avg_freq_ppm"),
+            F.min("freq_ppm").alias("min_freq_ppm"),
+        )
+    )
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+        SELECT 'customer_key_unique' AS constraint_name,
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS n_violations,
+               (SELECT count(*) FROM customer) AS n_checked
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               (SELECT count(*) FROM orders o ANTI JOIN customer c
+                ON o.o_custkey = c.c_custkey),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+                ON l.l_orderkey = o.o_orderkey),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'documents_text_nonempty',
+               (SELECT count(*) FROM documents
+                WHERE text IS NULL OR length(text) = 0),
+               (SELECT count(*) FROM documents)
+        UNION ALL
+        SELECT 'events_ts_in_range',
+               (SELECT count(*) FROM events
+                WHERE ts < TIMESTAMP '2020-01-01' OR ts > TIMESTAMP '2030-01-01'),
+               (SELECT count(*) FROM events)
+    """,
+    tags=("data-quality", "constraints", "deequ"),
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deequ-style data-quality gate: declarative constraints
+    (uniqueness, referential integrity, ranges, non-emptiness) evaluated
+    in one pass each, emitting a violation ledger the pipeline can
+    assert on before publishing a snapshot — the missing guardrail in
+    the reference's ingest (its consumer upserts whatever arrives,
+    collect/consumer2.py).
+
+    100 TB shape: uniqueness is a count-distinct aggregate; FK checks
+    are LEFT ANTI equi-joins (dimension side broadcast when small);
+    range/null checks are row-local counts.  Each constraint is
+    independent, so the checks parallelize as separate stages over one
+    scan per table."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name: str, viol, checked) -> DataFrame:
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").alias("n_violations"),
+            F.col("c").alias("n_checked"),
+        )
+
+    uniq = cust.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("v")
+    )
+    fk_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("v"))
+    fk_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("v"))
+    price = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v")
+    )
+    empty_docs = docs.agg(
+        F.sum(
+            (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+        ).alias("v")
+    )
+    ts_range = ev.agg(
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") > F.lit("2030-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("v")
+    )
+    n_cust = cust.agg(F.count("*").alias("c"))
+    n_orders = orders.agg(F.count("*").alias("c"))
+    n_li = li.agg(F.count("*").alias("c"))
+    n_docs = docs.agg(F.count("*").alias("c"))
+    n_ev = ev.agg(F.count("*").alias("c"))
+    out = check("customer_key_unique", uniq, n_cust)
+    for name, v, c in [
+        ("orders_custkey_fk", fk_orders, n_orders),
+        ("lineitem_orderkey_fk", fk_li, n_li),
+        ("orders_totalprice_positive", price, n_orders),
+        ("documents_text_nonempty", empty_docs, n_docs),
+        ("events_ts_in_range", ts_range, n_ev),
+    ]:
+        out = out.unionByName(check(name, v, c))
+    return out

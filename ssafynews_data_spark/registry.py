@@ -130,6 +130,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "streaming_static_enrich",
     "temperature_resample",
     "quality_classifier",
+    "token_rarity_scores",
+    "dq_constraint_checks",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

@@ -136,3 +136,22 @@ def test_arrow_byte_stats_match_jvm(spark, sf_dir):
         .collect()
     }
     assert got == jvm
+
+
+def test_token_rarity_bounds(spark, sf_dir):
+    from ssafynews_data_spark.operators.curation_blocks import token_rarity_scores
+
+    rows = token_rarity_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_freq_ppm <= r.avg_freq_ppm <= 1_000_000, r
+
+
+def test_dq_checks_clean_fixture(spark, sf_dir):
+    from ssafynews_data_spark.operators.curation_blocks import dq_constraint_checks
+
+    rows = {r.constraint_name: r for r in dq_constraint_checks(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.n_checked > 0
+        assert r.n_violations == 0, r
