@@ -503,3 +503,97 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(check(name, v, c))
     return out
+
+
+#: fixed BM25 demo query + parameters (Robertson/Sparck-Jones defaults).
+BM25_TERMS = ("spark", "window", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks,
+                   len({_DUCK_TOKENS}) AS dl
+            FROM documents
+        ),
+        s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total FROM d),
+        df AS (
+            SELECT
+              sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN list_contains(toks, 'join')   THEN 1 ELSE 0 END) AS df2
+            FROM d
+        ),
+        sc AS (
+            SELECT doc_id,
+              ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'spark')) * ({BM25_K1} + 1.0))
+                / (len(list_filter(toks, x -> x = 'spark'))
+                   + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / (total / n)))
+            + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'window')) * ({BM25_K1} + 1.0))
+                / (len(list_filter(toks, x -> x = 'window'))
+                   + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / (total / n)))
+            + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'join')) * ({BM25_K1} + 1.0))
+                / (len(list_filter(toks, x -> x = 'join'))
+                   + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / (total / n)))
+              AS score
+            FROM d, s, df
+        )
+        SELECT doc_id, round(score, 4) + 0.0 AS bm25
+        FROM sc
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "ranking"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed keyword query — the lexical-retrieval
+    leg of a data-curation stack (mining topic subsets, hard negatives
+    for embedding training).  Everything is JVM expressions: tf =
+    size(filter(toks, =term)), document frequency and avgdl come from
+    ONE tiny stats aggregate broadcast back to the scan, and the
+    three-term sum is written in fixed order so Spark and DuckDB
+    produce bit-identical doubles (per-row arithmetic only — no
+    float reduction across rows anywhere).
+
+    100 TB shape: corpus scanned once, zero shuffle until the global
+    top-k (TakeOrderedAndProject); the stats row is a broadcast.  For
+    ad-hoc many-term queries, the production variant is an inverted
+    postings table (token → doc ids) — built here already by
+    ``token_rarity_scores``'s vocab aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = pin(
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).withColumn(
+            "dl", F.size("toks")
+        )
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    sc = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(BM25_TERMS):
+        tf = F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        norm = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / (F.col("total") / F.col("n"))
+        )
+        term = idf * (tf * (BM25_K1 + 1.0)) / norm
+        score = term if score is None else score + term
+    return (
+        sc.select("doc_id", (F.round(score, 4) + 0.0).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -207,6 +207,66 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY 1 HAVING sum(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    tags=("joins", "semi-join", "having"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING-filtered aggregate feeds a SEMI join
+    back into the fact table.  The big-order key set is the output of a
+    map-side-combining hash aggregate and is tiny (heavy-hitter tail),
+    so it re-enters as a broadcast LeftSemi — the fact table is scanned
+    twice but shuffled only once (for the final per-order rollup).
+    At 100 TB the first aggregate's partial combine means the shuffle
+    carries one row per orderkey, not per lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (SURVEY.md §2.5 — engine surface; reference had none).
 # ---------------------------------------------------------------------------

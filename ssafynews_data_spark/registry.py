@@ -132,6 +132,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "quality_classifier",
     "token_rarity_scores",
     "dq_constraint_checks",
+    "q18_large_volume_customer",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

@@ -155,3 +155,17 @@ def test_dq_checks_clean_fixture(spark, sf_dir):
     for r in rows.values():
         assert r.n_checked > 0
         assert r.n_violations == 0, r
+
+
+def test_bm25_topk_contains_query_terms(spark, sf_dir):
+    from ssafynews_data_spark.operators.curation_blocks import BM25_TERMS, bm25_topk
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert rows == sorted(rows, key=lambda r: (-r.bm25, r.doc_id))
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:5]:  # the best matches must actually mention the query
+        assert any(t in docs[r.doc_id].lower() for t in BM25_TERMS), r
