@@ -161,3 +161,52 @@ def test_decontaminate_broadcasts_bench_hashes(spark, sf_dir):
     plan = _plan(decontaminate_docs(spark, sf_dir))
     assert re.search(r"BroadcastHashJoin \[h#", plan)  # bench side broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_resample_corpus_not_shuffled(spark, sf_dir):
+    """The corpus-side join (docs against the per-source threshold
+    table, carrying the md5-bucket filter) must be broadcast — the
+    documents table is never sort-merge shuffled.  The final join of
+    the two per-source aggregates (rows = #sources) may be anything."""
+    import re
+
+    from ssafynews_data_spark.operators.sampling import temperature_resample
+
+    plan = _plan(temperature_resample(spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin \[source#\d+\].*threshold_bp", plan)
+    assert "CartesianProduct" not in plan
+    # no SMJ consumes the documents scan: every SortMergeJoin input is
+    # an aggregate over source (tiny), so doc_id never reaches one
+    for frag in plan.split("SortMergeJoin")[1:]:
+        assert "doc_id" not in frag.split("HashAggregate")[0]
+
+
+def test_token_rarity_partial_aggs(spark, sf_dir):
+    """Vocab build and per-doc scoring both combine map-side; the vocab
+    join is an equi-join (hash or broadcast), never a nested loop."""
+    from ssafynews_data_spark.operators.curation_blocks import token_rarity_scores
+
+    plan = _plan(token_rarity_scores(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "", 1
+    )  # the single-row totals crossJoin is the only NL join allowed
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_q18_semi_join_is_broadcast(spark, sf_dir):
+    """The HAVING-filtered big-order key set re-enters as a broadcast
+    LeftSemi — the orders scan is never shuffled for the probe."""
+    plan = _plan(relational.q18_large_volume_customer(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_bm25_single_stats_broadcast(spark, sf_dir):
+    """BM25's global stats (N, total, dfs) is ONE single-row broadcast;
+    the scoring pass is scan + TakeOrderedAndProject, no extra shuffle
+    of the corpus."""
+    from ssafynews_data_spark.operators.curation_blocks import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
