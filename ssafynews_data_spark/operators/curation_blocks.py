@@ -597,3 +597,54 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+#: minimum document frequency for a term to enter the postings index.
+POSTINGS_MIN_DF = 5
+
+
+@register(
+    "inverted_postings_index",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS token
+            FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        FROM tok GROUP BY token HAVING count(*) >= {POSTINGS_MIN_DF}
+    """,
+    tags=("retrieval", "index", "postings"),
+)
+def inverted_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — token → sorted posting list of doc ids —
+    the batch side of the BM25/lexical-retrieval stack (`bm25_topk`
+    scores a fixed query inline; ad-hoc queries hit this index
+    instead).  Postings are emitted as a comma-joined string for the
+    cross-engine hash (arrays round-trip differently through pandas).
+
+    100 TB shape: explode + distinct + ONE hash aggregate on token —
+    Zipf caps distinct (doc, token) pairs far below raw token count,
+    and the per-token collect is bounded by document frequency.  At
+    web scale the head terms ('the') get posting lists of ~every doc:
+    production splits those into blocked/skip-list postings — here the
+    HAVING df >= {POSTINGS_MIN_DF} threshold is the frequency floor,
+    and a ceiling would shard by hash(doc_id) div block_size into
+    (token, block) rows with the same aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= POSTINGS_MIN_DF)
+    )

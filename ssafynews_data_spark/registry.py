@@ -133,6 +133,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "token_rarity_scores",
     "dq_constraint_checks",
     "q18_large_volume_customer",
+    "bm25_topk",
+    "inverted_postings_index",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

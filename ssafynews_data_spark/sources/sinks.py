@@ -129,3 +129,31 @@ def write_training_shards(
     if sort_col is not None:
         out = out.sortWithinPartitions(sort_col)
     out.write.mode("overwrite").option("compression", compression).format(fmt).save(path)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    audit_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+):
+    """Write with free pipeline metrics: ``df.observe`` attaches row
+    count and per-column null counts to the SAME job that performs the
+    write, so the audit costs zero extra scans — the Spark-native form
+    of a pipeline's "rows written / nulls seen" counters (at 100 TB a
+    follow-up ``count()`` for auditing would re-read the whole output).
+
+    Returns the metrics row (an ``Observation`` result dict):
+    ``n_rows`` plus ``nulls_<col>`` for each requested column."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in audit_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    observed = df.observe(obs, *metrics)
+    observed.write.mode(mode).format(fmt).save(path)
+    return obs.get

@@ -260,3 +260,21 @@ def test_python_datasource_feed_stream(spark, tmp_path):
         it, off = r.read(off)
         direct.extend(it)
     assert sorted(replay) == sorted(direct)
+
+
+def test_observed_write_metrics_free_of_second_scan(spark, sf_dir, tmp_path):
+    """observe() metrics ride the write job itself; values must match an
+    independent recount."""
+    from ssafynews_data_spark.sources.readers import load_table
+    from ssafynews_data_spark.sources.sinks import observed_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = observed_write(
+        docs, str(tmp_path / "audited"), audit_cols=("text", "lang")
+    )
+    n = docs.count()
+    assert got["n_rows"] == n
+    assert got["nulls_text"] == docs.filter(F.col("text").isNull()).count()
+    assert got["nulls_lang"] == docs.filter(F.col("lang").isNull()).count()
+    back = spark.read.parquet(str(tmp_path / "audited"))
+    assert back.count() == n

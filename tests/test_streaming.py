@@ -125,3 +125,40 @@ def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
     sink(b2, 1)  # replayed batch (at-least-once delivery)
     rows = spark.read.parquet(path).collect()
     assert sorted((r.link, r.v) for r in rows) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_available_now_trigger_drains_to_batch_equivalence(spark, sf_dir):
+    """Trigger.AvailableNow — the production batch-drain mode (bounded
+    run over all available data, then stop, unlike processAllAvailable
+    which is test-harness-only) — must produce the same daily aggregate
+    as the batch query."""
+    import uuid
+
+    from ssafynews_data_spark.operators.streaming_queries import _events_stream
+    from ssafynews_data_spark.sources.readers import load_table
+    from ssafynews_data_spark.streaming.pipeline import daily_tumbling_counts
+
+    agg = daily_tumbling_counts(_events_stream(spark, sf_dir))
+    name = "avnow_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.d, r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.table(name).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.d, r.event_type): (r.n, round(r.total_value, 2))
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
