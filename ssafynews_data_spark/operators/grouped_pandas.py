@@ -76,3 +76,90 @@ def zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(_zscore_group, _OUT_SCHEMA)
+
+
+_FUNNEL_SCHEMA = (
+    "user_id long, n_clicks long, n_purchases long, n_clicks_before_conv long"
+)
+
+
+def _cogroup_funnel(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    """Per-user funnel from two independently-grouped frames.  Keys with
+    rows on only one side arrive with the other frame EMPTY — the
+    cogroup contract."""
+    uid = (
+        clicks["user_id"].iloc[0]
+        if len(clicks)
+        else purchases["user_id"].iloc[0]
+    )
+    n_c, n_p = len(clicks), len(purchases)
+    if n_p == 0:
+        before = n_c  # never converted: every click is pre-conversion
+    else:
+        first_p = purchases["ts"].min()
+        before = int((clicks["ts"] < first_p).sum())
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_clicks": [n_c],
+            "n_purchases": [n_p],
+            "n_clicks_before_conv": [before],
+        }
+    )
+
+
+@register(
+    "cogroup_user_funnel",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, count(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT user_id, count(*) AS n_purchases, min(ts) AS first_p
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        u AS (
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   coalesce(c.n_clicks, 0) AS n_clicks,
+                   coalesce(p.n_purchases, 0) AS n_purchases,
+                   p.first_p
+            FROM c FULL OUTER JOIN p USING (user_id)
+        ),
+        b AS (
+            SELECT u.user_id,
+                   count(*) FILTER (e.ts < u.first_p) AS n_before
+            FROM u JOIN events e
+              ON e.user_id = u.user_id AND e.event_type = 'click'
+            WHERE u.first_p IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT u.user_id, u.n_clicks, u.n_purchases,
+               CASE WHEN u.first_p IS NULL THEN u.n_clicks
+                    ELSE coalesce(b.n_before, 0) END AS n_clicks_before_conv
+        FROM u LEFT JOIN b USING (user_id)
+    """,
+    tags=("cogroup", "applyInPandas", "funnel"),
+)
+def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped grouped-map (``groupBy().cogroup().applyInPandas``) —
+    the two-sided Arrow escape hatch: clicks and purchases are grouped
+    independently by user and handed to pandas as aligned pairs, the
+    shape for per-key logic over two streams that SQL needs multiple
+    self-joins to state (here: clicks before first conversion —
+    verified against exactly that multi-join oracle).
+
+    100 TB shape: ONE co-partitioning shuffle per side on user_id, then
+    per-key Arrow batches — state is bounded by the largest single key,
+    not the table.  Integer outputs only, so the pandas path is
+    bit-comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(_cogroup_funnel, schema=_FUNNEL_SCHEMA)
+    )

@@ -273,6 +273,56 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_week_user_value",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS tu,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tu
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("windows", "range-frame", "event-time"),
+)
+def trailing_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing 7-day count and spend
+    at every event — the value-based window the ROWS-frame queries
+    can't state (a frame of *time*, not of row count; rows with equal
+    timestamps are peers and enter together).  Ordering is integer
+    epoch-microseconds and amounts are integer cents, so the running
+    frame sums are bit-exact across engines regardless of evaluation
+    order.
+
+    100 TB shape: one shuffle on user_id, then a per-partition ordered
+    scan with a sliding two-pointer frame — O(rows), no re-scan per
+    frame.  The same shape serves fraud velocity checks and rate
+    limiting."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tu")
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum("cents").over(w).alias("cents_7d"),
+    )
+
+
+@register(
     "top_events_per_user",
     oracle="""
         SELECT user_id, event_id, event_type,

@@ -135,6 +135,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "q18_large_volume_customer",
     "bm25_topk",
     "inverted_postings_index",
+    "cogroup_user_funnel",
+    "trailing_week_user_value",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",
