@@ -203,10 +203,19 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     labeled = pin(quality_features(docs))
+    if labeled.limit(1).count() == 0:
+        # empty-corpus path (mirrors pca_kmeans): keep the output schema
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs long, n_label_good long, "
+            "n_pred_good long, n_agree long",
+        )
     asm = VectorAssembler(
         inputCols=["stop_ratio", "distinct_ratio", "log_n"], outputCol="_f"
     )
     train = asm.transform(labeled.sample(fraction=0.5, seed=SEED))
+    if train.limit(1).count() == 0:  # tiny corpus: sample can be empty
+        train = asm.transform(labeled)
     lr = LogisticRegression(
         featuresCol="_f", labelCol="label", maxIter=25, regParam=1e-4
     ).fit(train)
