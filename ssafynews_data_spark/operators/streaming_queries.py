@@ -8,6 +8,7 @@ oracle-checked against DuckDB, not just unit-tested.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,29 +19,45 @@ from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import _ensure_session_conf
 from ssafynews_data_spark.streaming.pipeline import daily_tumbling_counts
 
-#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) → long).
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_physical_schema(ts_type: T.DataType) -> T.StructType:
+    """Stream-source schema for events.parquet; ``ts`` varies by fixture
+    encoding (long nanos vs TIMESTAMP_NTZ micros — see load_table)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ``ts`` normalized to
+    session-TZ TIMESTAMP.  Streaming readers need an explicit schema, so
+    probe the parquet footer via a batch read first and branch on what the
+    fixture actually contains (the generator has shipped both
+    TIMESTAMP(NANOS)-as-long and timestamp[us]/NTZ encodings)."""
     _ensure_session_conf(spark)
+    physical_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(_events_physical_schema(physical_ts))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # `div` = exact integer division; floor(col/1000) loses precision on
-    # nanosecond longs > 2^53 (see sources/readers.py:load_table).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(physical_ts, T.LongType):
+        # `div` = exact integer division; floor(col/1000) loses precision
+        # on nanosecond longs > 2^53 (see sources/readers.py:load_table).
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ (or already-TZ) micros: cast is wall-clock-preserving under the
+    # pinned UTC session timezone.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @register(

@@ -47,10 +47,16 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan — pushdown/pruning are free.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet; Spark reads
-    it as long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we
-    convert to a microsecond timestamp — the same truncation DuckDB
-    applies, so oracles agree.
+    Timestamp columns are normalized to session-TZ ``TIMESTAMP`` whatever
+    the fixture's physical encoding is:
+
+    - ``TIMESTAMP(NANOS)`` parquet → Spark reads long nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) → exact integer div to
+      micros — the same truncation DuckDB applies, so oracles agree.
+    - ``timestamp[us]`` (isAdjustedToUTC=false) → Spark reads
+      ``TIMESTAMP_NTZ`` → cast to ``TIMESTAMP``; under the pinned UTC
+      session TZ the cast preserves the wall-clock instant, which is what
+      DuckDB (UTC-naive) sees.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -60,11 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         want = TESTDATA_SCHEMAS.get(name, T.StructType([]))
         want_field = next((f for f in want.fields if f.name == field.name), None)
-        if (
-            want_field is not None
-            and isinstance(want_field.dataType, T.TimestampType)
-            and isinstance(field.dataType, T.LongType)
-        ):
+        if want_field is None or not isinstance(want_field.dataType, T.TimestampType):
+            continue
+        if isinstance(field.dataType, T.LongType):
             # Integer division, NOT F.floor(col / 1000): Spark's `/` on
             # longs is double division, and 2024-era epoch nanos (~1.7e18)
             # exceed double's 53-bit exact range (ulp = 256 ns), so the
@@ -73,6 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
