@@ -123,6 +123,74 @@ def default_noun_factory():
         return HeuristicKoreanNounExtractor()
 
 
+class OpenAIEmbeddingModel:
+    """Real embedding provider over the public OpenAI REST API
+    (https://api.openai.com/v1/embeddings) with the same ``encode(text)
+    -> sequence[float]`` contract as :class:`HashEmbeddingModel` — the
+    engine analog of the reference's OpenAI embedding call
+    (collect/consumer.py:116-149), restructured for executors:
+
+    - the *factory* (:func:`openai_embedding_factory`) ships by pickle
+      reference; each Python worker builds ONE model on its first Arrow
+      batch (``get_provider`` — the Flink ``open()`` analog,
+      collect/consumer2.py:81-95), so the HTTP session/key setup happens
+      once per worker, not once per row;
+    - the instance holds only strings (key, model name, endpoint) — it
+      is picklable, but never actually pickled after construction;
+    - stdlib ``urllib`` only: no client-library dependency to gate.
+
+    Env-gated: requires ``OPENAI_API_KEY``; the test image has neither
+    the key nor network, so tests/test_real_providers_gated.py skips
+    there and runs wherever a key exists.
+    """
+
+    ENDPOINT = "https://api.openai.com/v1/embeddings"
+
+    def __init__(
+        self,
+        api_key: str,
+        model: str = "text-embedding-3-small",
+        timeout: float = 30.0,
+    ):
+        self.api_key = api_key
+        self.model = model
+        self.timeout = timeout
+
+    def encode(self, text: str):
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.ENDPOINT,
+            data=json.dumps(
+                {"model": self.model, "input": text or " "}
+            ).encode(),
+            headers={
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.load(resp)
+        return payload["data"][0]["embedding"]
+
+
+def openai_embedding_factory():
+    """Factory for :func:`make_embedding_udf`: real OpenAI embeddings
+    when ``OPENAI_API_KEY`` is set, loud failure otherwise (silent
+    fallback to the hash mock would corrupt a real corpus build)."""
+    key = os.environ.get("OPENAI_API_KEY")
+    if not key:
+        raise RuntimeError(
+            "OPENAI_API_KEY is not set; use default_embedding_factory "
+            "(deterministic hash model) for offline runs"
+        )
+    return OpenAIEmbeddingModel(
+        api_key=key,
+        model=os.environ.get("OPENAI_EMBED_MODEL", "text-embedding-3-small"),
+    )
+
+
 class MarkingFactory:
     """Test instrumentation: a factory that records every instantiation
     as a unique pid-tagged file in ``marker_dir`` — counting files vs

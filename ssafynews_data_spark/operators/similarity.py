@@ -37,6 +37,10 @@ N_QUERIES = 10  # vec_id < 10 form the query set
 NEAR_DUP_COS = 0.35  # max pairwise cos in the fixture blobs is ~0.48
 NPROBE = 2
 IVF_K = 8
+#: hard ceiling for the exact (driver-materialized) near-dup verify form —
+#: above this the quadratic GEMM and the toPandas() both stop being "small
+#: by contract"; callers must switch to ``near_dup_auto`` / LSH.
+EXACT_NEAR_DUP_MAX_ROWS = 50_000
 
 
 def as_double(c: Column) -> Column:
@@ -147,8 +151,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    corpus = _corpus(spark, sf_dir)
-    pdf = corpus.toPandas()  # verify-form corpus is small by contract
+    corpus = pin(_corpus(spark, sf_dir))
+    n = corpus.count()
+    if n > EXACT_NEAR_DUP_MAX_ROWS:
+        # Fail loudly instead of OOMing the driver: the corpus matrix is
+        # broadcast into every Python worker AND materialized here.
+        raise ValueError(
+            f"embedding_near_dup is the exact verify form (quadratic, "
+            f"driver-materialized) and is capped at "
+            f"{EXACT_NEAR_DUP_MAX_ROWS} rows; got {n}. Use near_dup_auto "
+            f"(LSH candidates + exact verify) at scale."
+        )
+    pdf = corpus.toPandas()  # verify-form corpus is small by contract (guarded)
     if pdf.empty:
         return spark.createDataFrame([], "id_a LONG, id_b LONG, cos_sim DOUBLE")
 

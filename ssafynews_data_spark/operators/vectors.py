@@ -24,6 +24,24 @@ KMEANS_MAX_K = 5  # spark_daily_report.py:91
 SEED = 42  # spark_daily_report.py:92
 
 
+def _drop_training_summary(model) -> None:
+    """Detach the fit-time summary from an MLlib model before transform.
+
+    Training summaries (LogisticRegression, KMeans, ...) hold the
+    SparkSession, whose ObservationManager is not serializable; when the
+    model rides into a transform closure the task serializer then fails
+    intermittently (java.io.NotSerializableException: ObservationManager
+    — depends on which plan path captures the model).  Scala's
+    package-private ``setSummary`` is public in bytecode, so py4j can
+    clear it; harmless no-op if the model type has no summary."""
+    from pyspark import SparkContext
+
+    try:
+        model._java_obj.setSummary(SparkContext._jvm.scala.Option.empty())
+    except Exception:
+        pass  # model type without a summary slot — nothing to detach
+
+
 def pca_kmeans(
     df: DataFrame,
     embedding_col: str = "embedding",
@@ -66,6 +84,7 @@ def pca_kmeans(
     reduced = pca.transform(clean)
     k = min(max_k, n)
     km = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cluster").fit(reduced)
+    _drop_training_summary(km)
     out = km.transform(reduced)
     arr = vector_to_array(F.col("_pca"))
     return (
@@ -219,6 +238,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = LogisticRegression(
         featuresCol="_f", labelCol="label", maxIter=25, regParam=1e-4
     ).fit(train)
+    _drop_training_summary(lr)
     scored = lr.transform(asm.transform(labeled))
     return (
         scored.groupBy("source")

@@ -99,6 +99,21 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "dedup_connected_components",
     "streaming_interval_join",
     "llm_corpus_pipeline",
+    # round-4 window rotation: locally-oracled queries that have never
+    # had a driver CORRECTNESS row take the slots of long-stable passes
+    # (which keep their r1-r3 green history and stay locally gated).
+    "char_stats_quality",
+    "nfc_normalize_docs",
+    "session_window_stats",
+    "robust_value_stats",
+    "boilerplate_block_removal",
+    "token_chunk_windows",
+    "bm25_topk",
+    "q18_large_volume_customer",
+    "trailing_week_user_value",
+    "inverted_postings_index",
+    "cogroup_user_funnel",
+    "dq_constraint_checks",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -115,28 +130,27 @@ DEMOTE_LAST: tuple[str, ...] = (
     "simhash_pairs",
     "media_decode_features",
     "hll_daily_user_sketches",
-    # round-2 session-3 additions: oracle-checked locally via
-    # tools/check_oracles.py; they yield window slots to the established
-    # in-window set (zero-sum 50-row driver cap)
-    "char_stats_quality",
-    "nfc_normalize_docs",
-    "session_window_stats",
-    "robust_value_stats",
     # round-2 session-4 additions: same zero-sum window policy
-    "boilerplate_block_removal",
-    "token_chunk_windows",
     "cms_heavy_hitters",
     "arrow_byte_stats",
     "streaming_static_enrich",
     "temperature_resample",
     "quality_classifier",
     "token_rarity_scores",
-    "dq_constraint_checks",
-    "q18_large_volume_customer",
-    "bm25_topk",
-    "inverted_postings_index",
-    "cogroup_user_funnel",
-    "trailing_week_user_value",
+    # round-4 rotation OUT: driver-green in r1-r3 (history stands);
+    # surfaces remain locally gated via check_oracles + pytest
+    "word_freq_topk",
+    "lang_id",
+    "quality_scores",
+    "tfidf_top_terms",
+    "token_block_layout",
+    "redact_pii",
+    "gopher_quality_filter",
+    "exact_dedup_groups",
+    "dedup_documents",
+    "mock_enrich_documents",
+    "q1_pricing_summary",
+    "media_metadata",
     # md5-bucket split mechanism is oracle-covered in-window by
     # domain_mix_sample; the split variant yields its slot
     "train_test_split_docs",

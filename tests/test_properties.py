@@ -391,3 +391,74 @@ def test_nfc_normalize_matches_duckdb(mk_df, vals):
     got = {r.i: r.n for r in df.select("i", nfc_normalize_udf("s").alias("n")).collect()}
     want = dict(_duck(list(enumerate(vals)), "SELECT i, nfc_normalize(s) FROM t"))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Heuristic Korean noun extractor: pure-Python provider, so properties
+# run without Spark — generated mixed noun-stem/josa/verb-ending/ASCII
+# text exercises the suffix-stripping rules far past the fixtures.
+# ---------------------------------------------------------------------------
+
+_noun_stems = st.sampled_from(
+    ["뉴스", "속보", "정치", "경제", "사회", "문화", "세계", "과학", "바다", "기자"]
+)
+_josa = st.sampled_from(["", "은", "는", "이", "가", "을", "를", "의", "에서", "부터"])
+_verbish = st.sampled_from(["했다", "한다", "된다", "있다", "없다", ""])
+_noun_word = st.one_of(
+    st.tuples(_noun_stems, _josa).map("".join),          # noun + particle
+    st.tuples(_noun_stems, _verbish).map("".join),       # noun + verb ending
+    st.text(alphabet=st.sampled_from(list("가나다라마바사아")), max_size=4),
+    st.text(alphabet=st.sampled_from(list("abcXYZ019.,")), max_size=6),  # non-Hangul noise
+)
+noun_corpora = st.lists(
+    st.lists(_noun_word, max_size=12).map(" ".join), min_size=1, max_size=25
+)
+
+
+@given(vals=noun_corpora)
+@settings(max_examples=50, deadline=None)
+def test_noun_extractor_invariants(vals):
+    import re
+
+    from ssafynews_data_spark.functions.providers import (
+        _JOSA,
+        _VERB_ENDINGS,
+        HeuristicKoreanNounExtractor,
+    )
+
+    ex = HeuristicKoreanNounExtractor()
+    for text in vals:
+        nouns = ex.nouns(text)
+        assert nouns == ex.nouns(text)  # deterministic
+        runs = re.findall(r"[가-힣]+", text)
+        for w in nouns:
+            # pure Hangul, >= 2 syllables, never a dropped verb ending
+            assert re.fullmatch(r"[가-힣]{2,}", w), w
+            assert not w.endswith(_VERB_ENDINGS), w
+            # every noun is a Hangul run or a run minus ONE josa suffix
+            assert any(
+                w == r or (r.startswith(w) and r[len(w):] in _JOSA) for r in runs
+            ), (w, runs)
+        # completeness: a run that is itself a clean >=2-syllable stem
+        # (no strippable suffix, no verb ending) must be extracted
+        for r in runs:
+            if (
+                len(r) >= 2
+                and not r.endswith(_VERB_ENDINGS)
+                and not any(r.endswith(j) and len(r) - len(j) >= 2 for j in _JOSA)
+            ):
+                assert r in nouns, (r, nouns)
+
+
+def test_noun_udf_agrees_with_provider(spark):
+    """The Arrow UDF path (make_noun_udf + once-per-worker handle) must
+    emit exactly what the provider emits row-by-row."""
+    from ssafynews_data_spark.functions.providers import HeuristicKoreanNounExtractor
+    from ssafynews_data_spark.functions.udfs import make_noun_udf
+
+    texts = ["뉴스속보를 전한다", "경제가 성장했다", "abc 123", "", "바다는 넓다"]
+    ex = HeuristicKoreanNounExtractor()
+    udf = make_noun_udf(HeuristicKoreanNounExtractor, name="nouns_prop_test")
+    df = spark.createDataFrame(list(enumerate(texts)), "i int, s string")
+    got = {r.i: r.n for r in df.select("i", udf(F.col("s")).alias("n")).collect()}
+    assert got == {i: ex.nouns(t) for i, t in enumerate(texts)}

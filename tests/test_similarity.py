@@ -48,6 +48,16 @@ def test_near_dup_pairs_ordered(spark, sf_dir):
     assert all(r.cos_sim >= similarity.NEAR_DUP_COS for r in rows)
 
 
+def test_near_dup_guard_rejects_large_corpus(spark, sf_dir, monkeypatch):
+    """The exact verify form materializes the corpus on the driver; above
+    the cap it must refuse loudly (pointing at near_dup_auto), not OOM."""
+    import pytest
+
+    monkeypatch.setattr(similarity, "EXACT_NEAR_DUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="near_dup_auto"):
+        similarity.embedding_near_dup(spark, sf_dir)
+
+
 def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
     """A kept vector may not have a smaller-id kept neighbor >= eps in
     its own cluster; every dropped vector must have SOME smaller-id
