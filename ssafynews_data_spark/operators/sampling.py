@@ -272,3 +272,107 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fmt(hourly, "hour").unionByName(fmt(daily, "day")).unionByName(
         fmt(monthly, "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — hashed n-gram features
+# reduced here to unigrams for oracle-exact cross-engine math.
+# ---------------------------------------------------------------------------
+
+#: the in-domain exemplar slice (the "target" distribution p) — at 100 TB
+#: this is a curated seed corpus; the raw corpus is the proposal q.
+DSIR_TARGET_SOURCE = "src0"
+
+
+_DSIR_ORACLE = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split_regex(lower(text),
+                          '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS token
+            FROM documents
+        ),
+        raw_counts AS (
+            SELECT token, count(*) AS c_r FROM toks GROUP BY token
+        ),
+        tgt_counts AS (
+            SELECT token, count(*) AS c_t FROM toks
+            WHERE source = 'TGT' GROUP BY token
+        ),
+        consts AS (
+            SELECT (SELECT count(*) FROM toks) AS total_r,
+                   (SELECT count(*) FROM toks WHERE source = 'TGT') AS total_t,
+                   (SELECT count(*) FROM raw_counts) AS v
+        ),
+        ratio AS (
+            SELECT r.token,
+                   ln((coalesce(t.c_t, 0) + 1.0) / (c.total_t + c.v))
+                 - ln((r.c_r + 1.0) / (c.total_r + c.v)) AS lr
+            FROM raw_counts r
+            LEFT JOIN tgt_counts t USING (token)
+            CROSS JOIN consts c
+        )
+        SELECT k.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ratio.lr), 4) + 0.0 AS dsir_score
+        FROM toks k JOIN ratio USING (token)
+        GROUP BY k.doc_id
+""".replace("'TGT'", "'src0'")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("sampling", "dsir", "importance"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score: mean over token occurrences of
+    ``ln p_target(tok) - ln p_raw(tok)`` with Laplace smoothing, target =
+    the ``src0`` exemplar slice.  Docs scoring high look like the target
+    domain; resampling by these weights is the DSIR selection step.
+
+    100 TB shape: both frequency tables are VOCABULARY-sized, not
+    corpus-sized — they reduce map-side and broadcast back onto the
+    exploded token stream, so the only corpus-scale shuffle is the final
+    per-doc mean (whose partial aggregation collapses each doc to one
+    row map-side, since a doc's exploded tokens stay in its partition).
+    """
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = pin(
+        docs.select("doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    is_tgt = F.col("source") == DSIR_TARGET_SOURCE
+    # one pass over the pinned token stream yields BOTH count tables
+    # (c_t as a conditional count) plus, via a second tiny agg over the
+    # vocab-sized result, all three scalars
+    counts = pin(
+        toks.groupBy("token").agg(
+            F.count("*").alias("c_r"),
+            F.count(F.when(is_tgt, 1)).alias("c_t"),
+        )
+    )
+    total_r, total_t, v = counts.agg(
+        F.sum("c_r"), F.sum("c_t"), F.count("*")
+    ).first()
+    if not total_r:  # empty corpus: sums come back NULL
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, dsir_score double"
+        )
+    total_t = total_t or 0  # corpus without the target domain
+    ratio = counts.select(
+        "token",
+        (
+            F.log((F.col("c_t") + 1.0) / F.lit(float(total_t + v)))
+            - F.log((F.col("c_r") + 1.0) / F.lit(float(total_r + v)))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.round(F.avg("lr"), 4) + 0.0).alias("dsir_score"),
+        )
+    )

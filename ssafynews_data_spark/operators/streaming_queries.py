@@ -320,3 +320,51 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+@register(
+    "streaming_watermark_dedup",
+    oracle="""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "D1", "ST6", "dropDuplicatesWithinWatermark"),
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under REAL duplicate pressure:
+    the events stream unioned with a second reader of the same data, so
+    every key arrives (at least) twice and the operator must collapse
+    the union back to one row per event_id.
+
+    Unlike plain streaming ``dropDuplicates`` (streaming_dedup_counts),
+    this operator's state is BOUNDED: keys are evicted once the
+    watermark passes their event time + delay — the production choice
+    for infinite streams, where exact dedup state would grow without
+    limit (the delay is the dedup guarantee window: re-crawls and
+    producer retries land within it, archival replays do not).  The
+    delay here exceeds the fixture's time span so the check is exact;
+    the deduped rows flow append-mode to the sink and are aggregated as
+    a batch, keeping ONE stateful operator in the streaming graph."""
+    dup = _events_stream(spark, sf_dir).unionByName(_events_stream(spark, sf_dir))
+    deduped = dup.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "swd_" + uuid.uuid4().hex[:10]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out

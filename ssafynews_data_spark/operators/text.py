@@ -715,3 +715,54 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
     )
     return m.withColumn("passes", passes)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (bytes/token) — corpus sizing for tokenizer choice.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, lang,
+                   octet_length(encode(text)) AS b,
+                   len({_DUCK_TOKENS}) AS nt
+            FROM documents
+        )
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS total_bytes,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               round(CAST(sum(b) AS DOUBLE) / sum(nt), 4) AS bytes_per_token,
+               round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS tokens_per_doc
+        FROM t GROUP BY source, lang
+    """,
+    tags=("tokens", "fertility", "corpus-sizing"),
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (source, lang): UTF-8 bytes per token and
+    tokens per document — the numbers that size a 100 TB corpus in token
+    space (training-budget planning, tokenizer comparison, shard
+    layout).  Single tokenize, row-local byte/len math, ONE hash
+    aggregate on a low-cardinality key; the division happens after the
+    integer sums so both engines quantize identical integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        F.octet_length("text").alias("b"),
+        F.size(tokens_col(F.col("text"))).alias("nt"),
+    )
+    return t.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("b").cast("long").alias("total_bytes"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("b").cast("double") / F.sum("nt"), 4
+        ).alias("bytes_per_token"),
+        F.round(
+            F.sum("nt").cast("double") / F.count("*"), 4
+        ).alias("tokens_per_doc"),
+    )

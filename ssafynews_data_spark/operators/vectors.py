@@ -251,3 +251,67 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization — storage-scale compression audit (int8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "int8_quantize_embeddings",
+    oracle="""
+        WITH q AS (
+            SELECT label,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS scale,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, scale,
+                   list_sum(list_transform(emb,
+                       x -> (x - round(x * 127.0 / scale) * scale / 127.0)
+                          * (x - round(x * 127.0 / scale) * scale / 127.0)))
+                   / len(emb) AS mse
+            FROM q WHERE scale > 0
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(scale), 6) + 0.0 AS avg_scale,
+               round(avg(mse), 10) + 0.0 AS avg_mse
+        FROM m GROUP BY label
+    """,
+    tags=("vectors", "quantization", "compression"),
+)
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization audit: per vector, scale =
+    max|x|, code = round(127·x/scale), and the reconstruction MSE of
+    dequantized codes; aggregated per label.  This is the storage-scale
+    decision table for a 100 TB embedding store (int8 cuts the footprint
+    4x; the MSE column says what it costs).  Everything is row-local
+    array math in whole-stage codegen — ONE shuffle, the per-label agg;
+    in-order accumulation keeps every double bitwise equal to the
+    sequential DuckDB list_sum."""
+    from ssafynews_data_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("emb")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = emb.select(
+        "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("scale", scale).filter(F.col("scale") > 0)
+
+    def sq_err(x):
+        e = x - F.round(x * 127.0 / F.col("scale")) * F.col("scale") / 127.0
+        return e * e
+
+    mse = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + sq_err(x)
+    ) / F.size(v)
+    m = q.withColumn("mse", mse)
+    return m.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.round(F.avg("scale"), 6) + 0.0).alias("avg_scale"),
+        (F.round(F.avg("mse"), 10) + 0.0).alias("avg_mse"),
+    )

@@ -137,6 +137,13 @@ DEMOTE_LAST: tuple[str, ...] = (
     "temperature_resample",
     "quality_classifier",
     "token_rarity_scores",
+    # round-4 NEW queries: locally oracle-green, parked outside the
+    # window this round so the validated 50-slot set stays fixed;
+    # rotate them in next round
+    "tokenizer_fertility_stats",
+    "dsir_importance_weights",
+    "int8_quantize_embeddings",
+    "streaming_watermark_dedup",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",

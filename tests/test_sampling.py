@@ -110,3 +110,26 @@ def test_temperature_resample_flattens_and_is_exact(spark, sf_dir):
     }
     for s, r in rows.items():
         assert recount.get(s, 0) == r.n_kept, s
+
+
+def test_dsir_scores_favor_target_domain(spark, sf_dir):
+    """Smoothed log-ratio weights must (a) cover every tokenized doc,
+    (b) be finite, and (c) rank the target-domain slice at or above the
+    rest on average — src0's own tokens are what the target
+    distribution is built from."""
+    from ssafynews_data_spark.operators.sampling import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = dsir_importance_weights(spark, sf_dir).join(docs, "doc_id")
+    rows = w.collect()
+    assert rows and all(r.n_tokens > 0 for r in rows)
+    import math
+
+    assert all(math.isfinite(r.dsir_score) for r in rows)
+    tgt = [r.dsir_score for r in rows if r.source == DSIR_TARGET_SOURCE]
+    rest = [r.dsir_score for r in rows if r.source != DSIR_TARGET_SOURCE]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)

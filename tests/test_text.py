@@ -168,3 +168,16 @@ def test_char_stats_handles_astral_and_empty(spark):
     assert rows[1] == (3, 2)  # a, 😀(×2), b — emoji counted once per occurrence
     assert rows[2] == (0, 0)
     assert rows[3] == (1, 4)
+
+
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    """Every token costs >= 1 byte, and the per-group sums must recount
+    from the doc-level columns."""
+    from ssafynews_data_spark.operators.text import tokenizer_fertility_stats
+
+    rows = tokenizer_fertility_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.total_bytes >= r.total_tokens >= r.n_docs  # >=1 token/doc fixture
+        assert r.bytes_per_token >= 1.0
+        assert abs(r.tokens_per_doc - r.total_tokens / r.n_docs) < 1e-3

@@ -61,3 +61,27 @@ def test_quality_classifier_recovers_teacher_rule(spark, sf_dir):
     # both classes are represented on the fixture (the cut is not degenerate)
     good = sum(r.n_label_good for r in rows)
     assert 0 < good < n
+
+
+def test_int8_quantization_error_bounded(spark, sf_dir):
+    """Max-abs int8 round error is at most scale/254 per element, so the
+    per-label MSE must sit below (max_scale/254)^2; scales positive."""
+    from ssafynews_data_spark.operators.vectors import int8_quantize_embeddings
+
+    rows = int8_quantize_embeddings(spark, sf_dir).collect()
+    assert rows
+    from ssafynews_data_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_scale = emb.select(
+        F.max(
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("m")
+    ).first().m
+    bound = (max_scale / 254.0) ** 2
+    for r in rows:
+        assert r.n_vecs > 0 and r.avg_scale > 0
+        assert 0.0 <= r.avg_mse <= bound
