@@ -599,3 +599,116 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Hybrid retrieval — dense + sparse rankings fused by RRF.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+        WITH items AS (
+            SELECT e.vec_id AS id,
+                   CAST(e.embedding AS DOUBLE[]) AS emb,
+                   list_distinct(list_filter(string_split_regex(lower(d.text),
+                       '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')) AS toks
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        pairs AS (
+            SELECT q.id AS query_id, c.id AS id,
+                   list_cosine_similarity(q.emb, c.emb) AS sim,
+                   len(list_filter(q.toks, x -> list_contains(c.toks, x))) AS inter,
+                   len(q.toks) + len(c.toks)
+                     - len(list_filter(q.toks, x -> list_contains(c.toks, x))) AS uni
+            FROM items q JOIN items c ON q.id < {N_QUERIES} AND q.id <> c.id
+        ),
+        ranked AS (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, id) AS rank_dense,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY CASE WHEN uni = 0 THEN 0.0
+                                               ELSE CAST(inter AS DOUBLE) / uni END DESC,
+                                               id) AS rank_sparse
+            FROM pairs
+        ),
+        fused AS (
+            SELECT query_id, id,
+                   1.0 / ({RRF_K} + rank_dense) + 1.0 / ({RRF_K} + rank_sparse)
+                       AS rrf
+            FROM ranked
+        )
+        SELECT query_id, id AS doc_id, round(rrf, 6) AS rrf_score,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, id) AS rank
+              FROM fused)
+        WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "hybrid", "rrf", "retrieval"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal rank fusion: each
+    query document ranks the corpus twice — by embedding cosine and by
+    distinct-token Jaccard — and the two rank lists fuse as
+    ``1/(60+r_dense) + 1/(60+r_sparse)`` (Cormack et al.'s RRF, the
+    standard fusion in production RAG stacks).
+
+    Physical shape: ONE pair frame computes both signals (the broadcast
+    query side carries its embedding AND token set, so the corpus
+    streams once), then two window ranks over the same frame and a
+    final per-query top-k.  At 100 TB the shape is unchanged: |queries|
+    ≪ |corpus| keeps the join broadcast, and the windows partition by
+    query_id — parallel across queries, linear per query."""
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
+    )
+    items = _corpus(spark, sf_dir).join(
+        docs, F.col("vec_id") == F.col("doc_id")
+    ).select(F.col("vec_id").alias("id"), "emb", "toks")
+    queries = items.select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("toks").alias("q_toks"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    inter = F.size(F.array_intersect(F.col("q_toks"), F.col("toks")))
+    uni = F.size(F.col("q_toks")) + F.size(F.col("toks")) - inter
+    jac = F.when(uni == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / uni
+    )
+    pairs = items.join(
+        F.broadcast(queries), F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "id",
+        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+        jac.alias("jac"),
+    )
+    w_dense = W.partitionBy("query_id").orderBy(F.desc("sim"), "id")
+    w_sparse = W.partitionBy("query_id").orderBy(F.desc("jac"), "id")
+    fused = pairs.select(
+        "query_id",
+        "id",
+        (
+            1.0 / (RRF_K + F.row_number().over(w_dense))
+            + 1.0 / (RRF_K + F.row_number().over(w_sparse))
+        ).alias("rrf"),
+    )
+    w_final = W.partitionBy("query_id").orderBy(F.desc("rrf"), "id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.round("rrf", 6).alias("rrf_score"),
+            "rank",
+        )
+    )

@@ -144,6 +144,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "dsir_importance_weights",
     "int8_quantize_embeddings",
     "streaming_watermark_dedup",
+    "hybrid_rrf_retrieval",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",
