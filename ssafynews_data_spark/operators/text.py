@@ -13,6 +13,8 @@ by token counts, word frequencies, language-ID, and the dedup shingles
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -765,4 +767,54 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("nt").cast("double") / F.count("*"), 4
         ).alias("tokens_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (deflate entropy proxy).
+# ---------------------------------------------------------------------------
+
+#: deflate ratio bounds: below → near-constant/repeated text (template
+#: spam); above → high-entropy noise (binary junk, encoded blobs).
+COMPRESS_RATIO_MIN = 0.25
+COMPRESS_RATIO_MAX = 1.05
+
+
+@register("compression_quality_scores", tags=("quality", "compression", "entropy"))
+def compression_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressibility as a quality gate: highly compressible
+    documents are repetitive boilerplate, incompressible ones are noise
+    — the cheap entropy proxy common in web-corpus curation (it catches
+    template spam that token-level repetition scores miss because the
+    repetition spans structure, not adjacent n-grams).
+
+    No SQL oracle (DuckDB has no deflate UDF); invariants live in
+    tests/test_text.py.  Physical shape: one Arrow-batched pandas_udf —
+    zlib is C-speed per row, the batch boundary is the only Python
+    overhead — then row-local flag math.  Embarrassingly parallel, no
+    shuffle; at 100 TB this rides the same scan as every other row-local
+    gate."""
+
+    @F.pandas_udf("long")
+    def zlib_size(text: pd.Series) -> pd.Series:
+        import zlib
+
+        return text.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length("text")
+    m = docs.select(
+        "doc_id",
+        "source",
+        n_bytes.alias("n_bytes"),
+        zlib_size(F.col("text")).alias("n_compressed"),
+    )
+    ratio = F.when(
+        F.col("n_bytes") == 0, F.lit(0.0)
+    ).otherwise(F.round(F.col("n_compressed") / F.col("n_bytes"), 4))
+    return m.withColumn("compress_ratio", ratio).withColumn(
+        "passes",
+        F.col("compress_ratio").between(COMPRESS_RATIO_MIN, COMPRESS_RATIO_MAX),
     )

@@ -181,3 +181,38 @@ def test_tokenizer_fertility_invariants(spark, sf_dir):
         assert r.total_bytes >= r.total_tokens >= r.n_docs  # >=1 token/doc fixture
         assert r.bytes_per_token >= 1.0
         assert abs(r.tokens_per_doc - r.total_tokens / r.n_docs) < 1e-3
+
+
+def test_compression_ratio_orders_repetition(spark, sf_dir):
+    """Repeated text must compress harder (lower ratio) than high-entropy
+    text; fixture docs sit between; ratios are positive and reproducible."""
+    from ssafynews_data_spark.operators.text import (
+        compression_quality_scores,
+    )
+
+    rows = compression_quality_scores(spark, sf_dir).collect()
+    assert rows and all(r.n_compressed > 0 for r in rows)
+    assert all(r.compress_ratio > 0 for r in rows)
+    again = {r.doc_id: r.compress_ratio for r in compression_quality_scores(spark, sf_dir).collect()}
+    assert again == {r.doc_id: r.compress_ratio for r in rows}
+
+    import random
+    import string
+
+    rng = random.Random(42)
+    noise = "".join(rng.choices(string.printable, k=2000))
+    probe = spark.createDataFrame(
+        [(1, "spam " * 400, "s"), (2, noise, "s")],
+        "doc_id long, text string, source string",
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        probe.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in compression_quality_scores(spark, d).collect()
+        }
+    assert out[1].compress_ratio < 0.05          # template spam: collapses
+    assert out[2].compress_ratio > 0.7           # entropy: barely shrinks
+    assert not out[1].passes and out[2].passes
