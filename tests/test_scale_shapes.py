@@ -210,3 +210,31 @@ def test_bm25_single_stats_broadcast(spark, sf_dir):
     plan = _plan(bm25_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The vocab-sized log-ratio table must broadcast onto the exploded
+    token stream (corpus-scale shuffle only for the per-doc mean), and
+    the count tables must partial-aggregate map-side."""
+    from ssafynews_data_spark.operators import sampling
+
+    plan = _plan(sampling.dsir_importance_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_hybrid_rrf_query_side_broadcasts(spark, sf_dir):
+    """Both retrieval signals ride ONE broadcast pair join (the corpus
+    streams once), and the final per-query top-k is a group limit, not a
+    global sort."""
+    plan = _plan(similarity.hybrid_rrf_retrieval(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # one pair frame
+    assert "WindowGroupLimit" in plan
+
+
+def test_fertility_single_aggregate(spark, sf_dir):
+    """Row-local byte/token math then one exchange on (source, lang)."""
+    plan = _plan(text.tokenizer_fertility_stats(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial agg + AQE read, no extra
+    assert "partial_count" in plan or "partial_sum" in plan
