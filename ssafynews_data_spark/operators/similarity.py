@@ -712,3 +712,24 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "near_dup_auto_pairs",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS}
+    """,
+    tags=("dedup", "similarity", "adaptive"),
+)
+def near_dup_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive router as a registered query: on the fixture it takes
+    the exact branch (JVM self-join, no driver materialization — unlike
+    ``embedding_near_dup``'s GEMM verify form) and must reproduce the
+    exact oracle; above ``exact_limit`` the SAME call switches to LSH
+    candidates + exact verify (branch behavior pytest-covered in
+    tests/test_similarity.py)."""
+    return near_dup_auto(_corpus(spark, sf_dir))
