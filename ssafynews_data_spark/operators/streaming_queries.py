@@ -368,3 +368,65 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+@register(
+    "streaming_semi_join",
+    oracle="""
+        WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_attributed
+        FROM p
+        WHERE EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        )
+        GROUP BY p.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "semi"),
+)
+def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join with an event-time range condition:
+    purchases that had at least one click by the same user in the
+    preceding 30 minutes — attribution EXISTS semantics, each purchase
+    emitted AT MOST ONCE no matter how many clicks match (the inner
+    join variant multiplies; semi is what funnel attribution wants).
+    Both sides watermarked so click state is dropped once the watermark
+    passes click_ts + 30 min.  Oracle: the batch EXISTS formulation."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 days")
+    )
+    attributed = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("p_ts")),
+        "left_semi",
+    )
+    name = "ssj_" + uuid.uuid4().hex[:10]
+    q = (
+        attributed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = (
+            spark.table(name)
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(F.count("*").alias("n_attributed"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out

@@ -147,6 +147,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "compression_quality_scores",
     "near_dup_auto_pairs",
+    "streaming_semi_join",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",
