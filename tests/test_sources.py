@@ -278,3 +278,72 @@ def test_observed_write_metrics_free_of_second_scan(spark, sf_dir, tmp_path):
     assert got["nulls_lang"] == docs.filter(F.col("lang").isNull()).count()
     back = spark.read.parquet(str(tmp_path / "audited"))
     assert back.count() == n
+
+
+def test_jsonl_sink_batch_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource WRITER: every task file lands, the
+    driver manifest names exactly those files, and a manifest-honoring
+    read recovers every row."""
+    import os
+
+    from ssafynews_data_spark.sources.jsonl_datasource import (
+        read_manifest_files,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('doc-', id) AS name", "id % 7 AS bucket"
+    ).repartition(5)
+    df.write.format("jsonl_dir").option("path", d).mode("append").save()
+
+    files, rows = read_manifest_files(d)
+    assert rows == 100
+    assert sorted(files) == sorted(
+        f for f in os.listdir(d) if f.startswith("part-")
+    )
+    back = spark.read.json([os.path.join(d, f) for f in files])
+    assert back.count() == 100
+    assert {r.id for r in back.collect()} == set(range(100))
+
+
+def test_jsonl_sink_streaming_per_epoch_manifests(spark, tmp_path):
+    """Streaming flavor: each micro-batch commits its own manifest; the
+    union of manifests covers the whole stream exactly once."""
+    import os
+
+    from ssafynews_data_spark.sources.feed_datasource import register_feed_source
+    from ssafynews_data_spark.sources.jsonl_datasource import (
+        read_manifest_files,
+        register_jsonl_sink,
+    )
+
+    register_feed_source(spark)
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "stream_out")
+    stream = (
+        spark.readStream.format("news_feed")
+        .option("feeds", "3")
+        .option("entriesperfeed", "4")
+        .option("maxpolls", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", d)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = [f for f in os.listdir(d) if f.startswith("_batch-")]
+    assert len(manifests) >= 2  # one per poll cycle
+    files, rows = read_manifest_files(d)
+    assert rows == 2 * 3 * 4  # polls x feeds x entries
+    back = spark.read.json([os.path.join(d, f) for f in files])
+    assert back.count() == rows
+    assert back.select("link").distinct().count() == rows  # unique per poll
