@@ -324,6 +324,7 @@ _DSIR_ORACLE = """
     "dsir_importance_weights",
     oracle=_DSIR_ORACLE,
     tags=("sampling", "dsir", "importance"),
+    bench=True,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance score: mean over token occurrences of

@@ -650,6 +650,7 @@ RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
         WHERE rank <= {TOP_K}
     """,
     tags=("similarity", "hybrid", "rrf", "retrieval"),
+    bench=True,
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid dense+sparse retrieval with reciprocal rank fusion: each
