@@ -486,6 +486,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE the dedup shuffle: hamming is row-local, so the
+        # distinct only carries surviving pairs, not every band collision
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
     )
