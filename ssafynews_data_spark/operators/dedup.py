@@ -491,3 +491,60 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. PageRank over the near-dup graph — canonical-doc centrality.
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Damped PageRank on an undirected edge list (``a``/``b`` columns,
+    each edge listed once): rank mass flows along edges split evenly
+    over each node's degree.  Per iteration ONE shuffle (contributions
+    grouped by destination) joined against the pinned degree-annotated
+    edge list — the Pregel shape on DataFrames, same as
+    ``_propagate_min_labels``.  Uses the non-normalized formulation
+    (pr = 0.15 + d·Σ pr/deg), so Σpr ≈ |nodes| at every step."""
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    out_edges = pin(sym.join(deg, "a"))
+    ranks = pin(deg.select(F.col("a").alias("node"), F.lit(1.0).alias("pr")))
+    for _ in range(iters):
+        contribs = (
+            out_edges.join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = pin(
+            contribs.groupBy("node").agg(
+                (
+                    F.lit(1.0 - PAGERANK_DAMPING)
+                    + F.lit(PAGERANK_DAMPING) * F.sum("c")
+                ).alias("pr")
+            )
+        )
+    return ranks
+
+
+@register("dedup_graph_pagerank", tags=("dedup", "graph", "pagerank", "iterative"))
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality inside near-dup clusters: the highest-ranked
+    node of each component is the natural canonical document (the one
+    most connected to its variants) — a principled alternative to
+    keep-lowest-id.  Iterative ⇒ rows-only check (per-iteration float
+    sums are order-dependent); invariants (mass conservation, hub
+    dominance, determinism at rounded precision) in tests/test_dedup.py.
+    Edges are the exact-Jaccard pairs here; at scale they come from the
+    banded LSH candidates, same as connected components."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    pr = pagerank(pairs)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 4).alias("pagerank")
+    )

@@ -148,6 +148,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "compression_quality_scores",
     "near_dup_auto_pairs",
     "streaming_semi_join",
+    "q7_nation_volume_shipping",
+    "dedup_graph_pagerank",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",

@@ -115,3 +115,32 @@ def test_connected_components_consistent_with_pairs(spark, sf_dir):
             parent[max(ra, rb)] = min(ra, rb)
     for n in comp:
         assert comp[n] == find(n)
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """On a star graph the hub must dominate; total mass stays ≈ |nodes|
+    (non-normalized damped formulation); reruns agree at 1e-6."""
+    from ssafynews_data_spark.operators.dedup import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], "a long, b long"
+    )
+    rows = {r.node: r.pr for r in pagerank(edges).collect()}
+    n = len(rows)
+    assert abs(sum(rows.values()) - n) < 0.15 * n  # dangling-free graph
+    assert rows[0] == max(rows.values())  # star hub dominates
+    assert all(abs(rows[i] - rows[1]) < 1e-9 for i in range(2, 6))  # leaf symmetry
+    again = {r.node: r.pr for r in pagerank(edges).collect()}
+    assert all(abs(again[k] - v) < 1e-6 for k, v in rows.items())
+
+
+def test_pagerank_canonical_per_component(spark, sf_dir):
+    """Every near-dup component must get ranks for exactly its nodes."""
+    from ssafynews_data_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_graph_pagerank,
+    )
+
+    pr = {r.doc_id for r in dedup_graph_pagerank(spark, sf_dir).collect()}
+    cc = {r.doc_id for r in dedup_connected_components(spark, sf_dir).collect()}
+    assert pr == cc
