@@ -174,3 +174,31 @@ def kafka_connector_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, contract: T.StructType
+) -> DataFrame:
+    """Schema-drift tolerant scan: shards written across pipeline
+    versions (columns added/dropped over time) read as ONE frame with a
+    fixed output contract.
+
+    ``mergeSchema`` unions the footer schemas (per-file reconciliation,
+    a one-time footer pass — cheap relative to the scan), then the
+    contract projection casts present columns and nulls missing ones,
+    so downstream operators never branch on shard vintage.  Columns a
+    shard never wrote are read as NULL from that shard — parquet's
+    column-absence semantics, which is exactly the evolution contract
+    batch re-processing wants.  A column whose TYPE changed
+    incompatibly still fails loudly at merge time — silent coercion
+    across type changes is a data bug, not evolution."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for field in contract.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -347,3 +347,34 @@ def test_jsonl_sink_streaming_per_epoch_manifests(spark, tmp_path):
     back = spark.read.json([os.path.join(d, f) for f in files])
     assert back.count() == rows
     assert back.select("link").distinct().count() == rows  # unique per poll
+
+
+def test_evolving_parquet_reads_mixed_vintage_shards(spark, tmp_path):
+    """v1 shards lack `lang`; v2 shards add it and drop `legacy`.  The
+    contract read returns one stable frame: null-filled where a vintage
+    never wrote the column, extra columns pruned."""
+    from pyspark.sql import types as T
+
+    from ssafynews_data_spark.sources.readers import read_evolving_parquet
+
+    d = str(tmp_path / "shards")
+    v1 = spark.createDataFrame(
+        [(1, "a", "old"), (2, "b", "old")], "doc_id long, text string, legacy string"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "ko")], "doc_id long, text string, lang string"
+    )
+    v1.write.parquet(d + "/part=v1")
+    v2.write.parquet(d + "/part=v2")
+
+    contract = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    out = read_evolving_parquet(spark, d, contract)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
+    rows = {r.doc_id: r.lang for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: "en", 4: "ko"}
