@@ -204,3 +204,31 @@ class MarkingFactory:
         with open(os.path.join(self.marker_dir, fname), "w") as f:
             f.write("x")
         return HashEmbeddingModel(dim=2)
+
+
+class HttpFetcher:
+    """Real crawl provider with the ``fetch(url) -> str`` contract the
+    mock ``crawl_article`` UDF stands in for (collect/consumer.py:113:
+    crawl errors yield '' and the pipeline continues).  stdlib urllib,
+    per-worker instance via ``get_provider`` so connection setup and the
+    politeness timeout are worker-local, not per-row.  Env-gated tests:
+    the test image has no network."""
+
+    def __init__(self, timeout: float = 10.0, max_bytes: int = 1_000_000):
+        self.timeout = timeout
+        self.max_bytes = max_bytes
+
+    def fetch(self, url: str) -> str:
+        import urllib.request
+
+        if not url:
+            return ""
+        try:
+            req = urllib.request.Request(
+                url, headers={"User-Agent": "ssafynews-data-spark/1.0"}
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = resp.read(self.max_bytes)
+            return body.decode("utf-8", errors="replace")
+        except Exception:
+            return ""  # reference error path: empty text, row survives

@@ -223,3 +223,17 @@ def make_sentiment_udf(factory, name: str = "sentiment"):
         return text.map(lambda t: "-" if not t else str(model.predict(t[:300])))
 
     return sent
+
+
+def make_crawl_udf(factory, name: str = "crawler"):
+    """Arrow UDF over a real fetch provider: ``factory() -> model`` with
+    ``model.fetch(url) -> str`` (the requests/urllib contract the mock
+    ``crawl_article`` stands in for, consumer.py:113).  One lazy handle
+    per worker; crawl failures yield '' so the pipeline keeps flowing."""
+
+    @F.pandas_udf(T.StringType())
+    def crawl(url: pd.Series) -> pd.Series:
+        model = get_provider(name, factory)
+        return url.map(lambda u: model.fetch(u or ""))
+
+    return crawl

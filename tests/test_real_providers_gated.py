@@ -54,3 +54,29 @@ def test_openai_embeddings_via_udf(spark):
     # text-embedding-3-small returns 1536-d unit-norm-ish vectors
     assert all(len(v) > 100 for v in rows.values())
     assert rows["a"] != rows["b"]
+
+
+def test_http_fetcher_contract_offline():
+    """Offline contract: empty url and unreachable hosts both yield ''
+    (the reference's crawl-error path) instead of raising."""
+    from ssafynews_data_spark.functions.providers import HttpFetcher
+
+    f = HttpFetcher(timeout=0.2)
+    assert f.fetch("") == ""
+    assert f.fetch("http://127.0.0.1:1/nope") == ""
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_ALLOW_NET"),
+    reason="network-gated (set SPARK_GRAFT_ALLOW_NET to run)",
+)
+def test_http_crawl_via_udf(spark):
+    from ssafynews_data_spark.functions.providers import HttpFetcher
+    from ssafynews_data_spark.functions.udfs import make_crawl_udf
+
+    crawl = make_crawl_udf(HttpFetcher, name="http_crawl")
+    df = spark.createDataFrame(
+        [("a", "https://example.com")], "id string, url string"
+    ).withColumn("body", crawl(F.col("url")))
+    row = df.collect()[0]
+    assert "Example Domain" in row.body
