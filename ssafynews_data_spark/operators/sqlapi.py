@@ -161,3 +161,40 @@ def udtf_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.* FROM docs_udtf, LATERAL token_bigrams(doc_id, text) AS b"
     )
+
+
+#: ONE string, two engines: this text is BOTH the Spark query and the
+#: DuckDB oracle, byte for byte — the portability proof for the SQL
+#: surface (no dialect translation layer, just ANSI).
+_ANSI_SHARED_Q1 = """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "ansi_q1_shared_text",
+    oracle=_ANSI_SHARED_Q1,
+    tags=("sql-api", "ansi", "portability"),
+)
+def ansi_q1_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 from the literal SAME SQL text the oracle runs: the
+    engine registers the parquet tables as views and hands the string to
+    ``spark.sql`` unchanged.  Everything else in the registry pairs a
+    DataFrame program with a dialect-tuned oracle; this query pins down
+    that the SQL-text surface itself is portable ANSI — a user's
+    existing warehouse SQL runs as-is.  Catalyst plans it identically
+    to the DataFrame Q1 (same scan pushdown, same partial aggregate)."""
+    from ssafynews_data_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_ANSI_SHARED_Q1)
