@@ -61,22 +61,38 @@ _skew_cache: dict[str, str] = {}
 @pytest.fixture(scope="module")
 def sanitize(spark):
     """Neutralize Unicode-version skew, authoritatively: Java 17 ships
-    Unicode 13 tables while Python/DuckDB ship newer ones, so codepoints
-    assigned after U13 (U+31350 CJK Ext H, but also in-BMP-adjacent
-    blocks like U+1DF00 Latin Ext-G — hypothesis found both) disagree on
-    \\p{L} and case mapping.  A max_codepoint cap can't express
-    "assigned in U13", so instead ask the JVM (Character.isDefined) and
-    Python (unicodedata) directly and replace any codepoint whose
-    assignment status differs with 'a'."""
-    import unicodedata
+    Unicode 13 tables while DuckDB ships newer ones, so codepoints
+    assigned later (U+31350 CJK Ext H, U+1DF00 Latin Ext-G, U+13441
+    Egyptian hieroglyphs — hypothesis found all three) disagree on
+    \\p{L}/\\p{N} membership and case mapping.  No version cap or
+    Python-side proxy can express "same answer in both engines" (Python
+    unicodedata is a THIRD table version), so ask the two engines that
+    actually run the expressions: compare JVM vs DuckDB letterness AND
+    lowercasing per codepoint, replacing any char they disagree on
+    with 'a'."""
+    import duckdb
 
-    jdef = spark.sparkContext._jvm.java.lang.Character.isDefined
+    con = duckdb.connect()
+    jvm = spark.sparkContext._jvm
+    jpat = jvm.java.util.regex.Pattern.compile("[\\p{L}\\p{N}]")
 
     def fix_char(ch: str) -> str:
         out = _skew_cache.get(ch)
         if out is None:
-            defined_py = unicodedata.category(ch) != "Cn"
-            out = ch if bool(jdef(ord(ch))) == defined_py else "a"
+            j_tok = bool(jpat.matcher(ch).matches())
+            d_tok = bool(
+                con.execute(
+                    "SELECT regexp_matches(?, '[\\p{L}\\p{N}]')", [ch]
+                ).fetchone()[0]
+            )
+            # UTF8String is the code path Spark's lower() runs; py4j keeps
+            # it as an object so the chained call works (a java.lang.String
+            # would auto-convert to a Python str after the first call)
+            j_low = str(
+                jvm.org.apache.spark.unsafe.types.UTF8String.fromString(ch).toLowerCase()
+            )
+            d_low = con.execute("SELECT lower(?)", [ch]).fetchone()[0]
+            out = ch if (j_tok == d_tok and j_low == d_low) else "a"
             _skew_cache[ch] = out
         return out
 
