@@ -818,3 +818,57 @@ def compression_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes",
         F.col("compress_ratio").between(COMPRESS_RATIO_MIN, COMPRESS_RATIO_MAX),
     )
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph / fullwidth folding — dedup-evasion countermeasure.
+# ---------------------------------------------------------------------------
+
+#: Cyrillic/Greek letters visually identical to Latin (the classic
+#: spam/dedup-evasion set) → their Latin lookalikes.  Kept to exact
+#: visual twins so folding never conflates legitimate distinct text.
+_HOMOGLYPH_SRC = "АВЕКМНОРСТХаеорсухіЅѕΑΒΕΖΗΙΚΜΝΟΡΤΥΧον"
+_HOMOGLYPH_DST = "ABEKMHOPCTXaeopcyxiSsABEZHIKMNOPTYXov"
+#: fullwidth ASCII block (U+FF01-FF5E) → ASCII (U+0021-007E).
+_FULLWIDTH_SRC = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_FULLWIDTH_DST = "".join(chr(c) for c in range(0x21, 0x7F))
+_FOLD_SRC = _HOMOGLYPH_SRC + _FULLWIDTH_SRC + "　"  # + ideographic space
+_FOLD_DST = _HOMOGLYPH_DST + _FULLWIDTH_DST + " "
+
+
+def fold_homoglyphs(c: Column) -> Column:
+    """Map visually-identical Cyrillic/Greek letters and fullwidth ASCII
+    onto their Latin/ASCII forms — the normalization that makes content
+    fingerprints robust against the standard dedup-evasion trick of
+    swapping lookalike codepoints.  One ``translate`` (codegen'd char
+    map, no regex)."""
+    return F.translate(c, _FOLD_SRC, _FOLD_DST)
+
+
+@register(
+    "homoglyph_fold_fingerprints",
+    oracle=f"""
+        SELECT md5(translate(lower(text),
+                   '{_FOLD_SRC.replace("'", "''")}',
+                   '{_FOLD_DST.replace("'", "''")}')) AS fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS group_size
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup", "normalization", "homoglyph"),
+)
+def homoglyph_fold_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprints over homoglyph-folded text: documents
+    that differ only by lookalike-codepoint substitution or fullwidth
+    ASCII collapse to one group (``exact_dedup_groups`` misses these —
+    the bytes differ).  Same single hash-aggregate shape; the fold is a
+    row-local char map.  The oracle runs the IDENTICAL translate map in
+    DuckDB, so the folding table itself is cross-engine verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(fold_homoglyphs(F.lower(F.col("text"))).cast("binary"))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
+    )

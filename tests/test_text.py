@@ -216,3 +216,29 @@ def test_compression_ratio_orders_repetition(spark, sf_dir):
     assert out[1].compress_ratio < 0.05          # template spam: collapses
     assert out[2].compress_ratio > 0.7           # entropy: barely shrinks
     assert not out[1].passes and out[2].passes
+
+
+def test_homoglyph_fold_catches_evasion(spark, tmp_path):
+    """A doc with Cyrillic lookalikes and one with fullwidth ASCII must
+    collapse into the plain-ASCII doc's fingerprint group; a genuinely
+    different doc must not."""
+    import os
+
+    from ssafynews_data_spark.operators.text import homoglyph_fold_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "s", 19),
+            (2, "the quick brоwn fоx", "en", "s", 19),   # Cyrillic о (U+043E)
+            (3, "ｔｈｅ ｑｕｉｃｋ ｂｒｏｗｎ ｆｏｘ", "en", "s", 19),  # fullwidth
+            (4, "an entirely different doc", "en", "s", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    groups = {r.fp: r for r in homoglyph_fold_fingerprints(spark, d).collect()}
+    sizes = sorted(r.group_size for r in groups.values())
+    assert sizes == [1, 3]
+    big = next(r for r in groups.values() if r.group_size == 3)
+    assert big.keeper_id == 1
