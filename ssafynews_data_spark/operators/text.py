@@ -872,3 +872,64 @@ def homoglyph_fold_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (double-encoded UTF-8, the ftfy core case).
+# ---------------------------------------------------------------------------
+
+
+def _fix_mojibake(s: str) -> str:
+    """Undo UTF-8 read as Latin-1/cp1252 ("café" → "cafÃ©" → "café"),
+    iterated because scraped text is often double-mangled.  Only commits
+    a round trip that (a) survives strict re-encoding and (b) strictly
+    reduces the mojibake marker count, so clean text passes through
+    byte-identical."""
+    markers = ("Ã", "Â", "â€", "ï»¿")
+
+    def score(t: str) -> int:
+        return sum(t.count(m) for m in markers)
+
+    cur = s
+    for _ in range(3):
+        sc = score(cur)
+        if sc == 0:
+            break
+        cand = None
+        # latin-1 round-trips every byte; cp1252 catches the curly-quote
+        # flavor (€ ” … live in 0x80-0x9F there)
+        for enc in ("latin-1", "cp1252"):
+            try:
+                c = cur.encode(enc, errors="strict").decode("utf-8", errors="strict")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if score(c) < sc:
+                cand = c
+                break
+        if cand is None:
+            break
+        cur = cand
+    return cur
+
+
+@register("mojibake_repair_docs", tags=("cleaning", "encoding", "mojibake"))
+def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mojibake repair audit: repaired text plus a flag — the
+    encoding-fix pass every web-scraped corpus needs before
+    fingerprinting (mojibake variants of the same article defeat exact
+    dedup).  Python-only semantics (codec round trips), so one
+    Arrow-batched pandas_udf; no SQL oracle (DuckDB has no cp1252
+    codec) — planted-corruption tests in tests/test_text.py.  Row-local,
+    no shuffle; rides the standard scan at any scale."""
+
+    @F.pandas_udf("string")
+    def repair(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: _fix_mojibake(t or ""))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        repair(F.col("text")).alias("text_fixed"),
+        (repair(F.col("text")) != F.col("text")).alias("was_mojibake"),
+    )

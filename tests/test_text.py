@@ -242,3 +242,30 @@ def test_homoglyph_fold_catches_evasion(spark, tmp_path):
     assert sizes == [1, 3]
     big = next(r for r in groups.values() if r.group_size == 3)
     assert big.keeper_id == 1
+
+
+def test_mojibake_repair_roundtrip(spark, tmp_path):
+    """Single- and double-mangled UTF-8 repair to the original; clean
+    text (including Korean and math symbols) passes byte-identical."""
+    import os
+
+    from ssafynews_data_spark.operators.text import _fix_mojibake, mojibake_repair_docs
+
+    orig = "café — naïve résumé 한국어 ∑"
+    once = orig.encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    assert _fix_mojibake(once) == orig
+    assert _fix_mojibake(twice) == orig
+    assert _fix_mojibake(orig) == orig
+    assert _fix_mojibake("plain ascii") == "plain ascii"
+
+    docs = spark.createDataFrame(
+        [(1, once, "en", "s", 10), (2, orig, "en", "s", 10), (3, twice, "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in mojibake_repair_docs(spark, d).collect()}
+    assert out[1].text_fixed == orig and out[1].was_mojibake
+    assert out[2].text_fixed == orig and not out[2].was_mojibake
+    assert out[3].text_fixed == orig and out[3].was_mojibake
