@@ -162,3 +162,53 @@ def test_available_now_trigger_drains_to_batch_equivalence(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch (within the
+    guarantee window) must still be dropped — the dedup state survives
+    batch boundaries; maxFilesPerTrigger=1 forces the two files into
+    separate micro-batches."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    batch1 = spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00"), ("k2", "2024-01-01 10:01:00")],
+        "key string, ts_s string",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch2 = spark.createDataFrame(
+        [("k1", "2024-01-01 10:05:00"), ("k3", "2024-01-01 10:06:00")],
+        "key string, ts_s string",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch1.coalesce(1).write.parquet(d + "/f1")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    batch2.coalesce(1).write.parquet(d + "/f2")
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/f*")
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["key"]
+    )
+    name = "wmdd_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.key for r in spark.table(name).collect()}
+        n = spark.table(name).count()
+    finally:
+        q.stop()
+    assert got == {"k1", "k2", "k3"}
+    assert n == 3  # second k1 dropped despite arriving in a later batch
