@@ -138,8 +138,11 @@ DEMOTE_LAST: tuple[str, ...] = (
     "quality_classifier",
     "token_rarity_scores",
     # round-4 NEW queries: locally oracle-green, parked outside the
-    # window this round so the validated 50-slot set stays fixed;
-    # rotate them in next round
+    # window this round so the validated 50-slot set stays fixed.
+    # ROUND-5 ROTATION PLAN: move these (and q7/ansi_q1/homoglyph/
+    # near_dup_auto/streaming_semi below) into PRIORITY_FIRST, demoting
+    # an equal number of r4-green stable passes — same zero-sum recipe
+    # as the round-4 block above.
     "tokenizer_fertility_stats",
     "dsir_importance_weights",
     "int8_quantize_embeddings",
