@@ -168,3 +168,51 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "event_value_quartiles",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   ntile(4)       OVER w AS quartile,
+                   percent_rank() OVER w AS pr,
+                   cume_dist()    OVER w AS cd
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        )
+        SELECT event_type, CAST(quartile AS INT) AS quartile,
+               count(*) AS n,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi,
+               round(max(pr), 6) AS max_percent_rank,
+               round(max(cd), 6) AS max_cume_dist
+        FROM r
+        GROUP BY event_type, quartile
+    """,
+    tags=("window", "ntile", "percent_rank", "cume_dist"),
+)
+def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window trio the engine had not yet exercised —
+    ntile/percent_rank/cume_dist — as per-type value quartile bands.
+    Total ordering includes event_id so tie placement is deterministic
+    cross-engine.  One window shuffle on event_type, then the quartile
+    rollup reuses the same partitioning (no second exchange)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )

@@ -156,6 +156,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "ansi_q1_shared_text",
     "homoglyph_fold_fingerprints",
     "mojibake_repair_docs",
+    "event_value_quartiles",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",

@@ -478,3 +478,32 @@ def test_noun_udf_agrees_with_provider(spark):
     df = spark.createDataFrame(list(enumerate(texts)), "i int, s string")
     got = {r.i: r.n for r in df.select("i", udf(F.col("s")).alias("n")).collect()}
     assert got == {i: ex.nouns(t) for i, t in enumerate(texts)}
+
+
+# Homoglyph folding: Spark translate() and DuckDB translate() must apply
+# the identical char map — generated text mixes mapped lookalikes,
+# unmapped neighbors, fullwidth ASCII, and plain text.
+fold_texts = st.lists(
+    st.text(
+        alphabet=list("АВЕСавсеорABCabceop ｆｏｘＡ１Ωжщ한가0.,"),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(vals=fold_texts)
+@SLOW
+def test_homoglyph_fold_matches_duckdb(mk_df, vals):
+    from ssafynews_data_spark.operators.text import _FOLD_DST, _FOLD_SRC, fold_homoglyphs
+
+    df = mk_df(vals)
+    got = {r.i: r.f for r in df.select("i", fold_homoglyphs(F.col("s")).alias("f")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    want = dict(
+        con.execute("SELECT i, translate(s, ?, ?) FROM t", [_FOLD_SRC, _FOLD_DST]).fetchall()
+    )
+    assert got == want
