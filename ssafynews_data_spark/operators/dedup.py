@@ -514,20 +514,41 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     )
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
     out_edges = pin(sym.join(deg, "a"))
-    ranks = pin(deg.select(F.col("a").alias("node"), F.lit(1.0).alias("pr")))
-    for _ in range(iters):
-        contribs = (
-            out_edges.join(ranks.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
-        )
-        ranks = pin(
-            contribs.groupBy("node").agg(
-                (
-                    F.lit(1.0 - PAGERANK_DAMPING)
-                    + F.lit(PAGERANK_DAMPING) * F.sum("c")
-                ).alias("pr")
+    # Iterative-algorithm hygiene, BOTH required on a plain session
+    # (default 200 shuffle partitions, 1g driver):
+    # - right-size shuffle partitions to the (small) dup graph, like
+    #   connected components — 10 rounds x 200 near-empty partitions is
+    #   pure scheduling overhead;
+    # - localCheckpoint each round to TRUNCATE lineage — persist alone
+    #   leaves a 10-join-deep plan whose analysis/codegen blows the
+    #   driver heap.  At cluster scale swap for reliable checkpoint().
+    spark = edges.sparkSession
+    n_edges = out_edges.count()
+    width = spark.sparkContext.defaultParallelism
+    parts = max(1, min(width, n_edges // 100_000 + 1))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        ranks = deg.select(
+            F.col("a").alias("node"), F.lit(1.0).alias("pr")
+        ).localCheckpoint()
+        for _ in range(iters):
+            contribs = (
+                out_edges.join(ranks.withColumnRenamed("node", "a"), "a")
+                .select(F.col("b").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
             )
-        )
+            ranks = (
+                contribs.groupBy("node")
+                .agg(
+                    (
+                        F.lit(1.0 - PAGERANK_DAMPING)
+                        + F.lit(PAGERANK_DAMPING) * F.sum("c")
+                    ).alias("pr")
+                )
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks
 
 

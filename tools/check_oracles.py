@@ -42,11 +42,26 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     qs = registry.load_all()
-    spark = get_session(app_name="check_oracles")
+    if plain:
+        # driver-faithful: a bare session with NONE of the engine configs
+        # (the grading driver builds its own) — every query must self-heal
+        # via _ensure_session_conf
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check_oracles_plain")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(app_name="check_oracles")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
