@@ -41,16 +41,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture actually contains (the generator has shipped both
     TIMESTAMP(NANOS)-as-long and timestamp[us]/NTZ encodings)."""
     _ensure_session_conf(spark)
-    physical_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"]
-        .dataType
-    )
-    raw = (
-        spark.readStream.schema(_events_physical_schema(physical_ts))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events_path = os.path.join(sf_dir, "events.parquet")
+    physical_ts = spark.read.parquet(events_path).schema["ts"].dataType
+    schema = _events_physical_schema(physical_ts)
+    if os.path.isdir(events_path):
+        # directory-of-part-files layout: stream the directory itself (a
+        # name glob would match no part file and silently read nothing)
+        raw = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if isinstance(physical_ts, T.LongType):
         # `div` = exact integer division; floor(col/1000) loses precision
         # on nanosecond longs > 2^53 (see sources/readers.py:load_table).

@@ -212,3 +212,44 @@ def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
         q.stop()
     assert got == {"k1", "k2", "k3"}
     assert n == 3  # second k1 dropped despite arriving in a later batch
+
+
+def test_streaming_semi_join_emits_purchase_once(spark, tmp_path):
+    """One purchase with THREE matching clicks must emit exactly once
+    (semi semantics); a purchase with no click in-window must not emit."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:10:00", 7, "click", 1.0, "{}"),
+        (4, "2024-01-01 10:20:00", 7, "purchase", 9.0, "{}"),   # 3 matches
+        (5, "2024-01-01 12:00:00", 8, "purchase", 9.0, "{}"),   # no click
+        (6, "2024-01-01 09:00:00", 9, "click", 1.0, "{}"),
+        (7, "2024-01-01 09:45:00", 9, "purchase", 9.0, "{}"),   # click 45min before: out of 30min window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    # _events_stream globs for a FILE literally named events.parquet (the
+    # testdata layout); a directory-style write would be invisible to it
+    import glob
+    import shutil
+
+    d = str(tmp_path)
+    tmp_dir = os.path.join(d, "_ev_dir")
+    df.coalesce(1).write.parquet(tmp_dir)
+    part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(d, "events.parquet"))
+    shutil.rmtree(tmp_dir)
+
+    from ssafynews_data_spark.operators.streaming_queries import streaming_semi_join
+
+    out = {r.user_id: r.n_attributed for r in streaming_semi_join(spark, d).collect()}
+    assert out == {7: 1}
