@@ -737,7 +737,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                CAST(sum(b) AS BIGINT) AS total_bytes,
                CAST(sum(nt) AS BIGINT) AS total_tokens,
-               round(CAST(sum(b) AS DOUBLE) / sum(nt), 4) AS bytes_per_token,
+               round(CAST(sum(b) AS DOUBLE) / nullif(sum(nt), 0), 4) AS bytes_per_token,
                round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS tokens_per_doc
         FROM t GROUP BY source, lang
     """,
@@ -761,8 +761,10 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("b").cast("long").alias("total_bytes"),
         F.sum("nt").cast("long").alias("total_tokens"),
+        # nullif on BOTH engines: an all-empty (source, lang) group yields
+        # NULL bytes_per_token rather than Spark-NULL vs DuckDB-inf drift.
         F.round(
-            F.sum("b").cast("double") / F.sum("nt"), 4
+            F.sum("b").cast("double") / F.nullif(F.sum("nt"), F.lit(0)), 4
         ).alias("bytes_per_token"),
         F.round(
             F.sum("nt").cast("double") / F.count("*"), 4
@@ -848,9 +850,9 @@ def fold_homoglyphs(c: Column) -> Column:
 @register(
     "homoglyph_fold_fingerprints",
     oracle=f"""
-        SELECT md5(translate(lower(text),
+        SELECT md5(lower(translate(text,
                    '{_FOLD_SRC.replace("'", "''")}',
-                   '{_FOLD_DST.replace("'", "''")}')) AS fp,
+                   '{_FOLD_DST.replace("'", "''")}'))) AS fp,
                min(doc_id) AS keeper_id,
                count(*) AS group_size
         FROM documents
@@ -864,9 +866,15 @@ def homoglyph_fold_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII collapse to one group (``exact_dedup_groups`` misses these —
     the bytes differ).  Same single hash-aggregate shape; the fold is a
     row-local char map.  The oracle runs the IDENTICAL translate map in
-    DuckDB, so the folding table itself is cross-engine verified."""
+    DuckDB, so the folding table itself is cross-engine verified.
+
+    Order matters: fold BEFORE lowercasing.  Uppercase Cyrillic/Greek
+    lookalikes (В К М Н Т, Greek capitals) lowercase to codepoints the
+    fold table does NOT carry, so lower-then-fold lets uppercase
+    substitutions evade the fingerprint; fold-then-lower maps them to
+    uppercase Latin first, which lowercases normally."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(fold_homoglyphs(F.lower(F.col("text"))).cast("binary"))
+    fp = F.md5(F.lower(fold_homoglyphs(F.col("text"))).cast("binary"))
     return (
         docs.select(fp.alias("fp"), "doc_id")
         .groupBy("fp")
@@ -924,12 +932,13 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def repair(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: _fix_mojibake(t or ""))
+        # NULL stays NULL so the flag below can be derived null-safely.
+        return text.map(lambda t: None if t is None else _fix_mojibake(t))
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "source",
-        repair(F.col("text")).alias("text_fixed"),
-        (repair(F.col("text")) != F.col("text")).alias("was_mojibake"),
+    return (
+        docs.withColumn("text_fixed", repair(F.col("text")))
+        # single UDF evaluation; NULL text → false, not NULL
+        .withColumn("was_mojibake", ~F.col("text_fixed").eqNullSafe(F.col("text")))
+        .select("doc_id", "source", "text_fixed", "was_mojibake")
     )

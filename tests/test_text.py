@@ -232,6 +232,11 @@ def test_homoglyph_fold_catches_evasion(spark, tmp_path):
             (2, "the quick brоwn fоx", "en", "s", 19),   # Cyrillic о (U+043E)
             (3, "ｔｈｅ ｑｕｉｃｋ ｂｒｏｗｎ ｆｏｘ", "en", "s", 19),  # fullwidth
             (4, "an entirely different doc", "en", "s", 25),
+            (5, "The Quick Brown Fox", "en", "s", 19),    # Latin mixed case
+            # UPPERCASE Cyrillic Т (U+0422) and В (U+0412): these lowercase
+            # to codepoints outside the fold table, so the fold must run
+            # BEFORE lower() or this row evades the group.
+            (6, "Тhе Quick Вrоwn Fох", "en", "s", 19),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -239,8 +244,8 @@ def test_homoglyph_fold_catches_evasion(spark, tmp_path):
     docs.write.parquet(os.path.join(d, "documents.parquet"))
     groups = {r.fp: r for r in homoglyph_fold_fingerprints(spark, d).collect()}
     sizes = sorted(r.group_size for r in groups.values())
-    assert sizes == [1, 3]
-    big = next(r for r in groups.values() if r.group_size == 3)
+    assert sizes == [1, 5]
+    big = next(r for r in groups.values() if r.group_size == 5)
     assert big.keeper_id == 1
 
 
@@ -260,7 +265,12 @@ def test_mojibake_repair_roundtrip(spark, tmp_path):
     assert _fix_mojibake("plain ascii") == "plain ascii"
 
     docs = spark.createDataFrame(
-        [(1, once, "en", "s", 10), (2, orig, "en", "s", 10), (3, twice, "en", "s", 10)],
+        [
+            (1, once, "en", "s", 10),
+            (2, orig, "en", "s", 10),
+            (3, twice, "en", "s", 10),
+            (4, None, "en", "s", 0),  # NULL text: flag must be false, not NULL
+        ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     d = str(tmp_path)
@@ -269,3 +279,4 @@ def test_mojibake_repair_roundtrip(spark, tmp_path):
     assert out[1].text_fixed == orig and out[1].was_mojibake
     assert out[2].text_fixed == orig and not out[2].was_mojibake
     assert out[3].text_fixed == orig and out[3].was_mojibake
+    assert out[4].text_fixed is None and out[4].was_mojibake is False
