@@ -433,3 +433,65 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+@register(
+    "streaming_file_sink_e2e",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y%m%d') AS ymd,
+               event_type,
+               round(value, 2) AS value
+        FROM events
+    """,
+    tags=("streaming", "ST1", "ST3", "ST4", "sink"),
+)
+def streaming_file_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1+ST3+ST4 through REAL files: stream the events source with an
+    AvailableNow trigger into ``foreach_batch_upsert`` writing
+    day-partitioned parquet, run the WHOLE stream a second time against
+    a fresh checkpoint (total redelivery — the at-least-once worst
+    case), and return the read-back files.  The key-idempotent sink must
+    leave exactly one row per event_id, so the read-back equals the
+    batch projection of the source — previously the file sink was only
+    memory-sink/unit tested; this row makes the driver hash-check the
+    on-disk result (VERDICT r4 "next" #5; consumer2.py:190-209).
+    """
+    import shutil
+
+    import ssafynews_data_spark
+    from ssafynews_data_spark.sources.sinks import foreach_batch_upsert
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(ssafynews_data_spark.__file__))),
+        "spark-warehouse",
+        "stream_sink_e2e_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_path = os.path.join(base, "data")
+    out_schema = "event_id LONG, ymd STRING, event_type STRING, value DOUBLE"
+    # empty-day path: zero batches fire, so no files would exist to read
+    # back (and a 0-row append leaves an uninferrable parquet dir)
+    if spark.read.parquet(os.path.join(sf_dir, "events.parquet")).isEmpty():
+        return spark.createDataFrame([], out_schema)
+    sink = foreach_batch_upsert(data_path, key="event_id", partition_by="ymd")
+    # two full passes, separate checkpoints: pass 2 redelivers every
+    # record; the upsert must no-op (effectively-once on disk)
+    for attempt in range(2):
+        events = _events_stream(spark, sf_dir).select(
+            "event_id",
+            F.date_format("ts", "yyyyMMdd").alias("ymd"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        q = (
+            events.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, f"ck_{attempt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(data_path).select(
+        "event_id", F.col("ymd").cast("string").alias("ymd"), "event_type", "value"
+    )
+    return spark.createDataFrame(back.collect(), back.schema)

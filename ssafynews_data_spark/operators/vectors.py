@@ -106,6 +106,39 @@ def pca_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pca_kmeans_summary",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(least(5, count(*)) AS INT) AS n_clusters,
+               CAST(0 AS INT) AS cluster_min,
+               CAST(least(5, count(*)) - 1 AS INT) AS cluster_max,
+               count(*) AS n_pc_complete
+        FROM embeddings
+    """,
+    tags=("M2", "M3", "contract"),
+)
+def pca_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for ``pca_kmeans_clusters`` (VERDICT r4
+    "next" #4): the deterministic facts of the M1-M4 chain as a hashable
+    one-row frame — every input row is clustered, the label space is
+    exactly {0..min(5,n)-1} (seed-42 KMeans fills every cluster on the
+    blob fixture), and both principal components materialize for every
+    row.  DuckDB recomputes the row count and the k=min(5,n) rule from
+    the raw table; label numbering and PCA values stay rows-only in
+    ``pca_kmeans_clusters`` because they are implementation-defined."""
+    out = pca_kmeans_clusters(spark, sf_dir)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("cluster").cast("int").alias("n_clusters"),
+        F.min("cluster").cast("int").alias("cluster_min"),
+        F.max("cluster").cast("int").alias("cluster_max"),
+        F.sum(
+            (F.col("pc1").isNotNull() & F.col("pc2").isNotNull()).cast("long")
+        ).alias("n_pc_complete"),
+    )
+
+
+@register(
     "label_centroids",
     oracle="""
         SELECT label, CAST(i AS INT) AS pos,

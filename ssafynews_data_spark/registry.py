@@ -65,14 +65,15 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50), so the hard-to-verify
-#: composites / ML / ANN / streaming queries — unverified in round 1 —
-#: go first, followed by the round-2 additions.
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 5 executes the
+#: rotation staged in round 4: this tuple IS the 50-slot window —
+#: 30 multi-surface keepers (r4-green) + the 14 round-4 queries that
+#: never had a driver row + the 6 new round-5 contract/e2e queries.
+#: Expected: 47 oracle rows + 3 rows-only (compression, pagerank,
+#: mojibake), 20 first-ever driver checks.
 PRIORITY_FIRST: tuple[str, ...] = (
+    # --- keepers: r4-green, one per major surface ---
     "curate_corpus",
-    "pca_kmeans_clusters",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "embedding_near_dup",
     "streaming_daily_counts",
     "streaming_session_counts",
@@ -84,26 +85,17 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "embedding_norm_stats",
     "daily_category_report",
     "preprocess_source_counts",
-    # round-2 additions
     "stateful_session_stats",
-    "ivf_partition_pruning",
     "merge_scd2_orders",
     "korean_text_ops",
     "block_sequential_ids",
-    # round-2 session-2 additions
     "decontaminate_docs",
     "dedup_incremental_batch",
     "cosine_topk",
-    "semantic_dedup",
     "domain_mix_sample",
     "dedup_connected_components",
     "streaming_interval_join",
     "llm_corpus_pipeline",
-    # round-4 window rotation: locally-oracled queries that have never
-    # had a driver CORRECTNESS row take the slots of long-stable passes
-    # (which keep their r1-r3 green history and stay locally gated).
-    "char_stats_quality",
-    "nfc_normalize_docs",
     "session_window_stats",
     "robust_value_stats",
     "boilerplate_block_removal",
@@ -111,9 +103,28 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "bm25_topk",
     "q18_large_volume_customer",
     "trailing_week_user_value",
-    "inverted_postings_index",
-    "cogroup_user_funnel",
-    "dq_constraint_checks",
+    # --- round-4 additions, first driver check this round ---
+    "tokenizer_fertility_stats",
+    "dsir_importance_weights",
+    "int8_quantize_embeddings",
+    "streaming_watermark_dedup",
+    "hybrid_rrf_retrieval",
+    "compression_quality_scores",
+    "near_dup_auto_pairs",
+    "streaming_semi_join",
+    "q7_nation_volume_shipping",
+    "dedup_graph_pagerank",
+    "ansi_q1_shared_text",
+    "homoglyph_fold_fingerprints",
+    "mojibake_repair_docs",
+    "event_value_quartiles",
+    # --- round-5 additions: ANN/ML contracts + file-sink e2e + star CC ---
+    "ann_lsh_recall_contract",
+    "ann_ivf_recall_contract",
+    "semantic_dedup_contract",
+    "pca_kmeans_summary",
+    "streaming_file_sink_e2e",
+    "dedup_cc_largestar",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -137,26 +148,21 @@ DEMOTE_LAST: tuple[str, ...] = (
     "temperature_resample",
     "quality_classifier",
     "token_rarity_scores",
-    # round-4 NEW queries: locally oracle-green, parked outside the
-    # window this round so the validated 50-slot set stays fixed.
-    # ROUND-5 ROTATION PLAN: move these (and q7/ansi_q1/homoglyph/
-    # near_dup_auto/streaming_semi below) into PRIORITY_FIRST, demoting
-    # an equal number of r4-green stable passes — same zero-sum recipe
-    # as the round-4 block above.
-    "tokenizer_fertility_stats",
-    "dsir_importance_weights",
-    "int8_quantize_embeddings",
-    "streaming_watermark_dedup",
-    "hybrid_rrf_retrieval",
-    "compression_quality_scores",
-    "near_dup_auto_pairs",
-    "streaming_semi_join",
-    "q7_nation_volume_shipping",
-    "dedup_graph_pagerank",
-    "ansi_q1_shared_text",
-    "homoglyph_fold_fingerprints",
-    "mojibake_repair_docs",
-    "event_value_quartiles",
+    # round-5 rotation OUT: the staged round-4 promotions went IN
+    # (see PRIORITY_FIRST); these r4-checked queries yield their slots.
+    # The ANN/ML rows-only originals are now driver-covered by their
+    # oracle-bearing contract twins (ann_*_recall_contract,
+    # semantic_dedup_contract, pca_kmeans_summary).
+    "pca_kmeans_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ivf_partition_pruning",
+    "semantic_dedup",
+    "char_stats_quality",
+    "nfc_normalize_docs",
+    "inverted_postings_index",
+    "cogroup_user_funnel",
+    "dq_constraint_checks",
     # round-4 rotation OUT: driver-green in r1-r3 (history stands);
     # surfaces remain locally gated via check_oracles + pytest
     "word_freq_topk",

@@ -60,8 +60,15 @@ def idempotent_append(
     return fresh.join(existing.select(key).distinct(), on=key, how="left_anti")
 
 
-def foreach_batch_upsert(path: str, key: str = "link", fmt: str = "parquet"):
-    """``foreachBatch`` sink function: effectively-once append-by-key.
+def foreach_batch_upsert(
+    path: str,
+    key: str = "link",
+    fmt: str = "parquet",
+    partition_by: str | None = None,
+):
+    """``foreachBatch`` sink function: effectively-once append-by-key,
+    optionally partitioned (S7's daily layout composed with S5/S6's
+    upsert — one sink function covers the reference's whole write path).
 
     Replaces the reference's manual-offset-commit + ON CONFLICT pattern
     (consumer.py:156-174): Structured Streaming checkpointing gives
@@ -82,7 +89,10 @@ def foreach_batch_upsert(path: str, key: str = "link", fmt: str = "parquet"):
         else:
             existing = spark.createDataFrame([], batch_df.select(key).schema)
         out = idempotent_append(batch_df, existing, key)
-        out.write.mode("append").format(fmt).save(path)
+        writer = out.write.mode("append").format(fmt)
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.save(path)
 
     return _sink
 

@@ -144,3 +144,67 @@ def test_pagerank_canonical_per_component(spark, sf_dir):
     pr = {r.doc_id for r in dedup_graph_pagerank(spark, sf_dir).collect()}
     cc = {r.doc_id for r in dedup_connected_components(spark, sf_dir).collect()}
     assert pr == cc
+
+
+def _union_find_labels(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_largestar_cc_matches_union_find_on_adversarial_graphs(spark):
+    """Large-star/small-star must match union-find ground truth on the
+    graphs that defeat O(diameter) propagation: a 60-node path (diameter
+    59 > the propagation round cap), plus seeded random graphs."""
+    import random
+
+    from ssafynews_data_spark.operators.dedup import connected_components_star
+
+    cases = [[(i, i + 1) for i in range(60)]]  # long chain
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        n = 80
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        )
+    # descending chain ids: minimum at the FAR end of the path
+    cases.append([(100 - i, 99 - i) for i in range(50)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = {x for e in edges for x in e}
+        truth = _union_find_labels(edges, nodes)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: r.label
+            for r in connected_components_star(df).collect()
+        }
+        assert got == truth
+
+
+def test_largestar_cc_equals_propagation_on_fixture(spark, sf_dir):
+    """Both registered CC queries (propagation and star alternation) must
+    produce the identical component map on the near-dup fixture graph."""
+    from ssafynews_data_spark.operators.dedup import (
+        dedup_cc_largestar,
+        dedup_connected_components,
+    )
+
+    a = {
+        (r.doc_id, r.component_id)
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.component_id)
+        for r in dedup_cc_largestar(spark, sf_dir).collect()
+    }
+    assert a == b and a

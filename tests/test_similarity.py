@@ -119,3 +119,22 @@ def test_capped_clusters_respect_cap(spark, sf_dir):
     assert max(sizes.values()) <= 60
     # hierarchy labels: child labels extend a parent path with "/"
     assert any("/" in c for c in sizes), "cap should force at least one split"
+
+
+def test_contract_queries_hold(spark, sf_dir):
+    """The driver-facing contract frames must report their guarantees as
+    satisfied on the fixture (the driver hash-checks the same facts
+    against DuckDB; this pins them in-repo)."""
+    from ssafynews_data_spark.operators import vectors
+
+    r = similarity.ann_lsh_recall_contract(spark, sf_dir).collect()[0]
+    assert r.recall_ok and r.n_exact_rows == r.n_queries * similarity.TOP_K
+    r = similarity.ann_ivf_recall_contract(spark, sf_dir).collect()[0]
+    assert r.recall_ok
+    r = similarity.semantic_dedup_contract(spark, sf_dir).collect()[0]
+    assert r.orphan_drops == 0
+    assert r.both_kept_incluster_pairs == 0
+    assert r.n_accounted == r.n_total
+    r = vectors.pca_kmeans_summary(spark, sf_dir).collect()[0]
+    assert r.cluster_min == 0 and r.cluster_max == r.n_clusters - 1
+    assert r.n_pc_complete == r.n_rows
