@@ -321,6 +321,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_verified_pairs",
+    # SAME oracle as ngram_jaccard_pairs: exact-verified candidates must
+    # EQUAL the exact pair set, because deterministic banding (seed-42
+    # multiply-shift over xxhash64) recovers every >=0.5 pair on the
+    # fixture — if banding recall ever dropped, this row would fail the
+    # driver hash check.
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(common / (sa.n + sb.n - common) * 10000) AS BIGINT) AS jaccard_q4
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "lsh", "verified"),
+)
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup chain end-to-end: MinHash banding
+    generates candidates (shuffle-linear), then ONLY candidates pay the
+    exact shingle-intersection price — never the full quadratic
+    self-join.  Output contract identical to ``ngram_jaccard_pairs``
+    (doc_a < doc_b, floor-quantized exact Jaccard >= 0.5), so the driver
+    hash-verifies that the banded chain loses nothing vs the exact
+    formulation.
+
+    Physical shape: candidates (tiny) broadcast-join onto the shingle
+    table twice — the intersection count shuffles candidate×shingle
+    rows, which is O(pairs × doc-length), independent of corpus size.
+    At 100 TB this is the formulation that runs; ``ngram_jaccard_pairs``
+    is its correctness twin."""
+    cands = lsh_candidate_pairs(pin(minhash_signatures(_doc_shingle_hashes(spark, sf_dir))))
+    sh = pin(_doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.floor(jac * 10000).alias("jaccard_q4"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash — weighted 64-bit fingerprint + banded hamming search.
 # ---------------------------------------------------------------------------

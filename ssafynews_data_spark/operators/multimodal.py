@@ -142,6 +142,40 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.repartition(n).mapInPandas(decode_image_batch, DECODED_SCHEMA)
 
 
+@register(
+    "media_decode_contract",
+    oracle="""
+        SELECT CASE doc_id % 3 + 1 WHEN 1 THEN 'image'
+                                   WHEN 2 THEN 'audio'
+                                   ELSE 'video' END AS media_type,
+               count(*) AS n_assets,
+               count(*) AS n_feat_ok,
+               CAST(sum(CASE WHEN doc_id % 3 + 1 = 3 THEN 4 ELSE 1 END)
+                    AS BIGINT) AS total_frames,
+               CAST(32 AS INT) AS thumb_w,
+               CAST(32 AS INT) AS thumb_h
+        FROM documents GROUP BY 1
+    """,
+    tags=("multimodal", "mapInPandas", "contract"),
+)
+def media_decode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for the multimodal decode plumbing: the
+    media-type routing, per-type asset counts, frame-sampling rule
+    (video → 4 frames, else 1), thumbnail dims, and feature-vector
+    completeness are all deterministic facts DuckDB recomputes from the
+    fabrication rule — only the feature VALUES (engine-internal fake
+    decode) stay rows-only in ``media_decode_features``."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(fabricate_assets(docs))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum((F.size("feat") == 8).cast("long")).alias("n_feat_ok"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("thumb_w").alias("thumb_w"),
+        F.max("thumb_h").alias("thumb_h"),
+    )
+
+
 @register("media_decode_features", tags=("multimodal", "mapInPandas"))
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing: fabricate binary assets → Arrow

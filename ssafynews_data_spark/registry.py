@@ -82,7 +82,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "grouping_sets_orders",
     "udtf_token_bigrams",
     "label_centroids",
-    "embedding_norm_stats",
     "daily_category_report",
     "preprocess_source_counts",
     "stateful_session_stats",
@@ -100,7 +99,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "robust_value_stats",
     "boilerplate_block_removal",
     "token_chunk_windows",
-    "bm25_topk",
     "q18_large_volume_customer",
     "trailing_week_user_value",
     # --- round-4 additions, first driver check this round ---
@@ -125,6 +123,14 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "pca_kmeans_summary",
     "streaming_file_sink_e2e",
     "dedup_cc_largestar",
+    # banded-candidates + exact-verify chain, hash-equal to the exact
+    # pair oracle (bm25_topk r4-green yields its slot; retrieval stays
+    # in-window via hybrid_rrf_retrieval)
+    "minhash_verified_pairs",
+    # multimodal plumbing facts now oracle-checked (embedding_norm_stats
+    # r4-green yields its slot; the vector-profile surface stays
+    # in-window via label_centroids + the ANN contracts)
+    "media_decode_contract",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -158,6 +164,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "ann_ivf_topk",
     "ivf_partition_pruning",
     "semantic_dedup",
+    "bm25_topk",
+    "embedding_norm_stats",
     "char_stats_quality",
     "nfc_normalize_docs",
     "inverted_postings_index",

@@ -208,3 +208,18 @@ def test_largestar_cc_equals_propagation_on_fixture(spark, sf_dir):
         for r in dedup_cc_largestar(spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+def test_minhash_verified_pairs_equal_exact(spark, sf_dir):
+    """The banded-candidates + exact-verify chain must reproduce the
+    exact pair set bit-for-bit (100% banding recall on the fixture —
+    also enforced cross-engine by the shared driver oracle)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard_q4)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b, r.jaccard_q4)
+        for r in dedup.minhash_verified_pairs(spark, sf_dir).collect()
+    }
+    assert exact and verified == exact
