@@ -228,3 +228,58 @@ def repeated_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(sizes, "doc_id").select(
         "doc_id", "n_shared_spans", F.floor(frac * 10000).alias("shared_frac_q4")
     )
+
+
+#: cosine threshold for semantic (embedding-space) contamination — a
+#: corpus vector this close to any benchmark vector is a paraphrase-level
+#: leak that n-gram overlap misses.
+SEM_CONTAM_COS = 0.35
+
+
+@register(
+    "semantic_decontaminate",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        bench AS (SELECT * FROM e WHERE vec_id % {BENCH_MOD} = 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % {BENCH_MOD} <> 0),
+        sims AS (
+            SELECT c.vec_id, max(list_cosine_similarity(c.emb, b.emb)) AS mx
+            FROM corpus c CROSS JOIN bench b GROUP BY 1
+        )
+        SELECT vec_id, round(mx, 4) AS max_bench_sim,
+               mx >= {SEM_CONTAM_COS} AS contaminated
+        FROM sims
+    """,
+    tags=("curation", "decontamination", "semantic"),
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose max
+    cosine against the benchmark set (vec_id % 17 == 0, same membership
+    rule as ``decontaminate_docs``) reaches SEM_CONTAM_COS — the
+    semantic complement of n-gram decontamination (catches paraphrased /
+    translated eval leakage that exact k-gram overlap misses; cf. the
+    contamination analyses around GPT-4-era benchmarks).
+
+    100 TB shape: identical to ``decontaminate_docs`` — the bench side
+    is tiny and **broadcast**, the corpus streams once, and the per-doc
+    max is a map-side-combining aggregate on vec_id.  No shuffle of the
+    corpus at all."""
+    from ssafynews_data_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    bench = emb.filter(F.col("vec_id") % BENCH_MOD == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % BENCH_MOD != 0)
+    mx = (
+        corpus.join(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(cosine(F.col("emb"), F.col("b_emb"))).alias("mx"))
+    )
+    return mx.select(
+        "vec_id",
+        F.round("mx", 4).alias("max_bench_sim"),
+        (F.col("mx") >= SEM_CONTAM_COS).alias("contaminated"),
+    )

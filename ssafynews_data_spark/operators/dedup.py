@@ -502,24 +502,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """Min-label propagation rounds until a fixpoint (capped)."""
-    for _ in range(20):  # cap; convergence check below exits early
-        msgs = edges.join(
-            labels.withColumnRenamed("node", "a"), "a"
-        ).select(F.col("b").alias("node"), "label")
-        new_labels = pin(
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+    """Min-label propagation rounds until a fixpoint (capped at 20
+    rounds).  Convergence is checked every OTHER round: near-dup graphs
+    converge in 2-4 rounds, so pairing rounds halves the driver-side
+    action count (the changed-count is the only eager job per pair) at
+    the cost of at most one redundant — already-converged, hence cheap —
+    propagation round."""
+    for _ in range(10):  # 2 rounds per check = the same 20-round cap
+        prev = labels
+        for _ in range(2):
+            msgs = edges.join(
+                labels.withColumnRenamed("node", "a"), "a"
+            ).select(F.col("b").alias("node"), "label")
+            prev = labels
+            labels = pin(
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
+            labels.join(
+                prev.withColumnRenamed("label", "old"), "node"
             )
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels

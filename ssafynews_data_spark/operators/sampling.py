@@ -377,3 +377,115 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("lr"), 4) + 0.0).alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — reproducible training-data ordering.
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = "epoch0"
+EPOCH_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_layout",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, k,
+                   CAST(CAST(('0x' || substr(k, 1, 4)) AS BIGINT)
+                        % {EPOCH_SHARDS} AS INT) AS shard
+            FROM t
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                    AS BIGINT) AS pos
+        FROM s
+    """,
+    tags=("sampling", "shuffle", "training"),
+)
+def epoch_shuffle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle: every document gets a
+    (shard, pos) coordinate from the md5 of seed:doc_id — the global
+    read order a training job follows for this epoch.  Changing
+    EPOCH_SEED reshuffles; the same seed reproduces the identical order
+    on ANY engine (md5 is standardized; never ``rand()`` — a retried
+    task would reorder its partition).  This is how a 1000-reader
+    training fleet gets a reproducible shuffle without a global sort:
+    shard = reader id, pos = intra-shard order, and the window sort is
+    per-shard (parallel across shards), never a single global order."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(
+        F.concat(F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    t = docs.select("doc_id", k.alias("k"))
+    shard = (
+        F.conv(F.substring(F.col("k"), 1, 4), 16, 10).cast("long") % EPOCH_SHARDS
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        t.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing — batch-efficiency layout for training.
+# ---------------------------------------------------------------------------
+
+LEN_BUCKETS = 10
+
+from ssafynews_data_spark.operators.text import _DUCK_TOKENS  # noqa: E402
+
+
+@register(
+    "length_bucket_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_DUCK_TOKENS}) AS n FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n,
+                   ntile({LEN_BUCKETS}) OVER (ORDER BY n, doc_id) AS bucket
+            FROM t
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               count(*) AS n_docs,
+               CAST(min(n) AS BIGINT) AS min_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM b GROUP BY 1
+    """,
+    tags=("sampling", "bucketing", "training"),
+)
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: ntile(10) over token counts
+    (ties broken by doc_id so both engines agree exactly) with
+    per-bucket document counts and token ranges — the layout decision
+    table for length-bucketed batching (padding waste ~ max-min within a
+    bucket).  The global ntile is the SPEC form; at 100 TB compute the
+    cutpoints once via approxQuantile / QuantileSummaries (map-side
+    mergeable sketch) and bucket row-locally against the broadcast
+    cutpoints — same buckets to within sketch error, no global sort."""
+    from pyspark.sql import Window as W
+
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(tokens_col(F.col("text"))).alias("n"))
+    b = t.withColumn(
+        "bucket", F.ntile(LEN_BUCKETS).over(W.orderBy("n", "doc_id"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )

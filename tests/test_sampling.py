@@ -133,3 +133,39 @@ def test_dsir_scores_favor_target_domain(spark, sf_dir):
     rest = [r.dsir_score for r in rows if r.source != DSIR_TARGET_SOURCE]
     assert tgt and rest
     assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)
+
+
+def test_epoch_shuffle_layout_deterministic_and_dense(spark, sf_dir):
+    """Same seed → identical layout across runs; positions are dense
+    1..shard_size within every shard; every doc appears exactly once."""
+    from ssafynews_data_spark.operators.sampling import epoch_shuffle_layout
+
+    a = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in epoch_shuffle_layout(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in epoch_shuffle_layout(spark, sf_dir).collect()
+    )
+    assert a == b and a
+    assert len({d for d, _, _ in a}) == len(a)
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_length_buckets_ordered_and_exhaustive(spark, sf_dir):
+    """Buckets tile the corpus: counts sum to n_docs, bucket token
+    ranges are non-overlapping and ascending."""
+    from ssafynews_data_spark.operators.sampling import length_bucket_stats
+
+    rows = sorted(
+        length_bucket_stats(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_tokens <= cur.min_tokens
+        assert prev.min_tokens <= prev.max_tokens
