@@ -654,6 +654,105 @@ def dedup_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_graph_stats",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+        ),
+        nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+        deg AS (
+            SELECT v, count(*) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT count(*) AS nt
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT nt FROM tri) AS n_triangles,
+               (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT CAST(floor(3.0 * nt * 10000
+                                  / nullif((SELECT sum(d * (d - 1) / 2) FROM deg), 0))
+                            AS BIGINT)
+                FROM tri) AS clustering_q4
+    """,
+    tags=("dedup", "graph", "triangles"),
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural profile of the near-dup graph: node/edge counts,
+    triangle count, wedge count, and the floor-quantized global
+    clustering coefficient (3·triangles / wedges).  Dup clusters are
+    near-cliques, so clustering near 1.0 validates that pairs come from
+    genuine duplicate groups rather than hash noise — the audit a dedup
+    pipeline runs before trusting its components.
+
+    Triangle counting uses the canonical ordered-edge formulation
+    (a<b<c): e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — each triangle counted
+    exactly once, two equi-join shuffles on node ids, never an
+    all-pairs product.  At 100 TB add the standard degree-ordering
+    optimization (orient edges low-degree → high-degree) to bound the
+    wedge explosion on skewed hubs."""
+    e = pin(
+        ngram_jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    nodes = e.select(F.col("a").alias("v")).unionByName(
+        e.select(F.col("b").alias("v"))
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .crossJoin(n_wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.floor(
+                3.0 * F.col("n_triangles") * 10000
+                / F.nullif(F.col("n_wedges"), F.lit(0))
+            ).alias("clustering_q4"),
+        )
+    )
+
+
 @register("simhash_pairs", tags=("dedup", "simhash"), bench=True)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, candidates from 4 ×

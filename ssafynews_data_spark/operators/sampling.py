@@ -489,3 +489,42 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_tokens"),
         F.sum("n").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic sample — the distributed reservoir replacement.
+# ---------------------------------------------------------------------------
+
+SAMPLE_N = 100
+SAMPLE_SEED = "sample0"
+
+
+@register(
+    "uniform_sample_fixed_n",
+    oracle=f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        ORDER BY md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {SAMPLE_N}
+    """,
+    tags=("sampling", "reservoir", "topk"),
+)
+def uniform_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N uniform sample without a reservoir: rank every row by a
+    seeded md5 and keep the N smallest.  ``orderBy(k).limit(N)``
+    compiles to TakeOrderedAndProject — each partition keeps its local
+    top-N and only N rows per partition reach the driver-side merge, so
+    at 100 TB this is a single scan with no global sort and no stateful
+    reservoir to synchronize.  Deterministic across engines, retries,
+    and partitionings (the classic distributed-sampling pitfall
+    ``rand()`` fails)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(
+        F.concat(F.lit(SAMPLE_SEED + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    return (
+        docs.select("doc_id", "source", "lang", k.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(SAMPLE_N)
+        .drop("_k")
+    )

@@ -238,3 +238,12 @@ def test_fertility_single_aggregate(spark, sf_dir):
     plan = _plan(text.tokenizer_fertility_stats(spark, sf_dir))
     assert plan.count("Exchange") <= 2  # partial agg + AQE read, no extra
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_uniform_sample_is_take_ordered(spark, sf_dir):
+    """Fixed-N hash sample must compile to TakeOrderedAndProject (local
+    top-N per partition), never a global sort."""
+    from ssafynews_data_spark.operators import sampling
+
+    plan = _plan(sampling.uniform_sample_fixed_n(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
