@@ -495,3 +495,42 @@ def streaming_file_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ymd").cast("string").alias("ymd"), "event_type", "value"
     )
     return spark.createDataFrame(back.collect(), back.schema)
+
+
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats through the Spark 4
+    ``transformWithStateInPandas`` API (typed ValueState in the state
+    store) — the modern successor to ``applyInPandasWithState``, driven
+    end-to-end as a real stream.  NOT registered in the driver contract:
+    the API's Python runner requires protobuf, which this image doesn't
+    ship, so the capability is dependency-gated
+    (tests/test_stateful.py::test_tws_running_stats_gated — skips
+    cleanly offline, must hash-match the batch aggregate where protobuf
+    exists).  Update-mode emissions are monotone in n_events, so the
+    final state per user is the max_by row."""
+    from ssafynews_data_spark.streaming.stateful import running_user_stats_tws
+
+    out = running_user_stats_tws(_events_stream(spark, sf_dir))
+    name = "tws_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.round(
+                    F.max_by("total_value", "n_events"), 2
+                ).alias("total_value"),
+            )
+        )
+        res = spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        q.stop()
+    return res

@@ -65,3 +65,61 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState — the Spark 4 arbitrary-state API (successor to
+# applyInPandasWithState: typed state variables, timers, TTL, schema
+# evolution).  Same running-stats semantics as above so the two APIs are
+# directly comparable (and share the batch oracle).
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - exercised when the runtime ships the API
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-user running (count, sum) with a typed ValueState —
+        state lives in the RocksDB-backed store, O(distinct users)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n_events LONG, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._stats.get() if self._stats.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._stats.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pre-4.x runtime
+    RunningStatsProcessor = None
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """``running_user_stats`` re-expressed on transformWithStateInPandas.
+    Identical output contract; the state variable is declared/typed via
+    the handle instead of a positional tuple schema."""
+    if RunningStatsProcessor is None:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0"
+        )
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

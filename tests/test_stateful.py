@@ -177,3 +177,37 @@ def test_transform_with_state_user_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tws_running_stats_gated(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): gated on
+    protobuf (its Python runner dependency, absent in this image).
+    Where available, the streamed running stats must equal the batch
+    per-user aggregate exactly."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="protobuf absent: TWS runner cannot start"
+    )
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.streaming_queries import (
+        streaming_tws_user_stats,
+    )
+    from ssafynews_data_spark.sources.readers import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_tws_user_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
