@@ -790,3 +790,97 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        WITH agg AS (
+            SELECT c_custkey, c_name, n_name,
+                   round(c_acctbal, 2) AS c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+        FROM agg
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("joins", "tpch", "q10"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in a quarter.  The returnflag filter and the orderdate range
+    both push to the parquet scans (each prunes its fact side before
+    any join); nation broadcasts; the two fact-fact joins shuffle on
+    orderkey/custkey; and the final top-20 is TakeOrderedAndProject
+    (revenue DESC with a custkey tie-break so both engines select the
+    identical rows), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20).select(
+        "c_custkey", "c_name", "n_name", "c_acctbal", "revenue"
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS promo_revenue_pct,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    tags=("joins", "tpch", "q14"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one month — the
+    canonical conditional-aggregation-over-a-join query.  The shipdate
+    range prunes lineitem at the scan; part is a broadcast dimension,
+    so the single shuffle is the final 1-row aggregate (partial sums
+    map-side).  No DISTINCT, no window — this is the cheapest possible
+    plan for the question."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lineitems"),
+    )
