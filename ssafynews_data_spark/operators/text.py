@@ -942,3 +942,79 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("was_mojibake", ~F.col("text_fixed").eqNullSafe(F.col("text")))
         .select("doc_id", "source", "text_fixed", "was_mojibake")
     )
+
+
+# ---------------------------------------------------------------------------
+# Script-mix profile — code-switching / transliteration-noise signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "script_mix_stats",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_total,
+                   length(regexp_replace(text, '[^가-힣]', '', 'g')) AS n_hangul,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_hangul AS BIGINT) AS n_hangul,
+               CAST(n_latin AS BIGINT) AS n_latin,
+               CAST(n_digit AS BIGINT) AS n_digit,
+               CAST(n_chars_total - n_hangul - n_latin - n_digit AS BIGINT)
+                   AS n_other,
+               CASE WHEN n_hangul >= n_latin AND n_hangul >= n_digit
+                         AND n_hangul > 0 THEN 'hangul'
+                    WHEN n_latin >= n_digit AND n_latin > 0 THEN 'latin'
+                    WHEN n_digit > 0 THEN 'digit'
+                    ELSE 'other' END AS dominant_script
+        FROM c
+    """,
+    tags=("text", "script", "code-switching"),
+)
+def script_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script composition (Hangul / Latin / digit / other
+    counts + dominant script) — the code-switching profile a
+    multilingual curation pipeline uses to route documents to the right
+    tokenizer/quality rules and to catch transliteration spam (Latin
+    chars inside a nominally-Korean source).  Pure codegen'd
+    regexp_replace + length arithmetic, no UDF, no shuffle; the
+    dominant-script CASE uses >= tie-breaking in a fixed order so both
+    engines pick the same label.  Complements ``lang_id`` (token-level
+    heuristic) with exact character-class evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.length("text")
+    hangul = F.length(F.regexp_replace(F.col("text"), "[^가-힣]", ""))
+    latin = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    c = docs.select(
+        "doc_id",
+        total.alias("t"),
+        hangul.cast("long").alias("n_hangul"),
+        latin.cast("long").alias("n_latin"),
+        digit.cast("long").alias("n_digit"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_hangul") >= F.col("n_latin"))
+            & (F.col("n_hangul") >= F.col("n_digit"))
+            & (F.col("n_hangul") > 0),
+            "hangul",
+        )
+        .when((F.col("n_latin") >= F.col("n_digit")) & (F.col("n_latin") > 0), "latin")
+        .when(F.col("n_digit") > 0, "digit")
+        .otherwise("other")
+    )
+    return c.select(
+        "doc_id",
+        "n_hangul",
+        "n_latin",
+        "n_digit",
+        (F.col("t") - F.col("n_hangul") - F.col("n_latin") - F.col("n_digit"))
+        .cast("long")
+        .alias("n_other"),
+        dominant.alias("dominant_script"),
+    )
