@@ -509,7 +509,6 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     the cost of at most one redundant — already-converged, hence cheap —
     propagation round."""
     for _ in range(10):  # 2 rounds per check = the same 20-round cap
-        prev = labels
         for _ in range(2):
             msgs = edges.join(
                 labels.withColumnRenamed("node", "a"), "a"
@@ -577,6 +576,7 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 12) -> DataFra
     parts = max(1, min(width, n_edges // 100_000 + 1))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    changed = 0
     try:
         for _ in range(max_rounds):
             # large-star: center u, all neighbors v; emit (v, m) for v > u
@@ -616,6 +616,15 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 12) -> DataFra
             e = e2
             if changed == 0:
                 break
+        if changed != 0:
+            # fail LOUDLY: reading labels off a non-converged star forest
+            # would silently assign non-root component ids
+            raise RuntimeError(
+                f"connected_components_star did not converge within "
+                f"{max_rounds} rounds; raise max_rounds (O(log^2 n) "
+                f"suffices — non-convergence here indicates a bug or an "
+                f"extreme graph)"
+            )
 
         # converged: every edge is (v, root); root labels itself
         sym_f = e.select("a", "b").unionByName(

@@ -253,6 +253,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_COSINE_UDF = None
+
+
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine over two array columns with
+    dimension-by-dimension IN-ORDER accumulation — bitwise-identical to
+    the JVM ``aggregate(zip_with(...))`` fold and to the blocked-GEMM
+    forms (``embedding_near_dup``, ``semantic_dedup``), but ~8x faster
+    than the interpreted higher-order functions for per-pair work.
+    THE single definition of the accumulation recipe: every consumer
+    shares this UDF so the bitwise-equality guarantee can't drift.
+    Built lazily (and cached) because pandas_udf return-type parsing
+    needs an active SparkContext — module import must stay session-free."""
+    global _PAIR_COSINE_UDF
+    if _PAIR_COSINE_UDF is None:
+
+        @F.pandas_udf("double")
+        def _pc(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+            if len(a_s) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.array(a_s.tolist(), dtype=np.float64)
+            B = np.array(b_s.tolist(), dtype=np.float64)
+            na2 = np.zeros(len(A))
+            nb2 = np.zeros(len(A))
+            acc = np.zeros(len(A))
+            for i in range(A.shape[1]):  # left-to-right, like the JVM fold
+                na2 = na2 + A[:, i] * A[:, i]
+                nb2 = nb2 + B[:, i] * B[:, i]
+                acc = acc + A[:, i] * B[:, i]
+            return pd.Series(acc / (np.sqrt(na2) * np.sqrt(nb2)))
+
+        _PAIR_COSINE_UDF = _pc
+    return _PAIR_COSINE_UDF(a, b)
+
+
 def near_dup_auto(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -266,38 +301,15 @@ def near_dup_auto(
     LSH bucket candidates + exact verify — same output contract
     (id_a < id_b, cos_sim >= threshold), different physical strategy.
 
-    ``exact_limit`` is 1k because the crossover is early: the quadratic
-    branch pays |n|²/2 interpreted ``aggregate`` cosines (measured 64 s
-    at 2k×2k), while the LSH branch is shuffle-linear (~6 s on the same
-    corpus at 85% recall).
+    ``exact_limit`` is 1k because the crossover is early: even with the
+    vectorized ``pair_cosine`` the quadratic branch pays |n|²/2 pair
+    materializations (~10 s at 2k×2k), while the LSH branch is
+    shuffle-linear (~3 s on the same corpus at ~85% recall).
 
     The count() here is a cheap planning action (count-star over
     parquet metadata / cached input), the moral equivalent of AQE
     choosing a join strategy from runtime stats.
-
-    Pair verification uses an Arrow-batched pandas cosine with
-    dimension-by-dimension IN-ORDER accumulation — bitwise-identical to
-    the JVM ``aggregate(zip_with(...))`` form (same recipe as
-    ``embedding_near_dup``'s GEMM) but ~8x faster: interpreted
-    higher-order functions dominate per-pair cost, vectorized numpy
-    doesn't.
     """
-
-    @F.pandas_udf("double")
-    def pair_cosine(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        if len(a_s) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.array(a_s.tolist(), dtype=np.float64)
-        B = np.array(b_s.tolist(), dtype=np.float64)
-        na2 = np.zeros(len(A))
-        nb2 = np.zeros(len(A))
-        acc = np.zeros(len(A))
-        for i in range(A.shape[1]):  # left-to-right, like the JVM fold
-            na2 = na2 + A[:, i] * A[:, i]
-            nb2 = nb2 + B[:, i] * B[:, i]
-            acc = acc + A[:, i] * B[:, i]
-        return pd.Series(acc / (np.sqrt(na2) * np.sqrt(nb2)))
-
     n = corpus.count()
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
@@ -820,8 +832,11 @@ def _ann_recall_contract(
     )
 
 
-def _ann_contract_oracle(min_pct: int) -> str:
-    return f"""{_EXACT_TOPK_CTE}
+#: one shared oracle for both ANN contracts: DuckDB recomputes the
+#: exact-side facts; the recall floor itself is applied SPARK-SIDE (the
+#: frame emits recall_ok=false when violated, which then hash-mismatches
+#: the oracle's TRUE) — the floor constant does not appear in the SQL.
+_ANN_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
                round(sum(sim), 3) AS exact_sim_sum,
@@ -832,7 +847,7 @@ def _ann_contract_oracle(min_pct: int) -> str:
 
 @register(
     "ann_lsh_recall_contract",
-    oracle=_ann_contract_oracle(LSH_RECALL_MIN_PCT),
+    oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "lsh", "contract"),
 )
 def ann_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,7 +863,7 @@ def ann_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_recall_contract",
-    oracle=_ann_contract_oracle(IVF_RECALL_MIN_PCT),
+    oracle=_ANN_CONTRACT_ORACLE,
     tags=("similarity", "ivf", "contract"),
 )
 def ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,7 +903,9 @@ def semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
     pairs = pin(
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= SEMDEDUP_EPS)
+        # shared vectorized pair cosine — the interpreted fold here cost
+        # ~a minute at 2k vectors for this one contract row
+        .filter(pair_cosine(F.col("emb_a"), F.col("emb_b")) >= SEMDEDUP_EPS)
         .select("id_a", "id_b")
     )
     kept_ids = kept.select("vec_id")
@@ -936,13 +953,30 @@ def semantic_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS}
     """,
     tags=("dedup", "similarity", "adaptive"),
-    bench=True,  # the near-dup HEADLINE: adaptive scale path, no driver GEMM
 )
 def near_dup_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The adaptive router as a registered query: on the fixture it takes
-    the exact branch (JVM self-join, no driver materialization — unlike
-    ``embedding_near_dup``'s GEMM verify form) and must reproduce the
-    exact oracle; above ``exact_limit`` the SAME call switches to LSH
-    candidates + exact verify (branch behavior pytest-covered in
-    tests/test_similarity.py)."""
-    return near_dup_auto(_corpus(spark, sf_dir))
+    """The adaptive router as a registered query, with ``exact_limit``
+    raised to 2 500 so EVERY local fixture (sf0.001/0.01/0.1, up to 2k
+    vectors) stays on the exact branch and the exact-pair oracle holds
+    at all of them — the library default (1k) would route sf0.1 onto
+    the ~85%-recall LSH branch and break the hash check there.  No
+    driver materialization either way (unlike ``embedding_near_dup``'s
+    GEMM verify form).  The benched scale-path headline is
+    ``near_dup_lsh_verified`` below."""
+    return near_dup_auto(_corpus(spark, sf_dir), exact_limit=2_500)
+
+
+@register(
+    "near_dup_lsh_verified",
+    tags=("dedup", "similarity", "lsh"),
+    bench=True,  # the near-dup HEADLINE: the scale path, forced LSH branch
+)
+def near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup SCALE path as the benched headline: the router with
+    ``exact_limit=0`` always takes LSH candidates + vectorized exact
+    verify — shuffle-linear at any corpus size.  Rows-only driver check
+    (bucket collisions are engine-specific); the containment/recall
+    contract (output ⊆ exact pairs, recall ≥ 80%) is pytest-gated in
+    tests/test_similarity.py, and the exact twin
+    (``near_dup_auto_pairs``) carries the full hash oracle."""
+    return near_dup_auto(_corpus(spark, sf_dir), exact_limit=0)

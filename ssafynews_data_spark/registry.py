@@ -67,10 +67,11 @@ def register(
 #: correctness gate records rows for the first 50 registered queries
 #: only (CORRECTNESS_r01.json cut off at 50).  Round 5 executes the
 #: rotation staged in round 4: this tuple IS the 50-slot window —
-#: 30 multi-surface keepers (r4-green) + the 14 round-4 queries that
-#: never had a driver row + the 6 new round-5 contract/e2e queries.
+#: 28 multi-surface keepers (r4-green) + the 14 round-4 queries that
+#: never had a driver row + 8 new round-5 queries (ANN/ML/multimodal
+#: contracts, file-sink e2e, star CC, verified minhash chain).
 #: Expected: 47 oracle rows + 3 rows-only (compression, pagerank,
-#: mojibake), 20 first-ever driver checks.
+#: mojibake), 22 first-ever driver checks.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: r4-green, one per major surface ---
     "curate_corpus",

@@ -138,3 +138,22 @@ def test_contract_queries_hold(spark, sf_dir):
     r = vectors.pca_kmeans_summary(spark, sf_dir).collect()[0]
     assert r.cluster_min == 0 and r.cluster_max == r.n_clusters - 1
     assert r.n_pc_complete == r.n_rows
+
+
+def test_near_dup_lsh_verified_containment_and_recall(spark, sf_dir):
+    """The benched LSH headline must emit a SUBSET of the exact pair set
+    (every emitted pair is exact-verified) with recall >= 0.8, and the
+    oracle twin (exact_limit=2500) must equal the exact set."""
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.near_dup_auto_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.near_dup_lsh_verified(spark, sf_dir).collect()
+    }
+    assert exact
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
