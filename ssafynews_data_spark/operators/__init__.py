@@ -1,6 +1,7 @@
 """Operator modules — importing this package populates the query registry."""
 
 from ssafynews_data_spark.operators import (  # noqa: F401
+    bucketing,
     contamination,
     curation_blocks,
     dedup,

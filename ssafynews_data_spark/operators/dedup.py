@@ -874,3 +874,113 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.round("pr", 4).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Winnowing fingerprints (Schleimer et al. 2003, MOSS) — position-aware
+#    document fingerprinting with guaranteed match detection.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+
+#: fingerprints encode (position, hash32) in one BIGINT so both engines
+#: can dedup and sum them with exact integer arithmetic.
+_WINNOW_ENC = 4294967296  # 2^32
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {WINNOW_K}
+                        THEN list_transform(
+                            range(1, len(toks) - {WINNOW_K - 2}),
+                            i -> CAST(('0x' || substr(md5(
+                                     array_to_string(toks[i:i + {WINNOW_K - 1}], ' ')
+                                 ), 1, 8)) AS BIGINT))
+                        ELSE [] END AS hs
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, hs, len(hs) AS m,
+                   CASE WHEN len(hs) = 0 THEN []
+                        ELSE list_distinct(list_transform(
+                            range(1, greatest(len(hs) - {WINNOW_W - 2}, 2)),
+                            j -> (j + len(hs[j:j + {WINNOW_W - 1}])
+                                    - list_position(
+                                          list_reverse(hs[j:j + {WINNOW_W - 1}]),
+                                          list_min(hs[j:j + {WINNOW_W - 1}])))
+                                 * {_WINNOW_ENC}
+                                 + list_min(hs[j:j + {WINNOW_W - 1}])))
+                        END AS fps
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(m AS BIGINT) AS n_kgrams,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        FROM w
+    """,
+    tags=("dedup", "fingerprinting", "winnowing"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every k-gram, slide a window of W hashes,
+    select each window's minimum (rightmost on ties).  Guarantees any
+    shared substring of length >= W+K-1 tokens produces a shared
+    fingerprint while keeping only ~2/(W+1) of the hashes — the
+    position-aware fingerprinting used for plagiarism/overlap detection
+    where set-based MinHash loses locality.
+
+    Cross-engine by construction: k-gram hashes are md5-derived (not
+    engine hash functions), each selected (position, hash) pair is
+    encoded into one BIGINT, and the per-doc outputs (k-gram count,
+    fingerprint count, exact integer fingerprint sum) are hash-checked
+    against DuckDB running the identical list pipeline.  Row-local array
+    expressions only — no shuffle, no UDF; fingerprints ride the same
+    scan as every other per-doc signal."""
+    toks = _doc_tokens(spark, sf_dir)
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, WINNOW_K)),
+    )
+    g32 = lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hs_expr = F.when(n >= WINNOW_K, F.transform(grams, g32)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    h = toks.select("doc_id", hs_expr.alias("hs"))
+    m = F.size("hs")
+
+    def window_pick(j):
+        sl = F.slice(F.col("hs"), j, WINNOW_W)
+        mn = F.array_min(sl)
+        # rightmost occurrence of the min: first position in the
+        # reversed window, mapped back
+        pos = j + F.size(sl) - F.array_position(F.reverse(sl), mn).cast("int")
+        return pos.cast("long") * _WINNOW_ENC + mn
+
+    fps = F.when(m == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m - (WINNOW_W - 1), F.lit(1))),
+                window_pick,
+            )
+        )
+    )
+    out = h.select("doc_id", m.cast("long").alias("n_kgrams"), fps.alias("fps"))
+    return out.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.coalesce(
+            F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0)
+        ).alias("fp_sum"),
+    )

@@ -223,3 +223,70 @@ def test_minhash_verified_pairs_equal_exact(spark, sf_dir):
         for r in dedup.minhash_verified_pairs(spark, sf_dir).collect()
     }
     assert exact and verified == exact
+
+
+def test_winnowing_guarantee_shared_substring(spark, tmp_path):
+    """Winnowing's core guarantee: two documents sharing a token run of
+    length >= W+K-1 must share at least one fingerprint; fingerprints
+    are ~2/(W+1) of the k-gram count on long docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_ENC,
+        winnow_fingerprints,
+    )
+
+    import hashlib
+    import re
+
+    def py_winnow_hashes(text):
+        """Reference implementation of the same algorithm (md5-derived
+        32-bit k-gram hashes, window-min, rightmost tie-break),
+        returning the HASH parts (position-stripped) for overlap checks."""
+        toks = [t for t in re.split(r"[^\w]+", text.lower()) if t]
+        grams = [
+            " ".join(toks[i : i + WINNOW_K])
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        sel = set()
+        for j in range(max(len(hs) - WINNOW_W + 1, 1) if hs else 0):
+            win = hs[j : j + WINNOW_W]
+            mn = min(win)
+            pos = j + len(win) - 1 - win[::-1].index(mn)
+            sel.add((pos, mn))
+        return sel
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= W+K-1 = 6
+    texts = {
+        1: f"one two {shared} three four five six seven",
+        2: f"nine ten {shared} eleven twelve thirteen fourteen",
+        3: "совершенно другой текст без общих слов вовсе",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 10) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in winnow_fingerprints(spark, d).collect()}
+
+    ref = {i: py_winnow_hashes(t) for i, t in texts.items()}
+    # the guarantee, on the reference sets: shared run => shared hash
+    h1 = {h for _, h in ref[1]}
+    h2 = {h for _, h in ref[2]}
+    h3 = {h for _, h in ref[3]}
+    assert h1 & h2, "shared >= W+K-1 token run must share a fingerprint hash"
+    assert not (h1 & h3)
+    # the Spark frame must agree with the reference implementation
+    for i in texts:
+        assert rows[i].n_fingerprints == len(ref[i]), i
+        assert rows[i].fp_sum == sum(
+            (pos + 1) * _WINNOW_ENC + h for pos, h in ref[i]
+        ), i

@@ -247,3 +247,24 @@ def test_uniform_sample_is_take_ordered(spark, sf_dir):
 
     plan = _plan(sampling.uniform_sample_fixed_n(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both facts bucketed by the join key: the join must read
+    co-located buckets — NO Exchange anywhere in the join plan.  At
+    fixture scale the planner would rather broadcast (which disables
+    bucketed reads entirely), so broadcast is turned off to exercise
+    the layout the bucketing exists for: the 100 TB fact-fact case
+    where neither side fits in memory."""
+    from ssafynews_data_spark.operators import bucketing
+
+    orders, li = bucketing.bucketed_orders_lineitem(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(orders.join(li, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan
