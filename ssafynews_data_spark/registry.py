@@ -67,11 +67,12 @@ def register(
 #: correctness gate records rows for the first 50 registered queries
 #: only (CORRECTNESS_r01.json cut off at 50).  Round 5 executes the
 #: rotation staged in round 4: this tuple IS the 50-slot window —
-#: 28 multi-surface keepers (r4-green) + the 14 round-4 queries that
-#: never had a driver row + 8 new round-5 queries (ANN/ML/multimodal
-#: contracts, file-sink e2e, star CC, verified minhash chain).
+#: 26 multi-surface keepers (r4-green) + the 14 round-4 queries that
+#: never had a driver row + 10 new round-5 queries (ANN/ML/multimodal
+#: contracts, file-sink e2e, star CC, verified minhash chain, bucketed
+#: join, winnowing).
 #: Expected: 47 oracle rows + 3 rows-only (compression, pagerank,
-#: mojibake), 22 first-ever driver checks.
+#: mojibake), 24 first-ever driver checks.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: r4-green, one per major surface ---
     "curate_corpus",
@@ -97,9 +98,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "streaming_interval_join",
     "llm_corpus_pipeline",
     "session_window_stats",
-    "robust_value_stats",
     "boilerplate_block_removal",
-    "token_chunk_windows",
     "q18_large_volume_customer",
     "trailing_week_user_value",
     # --- round-4 additions, first driver check this round ---
@@ -132,6 +131,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
     # r4-green yields its slot; the vector-profile surface stays
     # in-window via label_centroids + the ANN contracts)
     "media_decode_contract",
+    # shuffle-free bucketed fact-fact join + winnowing fingerprints
+    # (robust_value_stats / token_chunk_windows, both r4-green, yield
+    # their slots; surfaces stay locally gated)
+    "bucketed_join_revenue",
+    "winnow_fingerprints",
 )
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
@@ -167,6 +171,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     "semantic_dedup",
     "bm25_topk",
     "embedding_norm_stats",
+    "robust_value_stats",
+    "token_chunk_windows",
     "char_stats_quality",
     "nfc_normalize_docs",
     "inverted_postings_index",
