@@ -984,3 +984,55 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0)
         ).alias("fp_sum"),
     )
+
+
+@register(
+    "pagerank_mass_contract",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+        ),
+        nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+               TRUE AS mass_ok,
+               TRUE AS all_positive
+    """,
+    tags=("dedup", "graph", "pagerank", "contract"),
+)
+def pagerank_mass_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for ``dedup_graph_pagerank``: the node
+    count is DuckDB-recomputed from the exact pair graph, and the frame
+    asserts the two analytic invariants of the non-normalized damped
+    formulation — total rank mass within 1% of |nodes| (Σpr ≈ n at the
+    fixpoint) and every rank strictly positive (pr >= 1-d by
+    construction).  Converts the rows-only PageRank check into a
+    hash-verified row; the per-node values stay rows-only (iterative
+    float sums are order-dependent)."""
+    pr = dedup_graph_pagerank(spark, sf_dir)
+    agg = pr.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("pagerank").alias("mass"),
+        F.min("pagerank").alias("min_pr"),
+    )
+    return agg.select(
+        "n_nodes",
+        (
+            F.abs(F.col("mass") - F.col("n_nodes"))
+            <= 0.01 * F.col("n_nodes")
+        ).alias("mass_ok"),
+        (F.col("min_pr") > 0).alias("all_positive"),
+    )

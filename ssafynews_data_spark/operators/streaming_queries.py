@@ -534,3 +534,86 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return res
+
+
+@register(
+    "streaming_sketch_maintenance",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS est_ok
+        FROM events GROUP BY 1
+    """,
+    tags=("streaming", "sketch", "hll", "contract"),
+)
+def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of MERGEABLE distinct-count sketches: every
+    micro-batch appends its per-day HLL user sketches (tiny binaries) to
+    a parquet sketch table via foreachBatch; reads union the sketches
+    per day — the incremental-rollup architecture where a 100 TB events
+    stream keeps "distinct users per day" queryable without ever
+    re-scanning raw ids.
+
+    The WHOLE stream runs twice against fresh checkpoints (total
+    redelivery): HLL union is a SET operation, so duplicate sketches
+    change nothing — sketch algebra gives effectively-once estimates
+    under at-least-once delivery with no key-dedup machinery at all.
+    The driver hash-checks per-day exact counts (recomputed batch-side,
+    DuckDB-matched) plus the contract that every day's estimate lands
+    within 5% of exact."""
+    import shutil
+
+    import ssafynews_data_spark
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(ssafynews_data_spark.__file__))),
+        "spark-warehouse",
+        "stream_sketches_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_path = os.path.join(base, "sketches")
+    out_schema = "day STRING, exact_users LONG, est_ok BOOLEAN"
+    from ssafynews_data_spark.sources.readers import load_table
+
+    events_batch = load_table(spark, sf_dir, "events")
+    if events_batch.isEmpty():
+        return spark.createDataFrame([], out_schema)
+
+    def append_sketches(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select(F.to_date("ts").alias("d"), "user_id")
+            .groupBy("d")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.mode("append")
+            .parquet(data_path)
+        )
+
+    for attempt in range(2):  # redelivery: sketch union must not drift
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(append_sketches)
+            .option("checkpointLocation", os.path.join(base, f"ck_{attempt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    est = (
+        spark.read.parquet(data_path)
+        .groupBy("d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        events_batch.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    out = exact.join(est, "d").select(
+        F.col("d").cast("string").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
