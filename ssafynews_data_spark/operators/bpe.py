@@ -1,0 +1,162 @@
+"""Byte-pair-encoding subword tokenizer (Sennrich et al. 2016) — the
+real form of the north-star "BPE-ish" token counting.
+
+Scale decomposition (this is how production tokenizer training works):
+
+1. **corpus → word histogram** is the only corpus-scale step — ONE
+   map-side-combining aggregate; the result is vocabulary-sized (MBs
+   even for a 100 TB corpus, by Zipf).
+2. **merge learning** runs on the histogram — pure Python on the
+   driver, deterministic (argmax pair frequency, lexicographic
+   tie-break), unit-tested against hand-computed merges.
+3. **tokenization** broadcasts the learned merge ranks and applies them
+   corpus-wide in an Arrow-batched pandas UDF — row-local, no shuffle.
+
+The reference has no subword tokenizer (its keyword pipeline is
+Okt-noun based, dags/scripts/spark_daily_report.py:31-36); this is the
+training-data extension of the task brief's "token counting
+(whitespace + a BPE-ish regex)" item, upgraded to the actual BPE
+algorithm.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.operators.text import tokens_col
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+#: end-of-word marker — standard BPE; keeps suffixes distinct from
+#: word-internal character runs.
+EOW = "</w>"
+N_MERGES = 40
+
+
+def word_histogram(docs: DataFrame) -> DataFrame:
+    """(word, n): the corpus word-frequency table — the ONLY
+    corpus-scale computation in BPE training.  Map-side partial
+    aggregation means the shuffle carries one row per distinct word."""
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _symbols(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
+
+
+def learn_bpe(word_freqs: list[tuple[str, int]], n_merges: int = N_MERGES) -> list[tuple[str, str]]:
+    """Learn BPE merges from a word-frequency table (pure Python; the
+    table is vocabulary-sized by construction).  Deterministic: the
+    merge each round is the (pair-count, then lexicographically
+    smallest pair) argmax, so two runs — or two engines — produce the
+    identical merge list.  Tie-break on the PAIR (not insertion order)
+    keeps the result independent of dict ordering."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in word_freqs:
+        s = _symbols(w)
+        if len(s) >= 2:
+            vocab[s] = vocab.get(s, 0) + n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # highest count; lexicographically SMALLEST pair among ties
+        pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Tokenize one word with learned merge ranks: repeatedly merge the
+    lowest-rank adjacent pair (the standard greedy BPE apply)."""
+    sym = list(_symbols(word))
+    while len(sym) >= 2:
+        best_i, best_r = -1, None
+        for i, (a, b) in enumerate(zip(sym, sym[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def make_bpe_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched tokenizer: the merge ranks broadcast inside the
+    closure (a list of string pairs — KBs); each batch tokenizes its
+    rows locally.  Returns token COUNT per text (the common audit
+    shape); swap the inner lambda to return arrays when the tokens
+    themselves are needed."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def bpe_count(text: pd.Series) -> pd.Series:
+        import re
+
+        def count(t: str) -> int:
+            toks = [w for w in re.split(r"[^\w]+", (t or "").lower(), flags=re.UNICODE) if w]
+            return sum(len(bpe_encode(w, ranks)) for w in toks)
+
+        return text.map(count)
+
+    return bpe_count
+
+
+@register("bpe_token_stats", tags=("tokens", "bpe", "tokenizer"))
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer ON the corpus and audit it per source:
+    whitespace-token count, BPE-subword count, and the integer-quantized
+    subwords-per-word fertility — the comparison table that drives
+    real tokenizer choices (see ``tokenizer_fertility_stats`` for the
+    bytes-per-token counterpart).
+
+    Rows-only driver check (merge learning is Python-side); the
+    algorithm itself is pytest-verified against hand-computed merges
+    and a reference re-implementation (tests/test_bpe.py).  The
+    histogram collect is vocabulary-sized BY CONSTRUCTION — the classic
+    tokenizer-training shape, not a corpus materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = word_histogram(docs)
+    word_freqs = [(r.word, r.n) for r in hist.collect()]  # vocab-sized
+    merges = learn_bpe(word_freqs, N_MERGES)
+    bpe_count = make_bpe_udf(merges)
+
+    t = docs.select(
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_ws"),
+        bpe_count(F.col("text")).alias("n_bpe"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.floor(
+            F.sum("n_bpe") * 10000 / F.nullif(F.sum("n_ws"), F.lit(0))
+        ).alias("subwords_per_word_q4"),
+    )

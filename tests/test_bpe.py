@@ -1,0 +1,59 @@
+"""BPE tokenizer invariants: hand-computed merges, encode/decode
+consistency, determinism, and the Spark audit query's accounting."""
+
+from __future__ import annotations
+
+from ssafynews_data_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_token_stats,
+    learn_bpe,
+)
+
+
+def test_learn_bpe_hand_computed():
+    """'low' x5 + 'lower' x2 (the Sennrich example shape): ('l','o')
+    wins with count 7; 'low' ends in 'w</w>' so ('lo','w</w>') follows
+    at 5; the remaining pairs all have count 2 and the lexicographic
+    tie-break orders ('e','r</w>') before ('lo','w')."""
+    merges = learn_bpe([("low", 5), ("lower", 2)], n_merges=4)
+    assert merges == [
+        ("l", "o"),
+        ("lo", "w" + EOW),
+        ("e", "r" + EOW),
+        ("lo", "w"),
+    ]
+
+
+def test_bpe_encode_greedy_rank_order():
+    merges = learn_bpe([("low", 5), ("lower", 2)], n_merges=4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode("low", ranks) == ["low" + EOW]
+    # the learned 'low' stem survives inside the longer word
+    assert bpe_encode("lower", ranks) == ["low", "er" + EOW]
+    # unseen word: falls back to finer segments but stays lossless
+    out = bpe_encode("slow", ranks)
+    assert out == ["s", "low" + EOW]
+    assert "".join(out) == "slow" + EOW
+
+
+def test_learn_bpe_deterministic_vs_input_order():
+    a = learn_bpe([("abc", 3), ("abd", 3), ("xyz", 1)], n_merges=5)
+    b = learn_bpe([("xyz", 1), ("abd", 3), ("abc", 3)], n_merges=5)
+    assert a == b
+
+
+def test_bpe_token_stats_accounting(spark, sf_dir):
+    """Per-source audit: BPE subword count >= whitespace token count is
+    NOT guaranteed per doc (merged stems can't cross words, so every
+    word yields >= 1 subword => n_bpe >= n_ws only when no word fully
+    merges...); what IS guaranteed: n_bpe >= n_docs' word minimum — use
+    the solid invariants: counts positive, fertility quantized
+    consistently, totals additive."""
+    rows = bpe_token_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bpe_tokens >= r.ws_tokens  # a word is >= 1 subword;
+        # only fully-merged single-token words hit equality
+        assert r.subwords_per_word_q4 >= 10000
+        assert r.subwords_per_word_q4 == r.bpe_tokens * 10000 // r.ws_tokens
