@@ -138,6 +138,16 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "winnow_fingerprints",
 )
 
+#: ROUND-6 ROTATION PLAN (same zero-sum recipe as rounds 4/5): the
+#: round-5 queries that registered AFTER the window froze are locally
+#: oracle-green but have never had a driver row — promote into
+#: PRIORITY_FIRST next round, demoting an equal number of r5-green
+#: stable passes: q10_returned_items, q14_promo_revenue,
+#: script_mix_stats, epoch_shuffle_layout, length_bucket_stats,
+#: uniform_sample_fixed_n, semantic_decontaminate, dedup_graph_stats,
+#: pagerank_mass_contract, streaming_sketch_maintenance (all oracled);
+#: near_dup_lsh_verified, bpe_token_stats (rows-only + pytest).
+
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
 #: window; they stay registered (and locally gated via
