@@ -216,3 +216,46 @@ def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pr"), 6).alias("max_percent_rank"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
     )
+
+
+@register(
+    "ansi_safe_math",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(count(CASE WHEN value <> 0 THEN 1 END) AS BIGINT)
+                   AS n_nonzero,
+               round(sum(CASE WHEN value <> 0
+                              THEN CAST(1.0 AS DOUBLE) / value END), 4)
+                   AS sum_inverse,
+               CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT) IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_k_parsed
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("ansi", "error-handling", "try"),
+)
+def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling surface: ``try_divide`` (NULL instead of a
+    divide-by-zero error under ANSI mode) and ``try_cast`` over a JSON
+    extraction — the production pattern for untrusted numeric fields: a
+    malformed row yields NULL and the aggregate continues, instead of a
+    task failure killing the stage.  Everything codegen'd; the oracle
+    mirrors try-semantics with guarded CASE / TRY_CAST in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    t = ev.select(
+        "event_type",
+        F.try_divide(F.lit(1.0), F.col("value")).alias("inv"),
+        F.col("value"),
+        k_str.try_cast("bigint").alias("k"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") != 0, 1)).alias("n_nonzero"),
+        F.round(F.sum(F.when(F.col("value") != 0, F.col("inv"))), 4).alias(
+            "sum_inverse"
+        ),
+        F.sum(F.col("k").isNotNull().cast("long")).alias("n_k_parsed"),
+    )
