@@ -283,3 +283,93 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 4).alias("max_bench_sim"),
         (F.col("mx") >= SEM_CONTAM_COS).alias("contaminated"),
     )
+
+
+@register(
+    "multisignal_curation",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   length(regexp_replace(text, '[^가-힣]', '', 'g')) AS nh,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nl,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+            FROM documents
+        ),
+        latin AS (
+            SELECT * FROM s
+            WHERE NOT (nh >= nl AND nh >= nd AND nh > 0)
+              AND nl >= nd AND nl > 0
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        bench AS (SELECT * FROM e WHERE vec_id % {BENCH_MOD} = 0),
+        contaminated AS (
+            SELECT DISTINCT c.vec_id
+            FROM e c JOIN bench b ON c.vec_id % {BENCH_MOD} <> 0
+            WHERE list_cosine_similarity(c.emb, b.emb) >= 0.35
+        ),
+        clean AS (
+            SELECT l.* FROM latin l
+            ANTI JOIN contaminated t ON l.doc_id = t.vec_id
+        ),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM clean
+            GROUP BY md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'), ' '))
+        )
+        SELECT c.lang, c.source,
+               count(*) AS n_kept,
+               CAST(sum(c.n_chars) AS BIGINT) AS chars_kept
+        FROM clean c JOIN keepers USING (doc_id)
+        GROUP BY 1, 2
+    """,
+    tags=("curation", "composite", "multisignal"),
+)
+def multisignal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 signals composed into ONE curation chain under a
+    whole-chain oracle: script routing (keep Latin-dominant documents —
+    the ``script_mix_stats`` rule) → semantic decontamination
+    (broadcast-anti-join the embedding-space bench leaks) → exact
+    content dedup keep-first → per-(lang, source) audit.
+
+    Physical shape: the script gate is row-local regexp arithmetic (no
+    shuffle); the contamination side reduces to a broadcast id set; the
+    dedup is one hash aggregate + semi join — the whole chain shuffles
+    the surviving corpus exactly twice (dedup fp, final audit), never
+    the raw corpus."""
+    from ssafynews_data_spark.operators.similarity import as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    nh = F.length(F.regexp_replace(F.col("text"), "[^가-힣]", ""))
+    nl = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    nd = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    latin = docs.filter(
+        ~((nh >= nl) & (nh >= nd) & (nh > 0)) & (nl >= nd) & (nl > 0)
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    bench = emb.filter(F.col("vec_id") % BENCH_MOD == 0).select(
+        F.col("emb").alias("b_emb")
+    )
+    contaminated = (
+        emb.filter(F.col("vec_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench))
+        .filter(cosine(F.col("emb"), F.col("b_emb")) >= 0.35)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = latin.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    keepers = (
+        clean.select(F.md5(norm.cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = clean.join(keepers, "doc_id", "left_semi")
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )

@@ -270,3 +270,42 @@ def hll_daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_users"),
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "observed_write_audit",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nulls_text,
+               count(*) AS n_readback
+        FROM documents
+    """,
+    tags=("sink", "observe", "audit"),
+)
+def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline metrics via ``df.observe``: the write job
+    itself reports row count and null counts (no second scan — at
+    100 TB a follow-up count() would re-read the whole output), then the
+    files are read back and counted.  The driver hash-checks all three
+    figures against DuckDB, proving the observed metrics equal the
+    ground truth and the write lost nothing."""
+    import os
+    import shutil
+
+    import ssafynews_data_spark
+    from ssafynews_data_spark.sources.sinks import observed_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(ssafynews_data_spark.__file__))),
+        "spark-warehouse",
+        "observed_audit_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    metrics = observed_write(docs, path, audit_cols=("text",))
+    n_back = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(metrics["n_rows"], metrics["nulls_text"], n_back)],
+        "n_rows LONG, nulls_text LONG, n_readback LONG",
+    )
