@@ -145,8 +145,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: stable passes: q10_returned_items, q14_promo_revenue,
 #: script_mix_stats, epoch_shuffle_layout, length_bucket_stats,
 #: uniform_sample_fixed_n, semantic_decontaminate, dedup_graph_stats,
-#: pagerank_mass_contract, streaming_sketch_maintenance (all oracled);
-#: near_dup_lsh_verified, bpe_token_stats (rows-only + pytest).
+#: pagerank_mass_contract, streaming_sketch_maintenance,
+#: ansi_safe_math, observed_write_audit, multisignal_curation (all
+#: oracled); near_dup_lsh_verified, bpe_token_stats (rows-only +
+#: pytest).
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the

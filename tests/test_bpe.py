@@ -57,3 +57,28 @@ def test_bpe_token_stats_accounting(spark, sf_dir):
         # only fully-merged single-token words hit equality
         assert r.subwords_per_word_q4 >= 10000
         assert r.subwords_per_word_q4 == r.bpe_tokens * 10000 // r.ws_tokens
+
+
+def test_bpe_lossless_property():
+    """Property: for ANY word, the concatenation of its BPE segments
+    reconstructs word+EOW exactly (merges never lose or invent chars)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    merges = learn_bpe(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], n_merges=20
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @given(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",)),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(word):
+        assert "".join(bpe_encode(word, ranks)) == word + EOW
+
+    check()
