@@ -329,11 +329,17 @@ def near_dup_auto(
         # cos >= t  ⇔  euclidean on unit vectors <= sqrt(2 - 2t)
         radius = float((2.0 - 2.0 * threshold) ** 0.5)
         j = model.approxSimilarityJoin(vecs, vecs, radius, distCol="_d")
-        cands = j.select(
+        # approxSimilarityJoin already emits DISTINCT row pairs (LSH.scala
+        # dedups across hash tables before computing distance), and each
+        # side carries its full row — so the raw embeddings ride along
+        # for free.  Selecting them here saves a distinct shuffle AND two
+        # join-back-to-corpus stages vs re-fetching by id.
+        pairs = j.select(
             F.col(f"datasetA.{id_col}").alias("id_a"),
             F.col(f"datasetB.{id_col}").alias("id_b"),
-        ).filter(F.col("id_a") < F.col("id_b")).distinct()
-        pairs = cands.join(a, "id_a").join(b, "id_b")
+            F.col(f"datasetA.{emb_col}").alias("emb_a"),
+            F.col(f"datasetB.{emb_col}").alias("emb_b"),
+        ).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
