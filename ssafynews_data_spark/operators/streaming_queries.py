@@ -617,3 +617,99 @@ def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_ok"),
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "streaming_outer_interval_join",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+             c AS (SELECT user_id, ts AS cts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id AS p_user, ts AS pts FROM events, mx
+                   WHERE event_type = 'purchase'
+                     AND ts < max_ts - INTERVAL 35 MINUTE)
+        SELECT p_user AS user_id,
+               count(*) AS n_purchases,
+               CAST(count(cts) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched
+        FROM p LEFT JOIN c
+          ON c.user_id = p_user
+         AND cts BETWEEN pts - INTERVAL 30 MINUTE AND pts
+        GROUP BY 1
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    form can't test: a purchase with NO click in its preceding 30
+    minutes must still emit, with nulls.  In Structured Streaming the
+    null row for an unmatched purchase is only emitted once the
+    watermark passes the point where a matching click can no longer
+    arrive (here: past the purchase's own timestamp); the no-data
+    micro-batches after the file source drains advance the watermark to
+    max(ts) - delay and flush them.  Eviction is conservative: a
+    purchase emits its null row only once the watermark clears
+    p_ts + the 30-minute join interval, so purchases inside the final
+    (interval + delay) window are still buffered when the query stops —
+    BOTH engines exclude that tail (ts < max_ts - 35 min) so the
+    comparison is exact, and the exclusion is computed from the data,
+    not hardcoded.  A short 1-minute delay is safe here because the file
+    source delivers the fixture as one ordered micro-batch (no
+    intra-batch late drops); a production feed sizes the delay to its
+    real disorder bound."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = user_id AND
+            click_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts
+            """
+        ),
+        "left_outer",
+    )
+    name = "soj_" + uuid.uuid4().hex[:10]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pairs = spark.createDataFrame(
+                spark.table(name).collect(), spark.table(name).schema
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from ssafynews_data_spark.sources.readers import load_table
+
+    bounds = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+    return (
+        pairs.crossJoin(F.broadcast(bounds))
+        .filter(F.col("p_ts") < F.col("max_ts") - F.expr("INTERVAL 35 MINUTES"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("click_ts").alias("n_matched"),
+            F.sum(F.when(F.col("click_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+    )
