@@ -148,7 +148,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: pagerank_mass_contract, streaming_sketch_maintenance,
 #: ansi_safe_math, observed_write_audit, multisignal_curation (all
 #: oracled); near_dup_lsh_verified, bpe_token_stats (rows-only +
-#: pytest).
+#: pytest).  Round-5 session 2 added 14 more oracle-green candidates:
+#: the TPC-H subquery family (q2_min_cost_supplier, q4_order_priority,
+#: q8_market_share, q13_customer_distribution, q16_parts_supplier_count,
+#: q19_disjunctive_revenue, q22_sales_opportunity), the corpus-LM
+#: quality family (bigram_lm_perplexity, unigram_kl_source_divergence,
+#: zipf_fit_stats, k_anonymity_profile), and the layout/streaming trio
+#: (zorder_box_query, dpp_top_days_report,
+#: streaming_outer_interval_join).  Rotate by surface diversity:
+#: prefer one per family over exhausting any single family.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
