@@ -713,3 +713,110 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_unmatched"),
         )
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+        WITH w AS (
+            SELECT unnest(generate_series(
+                       date_trunc('day', ts) - INTERVAL 2 DAY,
+                       date_trunc('day', ts),
+                       INTERVAL 1 DAY)) AS w_start,
+                   event_type, value
+            FROM events
+        )
+        SELECT strftime(w_start, '%Y-%m-%d') AS w_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM w
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST8", "sliding-window"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time window (3-day length, 1-day slide) through a
+    real streaming query: every event lands in exactly 3 overlapping
+    windows, so totals across windows triple-count by design — the
+    window assignment itself is what's under test (tumbling is the
+    degenerate slide == length case already covered by
+    streaming_daily_counts).  The oracle replicates each row into its 3
+    windows with generate_series and aggregates identically.  Complete
+    mode + memory sink, drained synchronously; state is |windows| ×
+    |types| rows — bounded by the slide ratio, not the event count."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy(F.window("ts", "3 days", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "ssl_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        q.stop()
+    return out
+
+
+@register(
+    "streaming_state_inspection",
+    oracle="""
+        SELECT DISTINCT user_id FROM events
+    """,
+    tags=("streaming", "statestore", "observability"),
+)
+def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the STATE STORE itself (Spark 4 ``statestore`` data
+    source): run a streaming dropDuplicates(user_id) to completion with
+    a real checkpoint, then read the operator's keyed state back from
+    that checkpoint as a DataFrame.  For an unwatermarked dedup the
+    state is exactly the distinct-key set, so the read-back state is
+    oracle-checkable against ``SELECT DISTINCT user_id`` — turning
+    "what is my streaming job remembering?" (the debugging question
+    every stateful pipeline eventually asks) into a verifiable query.
+    At scale this reader is how you audit state growth without
+    restarting the job."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_")
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id")
+        .dropDuplicates(["user_id"])
+    )
+    name = "ssi_" + uuid.uuid4().hex[:10]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    out = state.select(F.col("key.user_id").alias("user_id"))
+    return spark.createDataFrame(out.collect(), out.schema)

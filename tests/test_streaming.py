@@ -253,3 +253,37 @@ def test_streaming_semi_join_emits_purchase_once(spark, tmp_path):
 
     out = {r.user_id: r.n_attributed for r in streaming_semi_join(spark, d).collect()}
     assert out == {7: 1}
+
+
+def test_sliding_windows_triple_count(spark, sf_dir):
+    from ssafynews_data_spark.operators.streaming_queries import (
+        streaming_sliding_counts,
+    )
+    from ssafynews_data_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    total = (
+        streaming_sliding_counts(spark, sf_dir)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]
+        .s
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    # 3-day window, 1-day slide → every event in exactly 3 windows
+    assert total == 3 * n_events
+
+
+def test_state_inspection_matches_distinct_keys(spark, sf_dir):
+    from ssafynews_data_spark.operators.streaming_queries import (
+        streaming_state_inspection,
+    )
+    from ssafynews_data_spark.sources.readers import load_table
+
+    state_keys = {
+        r.user_id for r in streaming_state_inspection(spark, sf_dir).collect()
+    }
+    real_keys = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    assert state_keys == real_keys
