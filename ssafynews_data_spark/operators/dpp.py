@@ -106,7 +106,15 @@ def dpp_top_days_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report from the raw table: layout + DPP are semantically
     invisible."""
     path = write_day_partitioned(spark, sf_dir)
-    fact = spark.read.parquet(path)
+    # explicit schema: an empty source writes zero files, and a bare
+    # read.parquet on a file-less layout cannot infer one.  The data
+    # columns match the source; the partition column reads as DATE.
+    fact_schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.to_date("ts"))
+        .schema
+    )
+    fact = spark.read.schema(fact_schema).parquet(path)
     dim = top_revenue_days(spark, sf_dir)
     return (
         fact.join(F.broadcast(dim.select("d")), "d")
