@@ -1,0 +1,78 @@
+"""Shuffle-budget regression pins for every benched headline query.
+
+Local wall-clock is noisy (docs/SCALE.md "Known local-vs-cluster
+deltas"); shuffle COUNT is the portable cost model — each Exchange is a
+full materialize-and-redistribute of its input on a cluster.  This test
+pins the current number of shuffle exchanges (hash/range partitioning;
+broadcast exchanges excluded — they move only the small side) in each
+benched query's executed plan, so any future edit that silently doubles
+a query's shuffles fails CI instead of surfacing as a 2× cluster
+regression.
+
+If an edit legitimately changes a plan (e.g. trades a shuffle for a
+broadcast), update the budget in the same commit and say why.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ssafynews_data_spark import registry
+from ssafynews_data_spark.caching import release_pins
+
+#: max allowed "Exchange hash/rangepartitioning" nodes per executed plan.
+#: Values are the measured counts at the time of pinning (slack 0 — a
+#: new shuffle must be justified, not absorbed).
+SHUFFLE_BUDGET: dict[str, int] = {
+    "ann_lsh_topk": 2,
+    "bigram_lm_perplexity": 4,
+    "boilerplate_block_removal": 3,
+    "cosine_topk": 1,
+    "curate_corpus": 2,
+    "daily_event_counts": 2,
+    "decontaminate_docs": 3,
+    "dsir_importance_weights": 3,
+    "hybrid_rrf_retrieval": 1,
+    "llm_corpus_pipeline": 4,
+    "minhash_lsh_pairs": 5,
+    "mock_enrich_documents": 0,
+    "near_dup_lsh_verified": 1,
+    "pca_kmeans_clusters": 0,
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_regional_revenue": 1,
+    "semantic_dedup": 3,
+    "sessionization": 1,
+    "simhash_pairs": 2,
+    "word_freq_topk": 1,
+    "zscore_grouped_pandas": 1,
+}
+
+
+def _shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_benched_query_within_shuffle_budget(spark, sf_dir, name):
+    q = registry.load_all()[name]
+    try:
+        got = _shuffles(q.fn(spark, sf_dir))
+    finally:
+        release_pins()
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: {got} shuffles > budget {SHUFFLE_BUDGET[name]} — "
+        "a plan regression, or update the budget with justification"
+    )
+
+
+def test_budget_covers_every_benched_query(spark):
+    benched = {n for n, q in registry.load_all().items() if q.bench}
+    assert benched == set(SHUFFLE_BUDGET), (
+        "bench set and shuffle budget drifted apart: "
+        f"missing={benched - set(SHUFFLE_BUDGET)}, "
+        f"stale={set(SHUFFLE_BUDGET) - benched}"
+    )
