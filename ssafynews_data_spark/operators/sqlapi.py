@@ -198,3 +198,70 @@ def ansi_q1_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_ANSI_SHARED_Q1)
+
+
+@register(
+    "pipe_syntax_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus <> 'P'
+        GROUP BY 1, 2
+        ORDER BY o_orderpriority, o_year
+    """,
+    tags=("sql-api", "pipe-syntax"),
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same Catalyst plan as the
+    classic SELECT, written as a linear dataflow — the SQL dialect
+    analytics users increasingly write (and the closest SQL analog of
+    the DataFrame chain).  Oracle is the classic-form equivalent;
+    identical results prove the dialect is sugar, not semantics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus <> 'P'
+        |> EXTEND CAST(year(o_orderdate) AS INT) AS o_year
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority, o_year
+        |> ORDER BY o_orderpriority, o_year
+        """
+    )
+
+
+@register(
+    "parameterized_sql_band",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(value), 2) AS avg_value
+        FROM events
+        WHERE value BETWEEN 50.0 AND 150.0
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("sql-api", "parameterized"),
+)
+def parameterized_sql_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` with named arguments — the
+    injection-safe form of templated SQL (the reference formats queries
+    with f-strings, consumer.py:137-150; named parameters bind as
+    literals in the plan instead of being spliced into the text)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_param")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(value), 2) AS avg_value
+        FROM events_param
+        WHERE value BETWEEN :lo AND :hi
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        args={"lo": 50.0, "hi": 150.0},
+    )
