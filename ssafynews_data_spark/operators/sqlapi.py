@@ -265,3 +265,69 @@ def parameterized_sql_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 50.0, "hi": 150.0},
     )
+
+
+@register(
+    "udtf_dynamic_topk_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                       x -> x <> '')) AS w
+            FROM documents WHERE doc_id < 50
+        ),
+        counts AS (
+            SELECT doc_id, w, count(*) AS n FROM toks GROUP BY doc_id, w
+        ),
+        ranked AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, w) AS r
+            FROM counts
+        )
+        SELECT doc_id,
+               max(CASE WHEN r = 1 THEN w END) AS tok_1,
+               max(CASE WHEN r = 2 THEN w END) AS tok_2,
+               max(CASE WHEN r = 3 THEN w END) AS tok_3
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("udtf", "polymorphic", "U7"),
+)
+def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema — one column per requested top token — is computed at plan
+    time from the literal ``k`` argument, so ``top_tokens(doc_id, text,
+    3)`` and ``(…, 5)`` are different relations from one function.  The
+    reference hardcodes its per-category keyword top-3
+    (spark_daily_report.py:72-75); this is that report as a reusable
+    table function.  Deterministic tie-break (count desc, token asc)
+    matches the window-function oracle exactly."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TopTokens:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, k: AnalyzeArgument):
+            from pyspark.sql.types import LongType, StringType, StructType
+
+            schema = StructType().add("doc_id", LongType())
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, k: int):
+            import re
+            from collections import Counter
+
+            toks = [t for t in re.split(r"[\W_]+", (text or "").lower()) if t]
+            top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            words = [w for w, _ in top] + [None] * (k - len(top))
+            yield (doc_id, *words)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_udtf_topk")
+    spark.udtf.register("top_tokens", udtf(TopTokens))
+    return spark.sql(
+        "SELECT t.* FROM docs_udtf_topk, LATERAL top_tokens(doc_id, text, 3) AS t"
+    )
