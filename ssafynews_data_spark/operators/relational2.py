@@ -259,3 +259,62 @@ def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("k").isNotNull().cast("long")).alias("n_k_parsed"),
     )
+
+
+@register(
+    "approx_quantile_contract",
+    oracle="""
+        WITH ranks AS (
+            SELECT o_orderpriority,
+                   o_totalprice,
+                   percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS pr
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n,
+               true AS p50_ok,
+               true AS p90_ok
+        FROM ranks
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("percentile", "approx", "contract"),
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch form of percentiles, driver-checked via a
+    rank-error CONTRACT: ``percentile_approx(x, p, accuracy)``
+    guarantees the returned value's true rank is within
+    1/accuracy of p.  Spark computes approx AND exact percent_rank of
+    the approx answers in one pass and emits per-group booleans; the
+    oracle (which cannot run Spark's sketch) asserts the same booleans
+    as literal true over the same groups — so a sketch regression flips
+    driver-visible values, while the group/count columns pin the frame.
+    At 100 TB the exact form (order_price_percentiles) needs all group
+    values in memory; this is the form that ships."""
+    accuracy = 1000  # rank error <= 0.1%-ile of each group
+    orders = load_table(spark, sf_dir, "orders")
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(accuracy)).alias("a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(accuracy)).alias("a90"),
+        F.count("*").alias("n"),
+    )
+    ranked = orders.join(F.broadcast(approx), "o_orderpriority").groupBy(
+        "o_orderpriority", "a50", "a90", "n"
+    ).agg(
+        # exact rank of each approx answer, computed from first principles:
+        # fraction of group values <= the returned quantile
+        (F.sum((F.col("o_totalprice") <= F.col("a50")).cast("long")) / F.col("n"))
+        .alias("r50"),
+        (F.sum((F.col("o_totalprice") <= F.col("a90")).cast("long")) / F.col("n"))
+        .alias("r90"),
+    )
+    tol = 1.0 / accuracy + 1e-9
+    return ranked.select(
+        "o_orderpriority",
+        "n",
+        ((F.col("r50") >= 0.5 - tol) & (F.col("r50") <= 0.5 + tol + 1.0 / F.col("n")))
+        .alias("p50_ok"),
+        ((F.col("r90") >= 0.9 - tol) & (F.col("r90") <= 0.9 + tol + 1.0 / F.col("n")))
+        .alias("p90_ok"),
+    ).orderBy("o_orderpriority")

@@ -622,7 +622,10 @@ def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_outer_interval_join",
     oracle="""
-        WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        WITH mx AS (SELECT least(
+                       max(ts) FILTER (WHERE event_type = 'click'),
+                       max(ts) FILTER (WHERE event_type = 'purchase'))
+                   AS max_ts FROM events),
              c AS (SELECT user_id, ts AS cts FROM events
                    WHERE event_type = 'click'),
              p AS (SELECT user_id AS p_user, ts AS pts FROM events, mx
@@ -700,7 +703,17 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     from ssafynews_data_spark.sources.readers import load_table
 
-    bounds = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+    # the global watermark is the MIN across both branch watermarks:
+    # each side's max event time advances independently (the fixture's
+    # last click can trail the last purchase by hours), so the safe
+    # tail cutoff keys off the SLOWER branch.
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("max_ts")
+    )
     return (
         pairs.crossJoin(F.broadcast(bounds))
         .filter(F.col("p_ts") < F.col("max_ts") - F.expr("INTERVAL 35 MINUTES"))
