@@ -155,7 +155,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: quality family (bigram_lm_perplexity, unigram_kl_source_divergence,
 #: zipf_fit_stats, k_anonymity_profile), and the layout/streaming trio
 #: (zorder_box_query, dpp_top_days_report,
-#: streaming_outer_interval_join).  Rotate by surface diversity:
+#: streaming_outer_interval_join).  Session 2 continued with 10 more,
+#: all locally oracle-green: minhash_incremental_index (persisted band
+#: index + delta dedup), prefix_filter_jaccard_pairs (exact AllPairs
+#: set join), timeseries_gapfill / _recursive / _locf,
+#: streaming_sliding_counts, streaming_state_inspection (statestore
+#: reader), orc_roundtrip_stats, pipe_syntax_revenue,
+#: parameterized_sql_band, udtf_dynamic_topk_tokens,
+#: approx_quantile_contract, funnel_conversion_ordered,
+#: retention_cohorts.  Rotate by surface diversity:
 #: prefer one per family over exhausting any single family.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
