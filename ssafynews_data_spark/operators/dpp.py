@@ -131,3 +131,60 @@ def dpp_top_days_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "event_type")
     )
+
+
+@register(
+    "backfill_day_partition",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               event_type,
+               count(*) AS n,
+               round(sum(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+                              THEN value * 2 ELSE value END), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("layout", "backfill", "partition-overwrite"),
+)
+def backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reprocessing pattern every day-partitioned warehouse needs:
+    a bug is found in ONE day's data, so that day is recomputed and
+    rewritten with ``partitionOverwriteMode=dynamic`` — only the
+    affected partition directory is replaced, every other day's files
+    are untouched (a static overwrite would wipe the whole table).
+    Here 2024-01-05 is "corrected" to doubled values; the full-table
+    readback must equal the raw table with exactly that day doubled —
+    proving both the surgical replace and the preservation of the
+    other ~29 partitions.  At 100 TB this is the difference between
+    rewriting gigabytes and rewriting the lake."""
+    path = write_day_partitioned(spark, sf_dir)
+    fix_day = "2024-01-05"
+    corrected = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .filter(F.col("d") == fix_day)
+        .withColumn("value", F.col("value") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.repartition(F.col("d")).write.mode("overwrite").partitionBy(
+            "d"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    fact_schema = (
+        load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts")).schema
+    )
+    back = spark.read.schema(fact_schema).parquet(path)
+    return (
+        back.groupBy(
+            F.date_format("d", "yyyy-MM-dd").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("d", "event_type")
+    )

@@ -125,9 +125,11 @@ def minhash_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs hash-match DuckDB's exact quadratic Jaccard of the same
     split — the index misses nothing at the threshold."""
     path = build_index(spark, sf_dir)
-    index = spark.read.parquet(path).select(
-        F.col("doc_id").alias("doc_base"), "band_idx", "band_hash"
-    )
+    # explicit schema: an empty base corpus writes zero files and the
+    # read can't infer one (band_idx is the partition column)
+    index = spark.read.schema("doc_id long, band_hash bigint, band_idx int").parquet(
+        path
+    ).select(F.col("doc_id").alias("doc_base"), "band_idx", "band_hash")
     delta_h = _doc_shingle_hashes(spark, sf_dir).filter(
         F.col("doc_id") % DELTA_MOD == 0
     )
