@@ -1036,3 +1036,81 @@ def pagerank_mass_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mass_ok"),
         (F.col("min_pr") > 0).alias("all_positive"),
     )
+
+
+@register(
+    "canonical_doc_per_cluster",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges0 AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges0
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges0
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t(a)
+            UNION
+            SELECT reach.node, edges.b FROM reach JOIN edges ON edges.a = reach.r
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+        assigned AS (
+            SELECT d.doc_id,
+                   coalesce(c.component_id, d.doc_id) AS component_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT component_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max_by(doc_id, n_chars * 1000000 - doc_id) AS BIGINT)
+                   AS keeper_id,
+               CAST(max(n_chars) AS BIGINT) AS keeper_chars
+        FROM assigned
+        GROUP BY component_id
+    """,
+    tags=("dedup", "graph", "canonical"),
+)
+def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: every document assigned to its near-dup
+    cluster (connected component; singletons are their own cluster),
+    and one canonical keeper chosen per cluster by quality — here
+    longest text (``n_chars``), doc_id-min as the deterministic
+    tie-break.  This is the row a 100 TB curation run actually writes
+    out: components come from the same min-label propagation as
+    ``dedup_connected_components`` (one shuffle per round over the
+    tiny dup graph), the keeper choice is a single ``max_by``
+    aggregate over |docs| rows, and the driver hash-checks the whole
+    pipeline against the recursive-CTE + max_by oracle."""
+    comps = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "n_chars",
+    )
+    # composite ordering packed into one long (doc_id < 1e6 by fixture
+    # contract): longest text wins, lowest doc_id breaks ties —
+    # identical arithmetic on both engines.
+    pick = F.max_by(
+        F.col("doc_id"), F.col("n_chars") * F.lit(1_000_000) - F.col("doc_id")
+    )
+    return assigned.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        pick.cast("long").alias("keeper_id"),
+        F.max("n_chars").cast("long").alias("keeper_chars"),
+    )
