@@ -318,3 +318,38 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r90") >= 0.9 - tol) & (F.col("r90") <= 0.9 + tol + 1.0 / F.col("n")))
         .alias("p90_ok"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "value_correlations",
+    oracle="""
+        SELECT event_type,
+               round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour,
+               round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 2)
+                   AS covar_value_hour,
+               round(stddev_samp(value), 2) AS sd_value,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A-family", "statistics"),
+)
+def value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (Pearson corr, sample
+    covariance, stddev) per event type — the statistics family the
+    other aggregate queries don't touch.  All are single-pass mergeable
+    moments (sum, sum², sum xy), so map-side partials apply exactly as
+    for sum/count; no second scan, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
+            F.round(F.covar_samp("value", hour), 2).alias("covar_value_hour"),
+            F.round(F.stddev_samp("value"), 2).alias("sd_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
