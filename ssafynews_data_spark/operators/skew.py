@@ -69,3 +69,45 @@ def salted_event_counts(spark, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = salted_group_agg(ev, "event_type", "value")
     return out.select("event_type", "n", F.round("total", 2).alias("total"))
+
+
+@register(
+    "bucket_skew_audit",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 32 AS bucket
+            FROM events
+        ),
+        counts AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(min(n) AS BIGINT) AS min_rows,
+               CAST(max(n) AS BIGINT) AS max_rows,
+               round(max(n) * 1.0 * count(*) / sum(n), 3) AS skew_factor
+        FROM counts
+    """,
+    tags=("skew", "audit", "partitioning"),
+)
+def bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution audit BEFORE committing to a partitioning: how
+    evenly would 32 hash buckets of user_id fill?  ``skew_factor`` =
+    max bucket / average bucket — 1.0 is perfect, and anything over
+    ~2 means the planned shuffle will straggle on its hottest task
+    (→ salt it, see ``salted_event_counts``).  Uses the
+    engine-independent md5 bucket (sampling.hash_bucket) so DuckDB
+    computes the identical assignment; at 100 TB this audit is one
+    cheap aggregate that saves re-running a skewed job."""
+    from ssafynews_data_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        hash_bucket(F.col("user_id"), 32).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.max("n") * 1.0 * F.count("*") / F.sum("n"), 3).alias(
+            "skew_factor"
+        ),
+    )
