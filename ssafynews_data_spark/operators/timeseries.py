@@ -215,3 +215,127 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "daily_count_anomalies",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, d, n,
+                   avg(n)         OVER w AS mu,
+                   stddev_samp(n) OVER w AS sd
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               strftime(d, '%Y-%m-%d') AS day,
+               n,
+               round((n - mu) / sd, 2) AS zscore,
+               (abs((n - mu) / sd) > 3.0) AS is_anomaly
+        FROM scored
+        WHERE sd IS NOT NULL AND sd > 0
+        ORDER BY event_type, day
+    """,
+    tags=("timeseries", "monitoring", "anomaly"),
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health monitoring: each day's event count scored
+    against the TRAILING 7-day window (PRECEDING only — using the
+    current row would let an anomaly mask itself), |z| > 3 flagged.
+    This is the "did ingest break today?" check the reference has no
+    answer for beyond eyeballing the report; one day-level aggregate +
+    one window, both tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.withColumn("mu", F.avg("n").over(w)).withColumn(
+        "sd", F.stddev_samp("n").over(w)
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 2).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "cusum_drift_scores",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(round(round(avg(value), 2) * 100) AS BIGINT) AS vi
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT event_type, sum(vi) AS tot, count(*) AS nd
+            FROM daily GROUP BY event_type
+        ),
+        run AS (
+            SELECT daily.event_type AS event_type, d, tot, nd,
+                   sum(vi) OVER w AS s_k,
+                   row_number() OVER w AS k
+            FROM daily JOIN base ON daily.event_type = base.event_type
+            WINDOW w AS (PARTITION BY daily.event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               strftime(d, '%Y-%m-%d') AS day,
+               round((s_k * nd - k * tot) / (100.0 * nd), 2) + 0.0 AS cusum
+        FROM run
+        ORDER BY event_type, day
+    """,
+    tags=("timeseries", "monitoring", "cusum"),
+)
+def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detector: the running sum of each day's deviation
+    from the series mean — a sustained shift in daily average value
+    shows as a monotone CUSUM ramp long before any single day trips a
+    z-score.  Deviations are accumulated in SCALED INTEGERS
+    (cusum_k = (S_k·n − k·T) / 100n with S_k, T exact hundredth sums):
+    a floating running sum of near-cancelling terms rounds to 2dp
+    differently per summation order, and the trailing + 0.0 collapses
+    IEEE −0.0 when a series nets out to zero.  One ordered window per
+    type over day-level rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.round(F.avg("value"), 2) * 100).cast("long").alias("vi")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.sum("vi").alias("tot"), F.count("*").alias("nd")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn("s_k", F.sum("vi").over(w))
+        .withColumn("k", F.row_number().over(W.partitionBy("event_type").orderBy("d")))
+    )
+    cusum = (F.col("s_k") * F.col("nd") - F.col("k") * F.col("tot")) / (
+        100.0 * F.col("nd")
+    )
+    return run.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.round(cusum, 2) + 0.0).alias("cusum"),
+    ).orderBy("event_type", "day")
