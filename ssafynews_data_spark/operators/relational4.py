@@ -343,21 +343,23 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH unit AS (
             SELECT l_partkey, l_suppkey,
-                   min(round(l_extendedprice / l_quantity, 2)) AS unit_price
+                   min(CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT))
+                       AS unit_cents
             FROM lineitem
             GROUP BY l_partkey, l_suppkey
         ), best AS (
-            SELECT l_partkey, l_suppkey, unit_price,
-                   min(unit_price) OVER (PARTITION BY l_partkey) AS best_price,
-                   min(l_suppkey)  OVER (PARTITION BY l_partkey, unit_price)
+            SELECT l_partkey, l_suppkey, unit_cents,
+                   min(unit_cents) OVER (PARTITION BY l_partkey) AS best_cents,
+                   min(l_suppkey)  OVER (PARTITION BY l_partkey, unit_cents)
                        AS first_supp
             FROM unit
         )
-        SELECT p_partkey, p_brand, s_name, unit_price
+        SELECT p_partkey, p_brand, s_name,
+               unit_cents / 100.0 AS unit_price
         FROM best
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
-        WHERE unit_price = best_price AND l_suppkey = first_supp
+        WHERE unit_cents = best_cents AND l_suppkey = first_supp
           AND p_size <= 5
         ORDER BY p_partkey
     """,
@@ -371,31 +373,42 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), the min-over-partition WINDOW reuses the (partkey)
     clustering from the groupBy shuffle; the supplier-key tie-break
     makes the winner deterministic on both engines.  Dimension joins
-    broadcast; the p_size filter prunes parts before its broadcast."""
+    broadcast; the p_size filter prunes parts before its broadcast.
+
+    Price quantization is floor-to-cents on the RAW division, not
+    round(x, 2): both engines compute the identical IEEE double for
+    x/y·100 and floor agrees bit-for-bit, whereas each engine's
+    round() breaks .xx5 boundaries by its own decimal algorithm —
+    6 of 1948 winners flipped at sf0.1 before this change."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
         "p_partkey", "p_brand"
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias(
-            "unit_price"
-        )
+        F.min(
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+        ).alias("unit_cents")
     )
     from pyspark.sql import Window as W
 
     w_part = W.partitionBy("l_partkey")
-    w_tie = W.partitionBy("l_partkey", "unit_price")
-    best = unit.withColumn("best_price", F.min("unit_price").over(w_part)).withColumn(
+    w_tie = W.partitionBy("l_partkey", "unit_cents")
+    best = unit.withColumn("best_cents", F.min("unit_cents").over(w_part)).withColumn(
         "first_supp", F.min("l_suppkey").over(w_tie)
     )
     return (
         best.filter(
-            (F.col("unit_price") == F.col("best_price"))
+            (F.col("unit_cents") == F.col("best_cents"))
             & (F.col("l_suppkey") == F.col("first_supp"))
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("p_partkey", "p_brand", "s_name", "unit_price")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            (F.col("unit_cents") / 100.0).alias("unit_price"),
+        )
         .orderBy("p_partkey")
     )

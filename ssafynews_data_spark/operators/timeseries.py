@@ -164,8 +164,13 @@ def timeseries_gapfill_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), types AS (
             SELECT DISTINCT event_type FROM events
         ), daily AS (
+            -- exact-cents average, floor-quantized: per-row cents are
+            -- deterministic, the integer sum is order-independent, and
+            -- floor on the identical quotient double agrees bit-for-bit
+            -- (round(.,2) differs per engine at .xx5 boundaries)
             SELECT event_type, CAST(ts AS DATE) AS d,
-                   round(avg(value), 2) AS avg_value
+                   floor(sum(CAST(round(value * 100) AS BIGINT))
+                         * 1.0 / count(*)) / 100.0 AS avg_value
             FROM events
             WHERE value > 300
             GROUP BY 1, 2
@@ -195,7 +200,17 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.filter(F.col("value") > 300)
         .groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.round(F.avg("value"), 2).alias("avg_value"))
+        .agg(
+            # exact-cents average, floor-quantized (see oracle comment)
+            (
+                F.floor(
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    * 1.0
+                    / F.count("*")
+                )
+                / 100.0
+            ).alias("avg_value")
+        )
     )
     spine = (
         _bounds(spark, sf_dir)
