@@ -528,3 +528,48 @@ def uniform_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_N)
         .drop("_k")
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) + 1) / 65537.0) / n_chars AS priority
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed
+        ORDER BY priority DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("sampling", "weighted", "a-res"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement via A-Res
+    priorities (Efraimidis & Spirakis 2006): each doc gets priority
+    ln(u)/w with u a DETERMINISTIC md5-derived uniform and w = n_chars,
+    and the top-N priorities are the sample — longer documents are
+    proportionally likelier, yet the draw is reproducible across runs
+    and engines (no rand()).  This is the quality-weighted corpus
+    sampling primitive (sample by quality score instead of n_chars and
+    nothing changes).  One scan + TakeOrderedAndProject; at 100 TB the
+    top-N heap merges per partition exactly like any top-k — and the
+    same keys support distributed reservoir MERGE across batches
+    (priorities are comparable across any split of the data)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        + 1
+    ) / 65537.0
+    priority = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+                    priority.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(20)
+        .select("doc_id", "source", "n_chars")
+    )
