@@ -13,9 +13,12 @@ generalization — the reusable artifact is the banded MinHash index:
    bucketed by ``band_hash`` so the delta join below is shuffle-free on
    the index side.
 2. **Delta** (per batch): ONLY the new docs pay signature cost; their
-   band rows equi-join the on-disk index (partition-pruned per band) to
-   produce candidates, and only candidates pay the exact shingle
-   verify.
+   band rows equi-join the on-disk index to produce candidates, and
+   only candidates pay the exact shingle verify.  (The join probes
+   every band, so ``band_idx`` partitioning is NOT pruning here — it
+   enables band-at-a-time processing when a batch must fit in a memory
+   budget, and at 100 TB the index is additionally bucketed by
+   ``band_hash`` so the delta join shuffles only the delta side.)
 
 Cost per batch: O(delta size + candidates), independent of the base
 corpus size — the property that makes daily dedup of a 100 TB corpus a
