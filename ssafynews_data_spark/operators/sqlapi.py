@@ -331,3 +331,90 @@ def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM docs_udtf_topk, LATERAL top_tokens(doc_id, text, 3) AS t"
     )
+
+
+@register(
+    "collated_lang_counts",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                       AS lang_mixed
+            FROM documents
+        )
+        SELECT lower(lang_mixed) AS lang_norm,
+               count(*) AS n
+        FROM mixed
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("sql-api", "collation"),
+)
+def collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION-aware grouping: half the lang codes are
+    uppercased (deterministically, by doc_id parity), then grouped
+    under ``UTF8_LCASE`` — case variants merge at the COMPARISON level
+    instead of by rewriting values with lower() in every predicate
+    (the Flink DDL's whole enrichment pipeline lowercases by hand,
+    consumer2.py:40-57).  The output key is normalized for the oracle,
+    which computes the same merge with lower()."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed")
+    )
+    return (
+        mixed.groupBy(
+            F.expr("collate(lang_mixed, 'UTF8_LCASE')").alias("lang_c")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            # collated strings keep their first-seen case — normalize for
+            # the cross-engine hash (and cast away the collation so the
+            # driver's Arrow transport sees a plain string)
+            F.lower(F.col("lang_c").cast("string")).alias("lang_norm"),
+            "n",
+        )
+        .orderBy("lang_norm")
+    )
+
+
+@register(
+    "xml_roundtrip_events",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_floor
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("sql-api", "xml"),
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-query XML codec (Spark 4 ``to_xml``/``from_xml``): each event
+    is serialized to an XML fragment and parsed back with a declared
+    schema, and the aggregate over the PARSED columns must equal the
+    aggregate over the originals — the same round-trip identity
+    contract as the ORC/JSONL format hops, for the XML feeds that news
+    ingestion (RSS is XML, sources/feeds.py) actually ships."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    xml = ev.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.floor("value").cast("long").alias("v"),
+            )
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "t STRING, v BIGINT").alias("s")
+    ).select(F.col("s.t").alias("event_type"), F.col("s.v").alias("v"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("v").cast("long").alias("total_floor"))
+        .orderBy("event_type")
+    )
