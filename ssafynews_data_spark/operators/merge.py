@@ -160,3 +160,68 @@ def merge_into_delta(spark, target_path: str, updates: DataFrame, key: str) -> N
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+@register(
+    "pit_join_scd2",
+    oracle="""
+        WITH hist AS (
+            SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS vf FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'X', CAST(o_orderdate AS DATE) + 30
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        dim AS (
+            SELECT o_orderkey, o_orderstatus, vf,
+                   lead(vf) OVER (PARTITION BY o_orderkey ORDER BY vf) AS vt
+            FROM hist
+        )
+        SELECT o_orderstatus AS effective_status,
+               count(*) AS n_lineitems,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        JOIN dim ON l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE) >= vf
+                AND (vt IS NULL OR CAST(l_shipdate AS DATE) < vt)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("merge", "scd2", "temporal", "pit-join"),
+)
+def pit_join_scd2(spark, sf_dir: str) -> DataFrame:
+    """Point-in-time join — how a consumer READS an SCD2 dimension:
+    each lineitem picks the order-status version that was valid on its
+    ship date (valid_from <= ship < valid_to, open-ended current row).
+    Without this, a fact joined to is_current rows silently rewrites
+    history (every pre-change shipment inherits the post-change
+    status).  One equi-join on orderkey with the interval predicate as
+    a residual — versions per key are few, so the residual prunes
+    locally; at scale the fact and dim share the orderkey
+    partitioning, same as the MERGE that maintains the dim."""
+    orders = load_table(spark, sf_dir, "orders")
+    history = orders.select(
+        "o_orderkey", "o_orderstatus", F.to_date("o_orderdate").alias("valid_from")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("valid_from"),
+    )
+    dim = scd2_apply(history, changes, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d"), "l_extendedprice"
+    )
+    joined = li.join(
+        dim,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("ship_d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_d") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("effective_status"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("effective_status")
+    )
