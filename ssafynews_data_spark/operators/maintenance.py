@@ -1,0 +1,157 @@
+"""Table maintenance: small-file compaction and column profiling.
+
+Streaming sinks produce one file per micro-batch per partition — the
+reference's Flink HDFS sink rolled 128 MB files only under sustained
+volume (``collect/consumer2.py:206-207``); a quiet hour writes hundreds
+of KB-sized files, and at 100 TB the "small files problem" (NameNode
+pressure, per-file open cost, task-per-file scheduling) becomes the top
+operational ticket.  Compaction is the answer and it is pure Spark:
+read, coalesce to a size-derived file count, rewrite.
+
+Column profiling is the other recurring maintenance job: before
+trusting (or dropping) a source, profile every column's null rate,
+cardinality, and range in ONE pass — not one query per column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.sources.readers import load_table
+
+TARGET_FILE_ROWS = 4_000  # stand-in for a byte target at fixture scale
+
+
+def _dir(sf_dir: str, name: str) -> str:
+    import ssafynews_data_spark
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.abspath(ssafynews_data_spark.__file__))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root, "spark-warehouse", f"{name}_{tag}")
+
+
+def write_fragmented(spark: SparkSession, sf_dir: str, n_files: int = 64) -> str:
+    """Simulate a micro-batch sink's droppings: 64 tiny files."""
+    path = _dir(sf_dir, "fragmented_events")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def compact(spark: SparkSession, src: str, dst: str, target_rows: int) -> int:
+    """Rewrite ``src`` with file count derived from actual row count /
+    target (at 100 TB: bytes via the file listing, same arithmetic).
+    ``coalesce`` not ``repartition``: compaction must not pay a shuffle
+    — it only concatenates existing partitions."""
+    df = spark.read.parquet(src)
+    n = df.count()
+    files = max(1, -(-n // target_rows))  # ceil
+    shutil.rmtree(dst, ignore_errors=True)
+    df.coalesce(files).write.mode("overwrite").parquet(dst)
+    return files
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("maintenance", "compaction", "small-files"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into 64 micro-batch-sized files, compact them to
+    a row-count-derived target WITHOUT a shuffle (coalesce), and answer
+    the usual aggregate FROM THE COMPACTED FILES — compaction must be
+    semantically invisible (the oracle reads the raw table) while
+    cutting the file count ~10x (asserted in tests/test_maintenance.py,
+    along with the no-Exchange plan)."""
+    frag = write_fragmented(spark, sf_dir)
+    dst = _dir(sf_dir, "compacted_events")
+    compact(spark, frag, dst, TARGET_FILE_ROWS)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_column_profile",
+    oracle="""
+        SELECT 'event_type' AS col,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               min(CAST(event_type AS VARCHAR)) AS min_str,
+               max(CAST(event_type AS VARCHAR)) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'user_id',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               min(CAST(user_id AS VARCHAR)), max(CAST(user_id AS VARCHAR))
+        FROM events
+        UNION ALL
+        SELECT 'value',
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT value) AS BIGINT),
+               min(CAST(round(value, 2) AS VARCHAR)),
+               max(CAST(round(value, 2) AS VARCHAR))
+        FROM events
+        ORDER BY col
+    """,
+    tags=("maintenance", "profiling", "dq"),
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profile (null count, cardinality, min/max
+    as canonical strings) — the look-before-you-ingest audit, emitted
+    as one row per column.  A single wide aggregate computes every
+    column's stats in one scan, then unpivots driver-side arithmetic-
+    free; the naive one-query-per-column form scans the table N times.
+    Values are stringified identically on both engines so one schema
+    fits every column type."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for col, expr in [
+        ("event_type", F.col("event_type").cast("string")),
+        ("user_id", F.col("user_id").cast("string")),
+        ("value", F.round(F.col("value"), 2).cast("string")),
+    ]:
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__null"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(expr).alias(f"{col}__min"),
+            F.max(expr).alias(f"{col}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    rows = []
+    for col in ["event_type", "user_id", "value"]:
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col"),
+                F.col(f"{col}__null").cast("long").alias("n_null"),
+                F.col(f"{col}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_str"),
+                F.col(f"{col}__max").alias("max_str"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.col", "s.n_null", "s.n_distinct", "s.min_str", "s.max_str")
+        .orderBy("col")
+    )
