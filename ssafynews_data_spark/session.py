@@ -64,6 +64,9 @@ def session_builder(
         # vectorized reader rejects; read as long and convert in the
         # loader (sources/readers.py) — micros == what DuckDB sees.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (sources/feed_datasource.py
+        # implements pushFilters; loading it requires this on)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -54,10 +54,34 @@ class FeedReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_feeds = int(options.get("feeds", "4"))
         self.n_entries = int(options.get("entriesperfeed", "25"))
+        self._author_filter: str | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        """Source-level filter pushdown (Spark 4.1 DataSource API): an
+        ``author = 'author-K'`` equality prunes which FEEDS are fetched
+        at all (author is feed_idx % 7 in this fixture — production
+        feeds are keyed by publisher the same way).  Every other filter
+        is yielded back, telling Spark to keep applying it post-scan —
+        a source must only absorb what it fully honors."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("author",)
+                and isinstance(f.value, str)
+            ):
+                self._author_filter = f.value
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
-        # one partition per feed — the unit of parallel fetch
-        return [FeedInputPartition(i, self.n_entries) for i in range(self.n_feeds)]
+        # one partition per feed — the unit of parallel fetch; a pushed
+        # author filter prunes feeds BEFORE any task is scheduled
+        idxs = range(self.n_feeds)
+        if self._author_filter is not None:
+            idxs = [i for i in idxs if f"author-{i % 7}" == self._author_filter]
+        return [FeedInputPartition(i, self.n_entries) for i in idxs]
 
     def read(self, partition: FeedInputPartition) -> Iterator[tuple]:
         return _entries_for_feed(partition.feed_idx, partition.n_entries)

@@ -37,6 +37,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         # engine expressions rely on Java long wrap-around (minhash's
         # multiply-shift hashing); Spark 4 defaults ANSI on, which throws
         ("spark.sql.ansi.enabled", "false"),
+        # the feed DataSource implements pushFilters(); with this off,
+        # Spark REFUSES to load any source that implements the method
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

@@ -378,3 +378,36 @@ def test_evolving_parquet_reads_mixed_vintage_shards(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
     rows = {r.doc_id: r.lang for r in out.collect()}
     assert rows == {1: None, 2: None, 3: "en", 4: "ko"}
+
+
+def test_feed_source_pushes_author_filter(spark):
+    """Spark 4 DataSource filter pushdown: an author equality prunes
+    which feeds are fetched — partitions shrink BEFORE scheduling, and
+    the absorbed filter is not re-applied post-scan (results stay
+    correct either way; partition count is the proof of pushdown)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from ssafynews_data_spark.sources.feed_datasource import (
+        FeedDataSource,
+        FeedReader,
+    )
+
+    spark.dataSource.register(FeedDataSource)
+    df = (
+        spark.read.format("news_feed")
+        .option("feeds", "14")
+        .load()
+        .filter(F.col("author") == "author-1")
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * 25  # feeds 1 and 8 of 14
+    assert {r.author for r in rows} == {"author-1"}
+
+    pruned = FeedReader({"feeds": "14"})
+    leftover = list(pruned.pushFilters([EqualTo(("author",), "author-1")]))
+    assert leftover == []  # fully absorbed
+    assert len(pruned.partitions()) == 2
+    full = FeedReader({"feeds": "14"})
+    list(full.pushFilters([]))
+    assert len(full.partitions()) == 14
