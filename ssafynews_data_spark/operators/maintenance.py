@@ -155,3 +155,96 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.col", "s.n_null", "s.n_distinct", "s.min_str", "s.max_str")
         .orderBy("col")
     )
+
+
+@register(
+    "rollup_maintenance",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value,
+               CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+                   AS n_days
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("maintenance", "rollup", "materialized"),
+)
+def rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary-table pattern: persist DAILY pre-aggregates once,
+    then answer the month-level question by re-aggregating ~30 summary
+    rows per type instead of re-scanning raw events.  Works because
+    count/sum are decomposable (sum of partial sums); the daily layer
+    is also what a streaming job would maintain incrementally
+    (foreachBatch upsert keyed on (type, day)).  The oracle computes
+    the same answer from raw — the rollup layer must be lossless for
+    decomposable aggregates.  count(DISTINCT day) comes free as the
+    summary row count per type."""
+    daily_path = _dir(sf_dir, "daily_rollup")
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    shutil.rmtree(daily_path, ignore_errors=True)
+    daily.write.mode("overwrite").parquet(daily_path)
+    summary = spark.read.schema("event_type string, d string, n long, sv double").parquet(
+        daily_path
+    )
+    return (
+        summary.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.count("d").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "federated_formats_join",
+    oracle="""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 0
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    tags=("maintenance", "federation", "formats"),
+)
+def federated_formats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan across three storage formats: customers re-written as
+    zstd ORC, the nation dim as headered CSV, joined against each other
+    (the raw parquet is the oracle's source) — the everyday federation
+    case where history lives in one format and a dim arrives as a CSV
+    drop.  Catalyst treats each scan by its own capabilities: the ORC
+    side still pushes the balance filter; the CSV side (no stats, no
+    pushdown) is 25 rows and broadcasts."""
+    orc_path = _dir(sf_dir, "federated_cust_orc")
+    csv_path = _dir(sf_dir, "federated_nation_csv")
+    shutil.rmtree(orc_path, ignore_errors=True)
+    shutil.rmtree(csv_path, ignore_errors=True)
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "compression", "zstd"
+    ).orc(orc_path)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv_path)
+    cust = spark.read.orc(orc_path).filter(F.col("c_acctbal") > 0)
+    nation = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(csv_path)
+    )
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
