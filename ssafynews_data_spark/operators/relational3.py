@@ -309,3 +309,68 @@ def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(metrics["n_rows"], metrics["nulls_text"], n_back)],
         "n_rows LONG, nulls_text LONG, n_readback LONG",
     )
+
+
+@register(
+    "hll_intersection_contract",
+    oracle="""
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS exact_click,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_purchase,
+               CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+                   AS exact_both,
+               true AS est_within_10pct
+    """,
+    tags=("sketch", "hll", "intersection", "contract"),
+)
+def hll_intersection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set INTERSECTION via inclusion-exclusion: HLL sketches
+    support union natively, so |clickers ∩ purchasers| is estimated as
+    |A| + |B| − |A ∪ B| from three sketch estimates — no exact distinct
+    anywhere in the sketch path.  The contract row carries the exact
+    cardinalities (oracle-recomputed in DuckDB) plus a boolean that the
+    estimate lands within 10% of exact; inclusion-exclusion compounds
+    the error of three estimates, which is why the tolerance is looser
+    than the single-sketch 5% used by the daily-sketch queries."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    both = clicks.select("user_id").unionByName(purchases.select("user_id"))
+    est = (
+        clicks.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("ea"))
+        .crossJoin(
+            purchases.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("eb")
+            )
+        )
+        .crossJoin(
+            both.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("eu"))
+        )
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_both"))
+    )
+    exact = (
+        clicks.select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("exact_click"))
+        .crossJoin(
+            purchases.select("user_id")
+            .distinct()
+            .agg(F.count("*").cast("long").alias("exact_purchase"))
+        )
+        .crossJoin(
+            clicks.select("user_id")
+            .distinct()
+            .join(purchases.select("user_id").distinct(), "user_id")
+            .agg(F.count("*").cast("long").alias("exact_both"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_both",
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            <= 0.10 * F.col("exact_both")
+        ).alias("est_within_10pct"),
+    )

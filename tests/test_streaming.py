@@ -287,3 +287,58 @@ def test_state_inspection_matches_distinct_keys(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
     }
     assert state_keys == real_keys
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Crash-recovery semantics: run a checkpointed aggregation over
+    the first half of the data, STOP, land more files, restart the SAME
+    query graph on the SAME checkpoint — the second run must process
+    only the new files yet report totals that include the first run's
+    state (recovered from the checkpoint, not recomputed)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.sources.readers import load_table
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(staging)
+
+    def run_round() -> dict:
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .parquet(staging)
+        )
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        name = "rcv_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {r.event_type: r.n for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+
+    got1 = run_round()
+    want1 = {
+        r.event_type: r.n
+        for r in half1.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got1 == want1
+
+    half2.write.mode("append").parquet(staging)
+    got2 = run_round()
+    want2 = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == want2  # state carried across the restart
