@@ -28,8 +28,10 @@ Scale notes (100 TB):
   partials; the bigram table is the only large intermediate and it
   joins back to the exploded pairs BY KEY (shuffle-partitioned both
   sides) — never broadcast, since a 100 TB corpus has billions of
-  distinct bigrams.  The unigram table is ~vocab-sized and DOES
-  broadcast.
+  distinct bigrams.  The unigram table is vocab-sized; word-level
+  vocabularies are tens of MB and broadcast (as here), but a
+  byte/char-n-gram vocab at web scale can outgrow that — drop the
+  hint and the same plan degrades gracefully to a keyed join.
 - Per-doc scoring reuses the same exploded pairs frame — one scan of
   ``documents`` total (pinned), no per-row Python.
 - The KL/Zipf aggregates are per-source rollups of the unigram counts

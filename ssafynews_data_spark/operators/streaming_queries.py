@@ -832,4 +832,9 @@ def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     state = spark.read.format("statestore").load(ckpt)
     out = state.select(F.col("key.user_id").alias("user_id"))
-    return spark.createDataFrame(out.collect(), out.schema)
+    # materialize before deleting the checkpoint the reader points at
+    result = spark.createDataFrame(out.collect(), out.schema)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
