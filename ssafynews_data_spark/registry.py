@@ -163,8 +163,14 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: reader), orc_roundtrip_stats, pipe_syntax_revenue,
 #: parameterized_sql_band, udtf_dynamic_topk_tokens,
 #: approx_quantile_contract, funnel_conversion_ordered,
-#: retention_cohorts.  Rotate by surface diversity:
-#: prefer one per family over exhausting any single family.
+#: retention_cohorts; then canonical_doc_per_cluster,
+#: value_correlations, bucket_skew_audit, daily_count_anomalies,
+#: cusum_drift_scores, backfill_day_partition, weighted_sample_docs,
+#: collated_lang_counts, xml_roundtrip_events, pit_join_scd2,
+#: compact_small_files, events_column_profile, rollup_maintenance,
+#: federated_formats_join, hll_intersection_contract — ALL of these are
+#: locally green at sf0.001/0.01(plain too)/0.1.  Rotate by surface
+#: diversity: prefer one per family over exhausting any single family.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
