@@ -648,3 +648,61 @@ def inverted_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
+
+
+@register(
+    "cms_heavy_hitters_contract",
+    oracle="""
+        WITH exact AS (
+            SELECT user_id, count(*) AS exact_count
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               true AS est_ge_exact,
+               true AS est_within_eps
+        FROM exact
+        ORDER BY exact_count DESC, user_id
+        LIMIT 10
+    """,
+    tags=("sketch", "count-min", "contract"),
+)
+def cms_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min guarantees as a driver-hashable row: for the top-10
+    users BY EXACT COUNT (exact ranking so both engines pick the same
+    rows; the sketch's own ranking is engine-specific), assert the
+    one-sided error (est ≥ exact, a structural CMS property) and the
+    εN bound with ε = e/W (Cormode-Muthukrishnan; W=512 counters/row,
+    D=4 rows makes the failure probability e^-4 ≈ 1.8% per key — the
+    fixture draw passes deterministically).  The oracle recomputes the
+    exact side and expects both booleans true."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = cms_daily_sketches(ev).groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    key_cells = (
+        _cms_bucket_rows(ev.select("ts", "user_id"))
+        .select("user_id", "r", "b")
+        .distinct()
+    )
+    est = (
+        key_cells.join(merged, ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    n_total = ev.count()
+    eps = math.e / CMS_W
+    return (
+        exact.join(est, "user_id")
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") >= F.col("exact_count")).alias("est_ge_exact"),
+            (F.col("est_count") <= F.col("exact_count") + eps * n_total).alias(
+                "est_within_eps"
+            ),
+        )
+    )

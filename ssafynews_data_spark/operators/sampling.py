@@ -573,3 +573,48 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "stratified_sample_contract",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS stratum_size,
+               true AS fraction_ok
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("sampling", "stratified", "contract"),
+)
+def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stratified sampler's guarantee as a driver-hashable row:
+    each stratum's ACHIEVED fraction must sit within a 4-sigma binomial
+    band of its target (en 50%, others 10%) — Bernoulli sampling can't
+    promise the exact fraction, only concentration, so the contract is
+    |achieved − target| ≤ 4·√(p(1−p)/n) + 1/n.  The oracle recomputes
+    the stratum sizes and expects every band check true; the seeded
+    draw is fixed per fixture, so a sampler regression (seed handling,
+    per-stratum fraction routing) flips a driver-visible boolean."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    got = sample.groupBy("lang").agg(F.count("*").alias("k"))
+    tot = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    target = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("lang")]
+    joined = tot.join(got, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("stratum_size"),
+        (F.coalesce(F.col("k"), F.lit(0)) / F.col("n")).alias("achieved"),
+        target.alias("p"),
+    )
+    band = 4 * F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("stratum_size")) + (
+        1 / F.col("stratum_size")
+    )
+    return joined.select(
+        "lang",
+        "stratum_size",
+        (F.abs(F.col("achieved") - F.col("p")) <= band).alias("fraction_ok"),
+    ).orderBy("lang")
