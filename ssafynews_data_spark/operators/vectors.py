@@ -348,3 +348,68 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("scale"), 6) + 0.0).alias("avg_scale"),
         (F.round(F.avg("mse"), 10) + 0.0).alias("avg_mse"),
     )
+
+
+@register(
+    "quality_classifier_contract",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        feat AS (
+            SELECT source,
+                   len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','is','in','to','it')))
+                       * 1.0 / len(toks) AS stop_ratio,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN stop_ratio * 2 + distinct_ratio > 0.6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_label_good,
+               true AS accuracy_ok
+        FROM feat
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("quality", "ML", "classifier", "contract"),
+)
+def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier surface as a driver-hashable contract: the weak
+    LABELS are pure column arithmetic, so DuckDB recomputes them
+    exactly (per-source doc and positive-label counts hash-match),
+    while the LEARNED side — engine-specific LBFGS weights — is held to
+    its guarantee as a boolean: per-source agreement with the teacher
+    rule ≥ 95% (the rule is linearly separable by construction, so a
+    healthy fit recovers it; a broken feature pipeline or fit flips
+    the driver-visible flag)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = pin(quality_features(docs))
+    asm = VectorAssembler(
+        inputCols=["stop_ratio", "distinct_ratio", "log_n"], outputCol="_f"
+    )
+    train = asm.transform(labeled.sample(fraction=0.5, seed=SEED))
+    lr = LogisticRegression(
+        featuresCol="_f", labelCol="label", maxIter=25, regParam=1e-4
+    ).fit(train)
+    _drop_training_summary(lr)
+    scored = lr.transform(asm.transform(labeled))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_label_good"),
+            (
+                F.sum((F.col("label") == F.col("prediction")).cast("long"))
+                >= 0.95 * F.count("*")
+            ).alias("accuracy_ok"),
+        )
+        .orderBy("source")
+    )
