@@ -986,3 +986,40 @@ def near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py, and the exact twin
     (``near_dup_auto_pairs``) carries the full hash oracle."""
     return near_dup_auto(_corpus(spark, sf_dir), exact_limit=0)
+
+
+@register(
+    "near_dup_containment_contract",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             exact AS (
+                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS}
+             )
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+               true AS lsh_subset_of_exact,
+               true AS recall_ok
+        FROM exact
+    """,
+    tags=("dedup", "similarity", "lsh", "contract"),
+)
+def near_dup_containment_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benched LSH near-dup headline held to its guarantees in a
+    driver-hashable row: every pair it emits is a true >= threshold
+    pair (containment — the exact verify step makes this structural),
+    and it recovers >= 80% of the exact pair set (recall — the banding
+    bound for these LSH parameters on normalized vectors).  The exact
+    side is recomputed independently on BOTH engines (DuckDB in the
+    oracle, the exact-branch router here); the LSH pair count itself is
+    engine-specific and deliberately not emitted."""
+    corpus = pin(_corpus(spark, sf_dir))
+    lsh = near_dup_auto(corpus, exact_limit=0).select("id_a", "id_b")
+    exact = near_dup_auto(corpus, exact_limit=2_000_000_000).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = lsh.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_common == n_lsh, n_common >= 0.8 * n_exact)],
+        "n_exact_pairs long, lsh_subset_of_exact boolean, recall_ok boolean",
+    )
