@@ -168,7 +168,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: cusum_drift_scores, backfill_day_partition, weighted_sample_docs,
 #: collated_lang_counts, xml_roundtrip_events, pit_join_scd2,
 #: compact_small_files, events_column_profile, rollup_maintenance,
-#: federated_formats_join, hll_intersection_contract — ALL of these are
+#: federated_formats_join, hll_intersection_contract,
+#: cms_heavy_hitters_contract, stratified_sample_contract,
+#: quality_classifier_contract, near_dup_containment_contract — ALL are
 #: locally green at sf0.001/0.01(plain too)/0.1.  Rotate by surface
 #: diversity: prefer one per family over exhausting any single family.
 
