@@ -392,10 +392,18 @@ def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     labeled = pin(quality_features(docs))
+    if labeled.limit(1).count() == 0:
+        # empty-corpus path: keep the output schema (mirrors
+        # quality_classifier above)
+        return spark.createDataFrame(
+            [], "source string, n_docs long, n_label_good long, accuracy_ok boolean"
+        )
     asm = VectorAssembler(
         inputCols=["stop_ratio", "distinct_ratio", "log_n"], outputCol="_f"
     )
     train = asm.transform(labeled.sample(fraction=0.5, seed=SEED))
+    if train.limit(1).count() == 0:  # tiny corpus: the sample can be empty
+        train = asm.transform(labeled)
     lr = LogisticRegression(
         featuresCol="_f", labelCol="label", maxIter=25, regParam=1e-4
     ).fit(train)
