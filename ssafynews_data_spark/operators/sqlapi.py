@@ -418,3 +418,36 @@ def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("v").cast("long").alias("total_floor"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "identifier_clause_counts",
+    oracle="""
+        SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n FROM events
+        UNION ALL
+        SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+        ORDER BY tbl
+    """,
+    tags=("sql-api", "identifier"),
+)
+def identifier_clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``IDENTIFIER(:param)`` — dynamic object names bound as
+    PARAMETERS instead of f-string splicing (the reference templates
+    its SQL with f-strings, consumer.py:137-150; an identifier
+    parameter can only ever resolve to a name, never inject syntax).
+    One templated count statement runs against three different tables;
+    the oracle recomputes each count directly."""
+    from functools import reduce
+
+    frames = []
+    for tbl in ["documents", "events", "orders"]:
+        load_table(spark, sf_dir, tbl).createOrReplaceTempView(f"idc_{tbl}")
+        frames.append(
+            spark.sql(
+                "SELECT :name AS tbl, count(*) AS n FROM IDENTIFIER(:tbl)",
+                args={"name": tbl, "tbl": f"idc_{tbl}"},
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("tbl")

@@ -838,3 +838,54 @@ def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "streaming_union_dedup",
+    oracle="""
+        WITH u AS (
+            SELECT event_id, user_id FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id FROM events WHERE value > 200
+        )
+        SELECT user_id,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+        FROM u
+        GROUP BY user_id
+    """,
+    tags=("streaming", "union", "dedup"),
+)
+def streaming_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two streaming branches with overlapping membership
+    (clicks ∪ high-value events — a high-value click is in BOTH), then
+    stateful dropDuplicates on event_id: the multi-source ingestion
+    pattern where the same record can arrive via several feeds and
+    must count once.  The union of streams is itself a streaming
+    DataFrame; dedup state is keyed on event_id.  Oracle: batch union +
+    count(DISTINCT event_id) per user."""
+    stream = _events_stream(spark, sf_dir)
+    a = stream.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    b = stream.filter(F.col("value") > 200).select("event_id", "user_id")
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    name = "sud_" + uuid.uuid4().hex[:10]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.createDataFrame(
+                spark.table(name).collect(), spark.table(name).schema
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return rows.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
