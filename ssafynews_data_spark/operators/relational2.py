@@ -353,3 +353,36 @@ def value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "central_tendency_stats",
+    oracle="""
+        SELECT event_type,
+               round(median(value), 2) AS med_value,
+               CAST(mode(CAST(floor(value / 50) AS BIGINT)) AS BIGINT)
+                   AS mode_band,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A-family", "statistics", "median-mode"),
+)
+def central_tendency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2023 central-tendency aggregates: exact interpolated
+    MEDIAN (both engines interpolate at even counts) and MODE over a
+    coarse value band (banding makes the mode unique on the fixture —
+    raw doubles are all distinct, where mode would be an arbitrary
+    tie).  Median holds each group's values for the exact answer; the
+    100 TB form is percentile_approx (see approx_quantile_contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 2).alias("med_value"),
+            F.mode(F.floor(F.col("value") / 50).cast("long")).alias("mode_band"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
