@@ -386,3 +386,93 @@ def central_tendency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "boolean_aggregates_profile",
+    oracle="""
+        SELECT user_id,
+               bool_or(event_type = 'purchase') AS ever_purchased,
+               bool_and(value < 500) AS always_under_500,
+               CAST(count(*) FILTER (WHERE value > 100) AS BIGINT)
+                   AS n_over_100
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("A-family", "boolean-agg"),
+)
+def boolean_aggregates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family per user: ``bool_or`` /
+    ``bool_and`` / ``count_if`` — the predicate-profile shape behind
+    audience segmentation ("ever purchased, never big-ticket").  All
+    three are single-pass mergeable flags, so the map-side partials are
+    one bit per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+            F.bool_and(F.col("value") < 500).alias("always_under_500"),
+            F.count_if(F.col("value") > 100).alias("n_over_100"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "keyword_string_agg",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        ),
+        topw AS (
+            SELECT source, w,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, w) AS r
+            FROM t GROUP BY source, w
+        )
+        SELECT source,
+               string_agg(w, ',' ORDER BY r) AS top_words
+        FROM topw WHERE r <= 5
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("A-family", "string-agg"),
+)
+def keyword_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the reference's comma-joined
+    keywords column (ollama_consumer.py:253) done deterministically:
+    ``collect_list`` alone has NO ordering guarantee across partitions,
+    so the rank is materialized first and the collected (rank, word)
+    structs are array_sort'ed before joining — same answer on every
+    run, every parallelism, and hash-equal to DuckDB's
+    ``string_agg(... ORDER BY)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    freq = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(W.partitionBy("source").orderBy(F.desc("n"), "w"))
+    ).filter(F.col("r") <= 5)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "w"))),
+                    lambda s: s["w"],
+                ),
+                ",",
+            ).alias("top_words")
+        )
+        .orderBy("source")
+    )
