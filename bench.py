@@ -10,12 +10,20 @@ Runs the headline queries (``bench=True`` in the registry) at
 Each query is timed end-to-end (plan + execute + collect-to-count) after
 one untimed warmup of the session (JVM/codegen warmup is not what we're
 measuring; per-query JIT still counts).
+
+Variance control (VERDICT r5 item 2): the machine is co-tenant and
+single-run numbers swung ~1.4x on unchanged code round-over-round, so
+each primary-SF query now runs REPEATS times (default 3) and the
+headline number is the SUM OF MEDIANS; per-query medians, minima, and
+``os.getloadavg()`` before/after are all in the JSON so a drifted
+median with a stable min reads as co-tenancy, not regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,28 +67,51 @@ def main() -> int:
 
     from ssafynews_data_spark.caching import release_pins
 
-    def run_set(d: str) -> dict[str, float]:
-        t: dict[str, float] = {}
-        for name, fn in bench.items():
-            t0 = time.perf_counter()
-            n = fn(spark, d).count()
-            t[name] = round(time.perf_counter() - t0, 3)
-            release_pins()  # keep storage memory flat between queries
-            print(f"# {name} @{d}: {t[name]:.3f}s ({n} rows)", file=sys.stderr)
-        return t
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    timings = run_set(sf_dir)
+    def run_set(d: str, reps: int) -> tuple[dict[str, float], dict[str, float]]:
+        """Run every bench query ``reps`` times; return (median, min)
+        per query.  Repeats are interleaved per-query (q1 x3, q2 x3, ...)
+        so a transient co-tenant burst hits one query's repeats, where
+        the median absorbs it, rather than one whole pass."""
+        med: dict[str, float] = {}
+        lo: dict[str, float] = {}
+        for name, fn in bench.items():
+            runs: list[float] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                runs.append(time.perf_counter() - t0)
+                release_pins()  # keep storage memory flat between queries
+            med[name] = round(statistics.median(runs), 3)
+            lo[name] = round(min(runs), 3)
+            print(
+                f"# {name} @{d}: median {med[name]:.3f}s min {lo[name]:.3f}s "
+                f"of {[round(r, 3) for r in runs]} ({n} rows)",
+                file=sys.stderr,
+            )
+        return med, lo
+
+    load_before = os.getloadavg()
+    timings, timings_min = run_set(sf_dir, repeats)
 
     # Secondary small-SF pass: separates fixed fit/JIT cost from
     # data-proportional shuffle cost round-over-round (VERDICT r1 §6).
+    # Single-run: its job is the fixed-vs-scaling split, not variance.
     secondary = os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "/root/testdata/sf0.01")
-    timings_small = run_set(secondary) if os.path.isdir(secondary) else {}
+    timings_small = run_set(secondary, 1)[0] if os.path.isdir(secondary) else {}
+    load_after = os.getloadavg()
 
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "value_min": round(sum(timings_min.values()), 3),
+        "repeats": repeats,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
         "queries_secondary_sf": timings_small,
         "sf": sf,
     }

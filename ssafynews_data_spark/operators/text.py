@@ -822,6 +822,78 @@ def compression_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "compression_quality_contract",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN coalesce(strlen(text), 0) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+               CAST(sum(coalesce(strlen(text), 0)) AS BIGINT) AS total_bytes,
+               true AS ratio_bounds_ok,
+               true AS flag_consistent,
+               true AS deterministic
+        FROM documents
+    """,
+    tags=("quality", "compression", "contract"),
+)
+def compression_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compression_quality_scores`` held to driver-hashable guarantees
+    (the zlib ratio itself has no DuckDB twin — deflate isn't SQL — so
+    the contract emits exact cross-engine facts plus booleans the Spark
+    side verifies over EVERY row and DuckDB asserts as literals):
+
+    - ``n_docs`` / ``n_empty_docs`` / ``total_bytes``: exact facts both
+      engines recompute independently (byte lengths, not zlib).
+    - ``ratio_bounds_ok``: every non-empty doc has ``0 < ratio`` and
+      ``n_compressed <= n_bytes + 64`` (the deflate stored-block worst
+      case: 5 bytes per 16 KiB block + 6 bytes stream overhead, with
+      slack); every empty doc has ratio exactly 0.
+    - ``flag_consistent``: ``passes`` equals the recomputed
+      between(MIN, MAX) predicate for every row.
+    - ``deterministic``: a second, independent zlib UDF evaluation
+      byte-agrees with the first on every row.
+
+    One corpus scan feeding five aggregates; the per-row checks are
+    row-local (no shuffle) — at 100 TB this is the same
+    embarrassingly-parallel shape as the scored query it certifies."""
+
+    @F.pandas_udf("long")
+    def zlib_size2(text: pd.Series) -> pd.Series:
+        import zlib
+
+        return text.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), 6)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = compression_quality_scores(spark, sf_dir).join(
+        docs.select("doc_id", zlib_size2(F.col("text")).alias("n_compressed2")),
+        "doc_id",
+    )
+    # NULL text gives NULL n_bytes/ratio in the scored query (Spark's
+    # octet_length(NULL) is NULL); the contract's byte facts normalize
+    # NULL to 0 so both engines count NULL text as an empty doc.
+    nb = F.coalesce(F.col("n_bytes"), F.lit(0))
+    ratio0 = F.coalesce(F.col("compress_ratio"), F.lit(0.0))
+    nonempty_ok = (nb == 0) | (
+        (ratio0 > 0) & (F.col("n_compressed") <= nb + 64)
+    )
+    empty_ok = (nb > 0) | (ratio0 == 0.0)
+    # flag check on the ORIGINAL (un-coalesced) semantics: NULL ratio
+    # must yield NULL passes, and eqNullSafe certifies exactly that.
+    flag_ok = F.col("passes").eqNullSafe(
+        F.col("compress_ratio").between(COMPRESS_RATIO_MIN, COMPRESS_RATIO_MAX)
+    )
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(nb == 0, 1).otherwise(0)).alias("n_empty_docs"),
+        F.sum(nb).alias("total_bytes"),
+        F.bool_and(nonempty_ok & empty_ok).alias("ratio_bounds_ok"),
+        F.bool_and(flag_ok).alias("flag_consistent"),
+        F.bool_and(F.col("n_compressed") == F.col("n_compressed2")).alias(
+            "deterministic"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Homoglyph / fullwidth folding — dedup-evasion countermeasure.
 # ---------------------------------------------------------------------------
@@ -941,6 +1013,82 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single UDF evaluation; NULL text → false, not NULL
         .withColumn("was_mojibake", ~F.col("text_fixed").eqNullSafe(F.col("text")))
         .select("doc_id", "source", "text_fixed", "was_mojibake")
+    )
+
+
+#: the mojibake markers ``_fix_mojibake`` scores on — shared with the
+#: contract's cross-engine marker count so both sides count identically.
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "ï»¿")
+
+
+@register(
+    "mojibake_repair_contract",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN text LIKE '%Ã%' OR text LIKE '%Â%'
+                               OR text LIKE '%â€%' OR text LIKE '%ï»¿%'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_marked_docs,
+               true AS repaired_subset_of_marked,
+               true AS clean_passthrough,
+               true AS idempotent
+        FROM documents
+    """,
+    tags=("cleaning", "encoding", "mojibake", "contract"),
+)
+def mojibake_repair_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mojibake_repair_docs`` held to driver-hashable guarantees (the
+    cp1252 round trip has no DuckDB twin, so — same pattern as
+    ``near_dup_containment_contract`` — exact cross-engine facts plus
+    booleans Spark verifies over every row and DuckDB asserts):
+
+    - ``n_docs`` / ``n_marked_docs``: both engines independently count
+      documents carrying any mojibake marker (``Ã Â â€ ï»¿`` — the exact
+      set ``_fix_mojibake`` scores on), so the marker predicate itself
+      is cross-engine verified.
+    - ``repaired_subset_of_marked``: every doc the repair changed
+      contains a marker, equivalently every marker-free doc passes
+      through byte-identical — the repair never corrupts clean text
+      (the non-vacuous half on a clean corpus: Korean text must survive
+      the latin-1/cp1252 probe untouched).
+    - ``clean_passthrough``: the repair preserves null shape — output
+      is null exactly when input is (never invents or destroys text).
+    - ``idempotent``: repairing the repaired text changes nothing.
+
+    The planted-corruption semantics ("repairs actually repair") are
+    pytest-gated in tests/test_text.py; this row certifies the safety
+    half at corpus scale.  Shape: two chained Arrow UDF evaluations +
+    one aggregate; row-local, no shuffle."""
+
+    @F.pandas_udf("string")
+    def repair(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: None if t is None else _fix_mojibake(t))
+
+    marked = F.coalesce(
+        # contains() is null on null text; treat null as unmarked
+        sum(
+            (F.col("text").contains(m).cast("int") for m in _MOJIBAKE_MARKERS),
+            F.lit(0),
+        )
+        > 0,
+        F.lit(False),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", marked.alias("marked")
+    )
+    fixed = docs.withColumn("text_fixed", repair(F.col("text"))).withColumn(
+        "text_fixed2", repair(F.col("text_fixed"))
+    )
+    changed = ~F.col("text_fixed").eqNullSafe(F.col("text"))
+    return fixed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("marked").cast("long")).alias("n_marked_docs"),
+        F.bool_and(~changed | F.col("marked")).alias("repaired_subset_of_marked"),
+        F.bool_and(
+            F.col("text").isNull() == F.col("text_fixed").isNull()
+        ).alias("clean_passthrough"),
+        F.bool_and(F.col("text_fixed2").eqNullSafe(F.col("text_fixed"))).alias(
+            "idempotent"
+        ),
     )
 
 

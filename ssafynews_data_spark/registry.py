@@ -65,114 +65,107 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50).  Round 5 executes the
-#: rotation staged in round 4: this tuple IS the 50-slot window —
-#: 26 multi-surface keepers (r4-green) + the 14 round-4 queries that
-#: never had a driver row + 10 new round-5 queries (ANN/ML/multimodal
-#: contracts, file-sink e2e, star CC, verified minhash chain, bucketed
-#: join, winnowing).
-#: Expected: 47 oracle rows + 3 rows-only (compression, pagerank,
-#: mojibake), 24 first-ever driver checks.
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 6 executes the
+#: backlog drain VERDICT r5 prescribed: keepers cut from 26 to 10
+#: multi-surface sentinels (each r5 driver-green, each anchoring a
+#: distinct surface: curation plan, streaming e2e sink, verified
+#: minhash chain, ML contract, TPC-H join, skew salt, stateful
+#: streaming, reporting plan, star-contraction CC, fused corpus
+#: pipeline), the other 40 slots ALL first-ever driver checks — 38
+#: promotions from the never-checked backlog (one-per-family first:
+#: TPC-H subqueries, corpus-LM quality, Z-order/DPP layout, timeseries
+#: trio, the streaming session-2 five, set-join + incremental index,
+#: the seven guarantee contracts, then join/analytics/profile misc) +
+#: the 2 new round-6 contract twins that retire the window's last
+#: rows-only rows (compression, mojibake; pagerank's twin
+#: ``pagerank_mass_contract`` is among the 38).
+#: Expected: 50/50 oracle rows, 40 first-ever driver checks,
+#: 0 rows-only, 0 FAIL.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # --- keepers: r4-green, one per major surface ---
+    # --- keepers: 10 multi-surface sentinels, all r5 driver-green ---
     "curate_corpus",
-    "embedding_near_dup",
-    "streaming_daily_counts",
-    "streaming_session_counts",
-    "streaming_dedup_counts",
-    "salted_event_counts",
-    "grouping_sets_orders",
-    "udtf_token_bigrams",
-    "label_centroids",
-    "daily_category_report",
-    "preprocess_source_counts",
-    "stateful_session_stats",
-    "merge_scd2_orders",
-    "korean_text_ops",
-    "block_sequential_ids",
-    "decontaminate_docs",
-    "dedup_incremental_batch",
-    "cosine_topk",
-    "domain_mix_sample",
-    "dedup_connected_components",
-    "streaming_interval_join",
-    "llm_corpus_pipeline",
-    "session_window_stats",
-    "boilerplate_block_removal",
-    "q18_large_volume_customer",
-    "trailing_week_user_value",
-    # --- round-4 additions, first driver check this round ---
-    "tokenizer_fertility_stats",
-    "dsir_importance_weights",
-    "int8_quantize_embeddings",
-    "streaming_watermark_dedup",
-    "hybrid_rrf_retrieval",
-    "compression_quality_scores",
-    "near_dup_auto_pairs",
-    "streaming_semi_join",
-    "q7_nation_volume_shipping",
-    "dedup_graph_pagerank",
-    "ansi_q1_shared_text",
-    "homoglyph_fold_fingerprints",
-    "mojibake_repair_docs",
-    "event_value_quartiles",
-    # --- round-5 additions: ANN/ML contracts + file-sink e2e + star CC ---
-    "ann_lsh_recall_contract",
-    "ann_ivf_recall_contract",
-    "semantic_dedup_contract",
-    "pca_kmeans_summary",
     "streaming_file_sink_e2e",
-    "dedup_cc_largestar",
-    # banded-candidates + exact-verify chain, hash-equal to the exact
-    # pair oracle (bm25_topk r4-green yields its slot; retrieval stays
-    # in-window via hybrid_rrf_retrieval)
     "minhash_verified_pairs",
-    # multimodal plumbing facts now oracle-checked (embedding_norm_stats
-    # r4-green yields its slot; the vector-profile surface stays
-    # in-window via label_centroids + the ANN contracts)
-    "media_decode_contract",
-    # shuffle-free bucketed fact-fact join + winnowing fingerprints
-    # (robust_value_stats / token_chunk_windows, both r4-green, yield
-    # their slots; surfaces stay locally gated)
-    "bucketed_join_revenue",
-    "winnow_fingerprints",
+    "pca_kmeans_summary",
+    "q18_large_volume_customer",
+    "salted_event_counts",
+    "stateful_session_stats",
+    "daily_category_report",
+    "dedup_cc_largestar",
+    "llm_corpus_pipeline",
+    # --- TPC-H subquery family (EXISTS / NOT IN / scalar / disjunctive) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_parts_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    # --- corpus-LM quality family (CCNet-style) ---
+    "bigram_lm_perplexity",
+    "unigram_kl_source_divergence",
+    "zipf_fit_stats",
+    "k_anonymity_profile",
+    # --- layout: Z-order file skipping + dynamic partition pruning ---
+    "zorder_box_query",
+    "dpp_top_days_report",
+    # --- timeseries trio (gap-fill, recursive-CTE form, LOCF) ---
+    "timeseries_gapfill",
+    "timeseries_gapfill_recursive",
+    "timeseries_locf",
+    # --- streaming session-2 five (VERDICT r5 item 6) ---
+    "streaming_union_dedup",
+    "streaming_sliding_counts",
+    "streaming_state_inspection",
+    "streaming_outer_interval_join",
+    "streaming_sketch_maintenance",
+    # --- set-similarity join + persisted MinHash delta index ---
+    "prefix_filter_jaccard_pairs",
+    "minhash_incremental_index",
+    # --- guarantee contracts (each certifies an in-window or benched
+    #     subject: pagerank mass conservation, LSH containment+recall,
+    #     HLL/CMS/quantile sketch bounds, sampling strata, classifier) ---
+    "pagerank_mass_contract",
+    "near_dup_containment_contract",
+    "hll_intersection_contract",
+    "cms_heavy_hitters_contract",
+    "approx_quantile_contract",
+    "stratified_sample_contract",
+    "quality_classifier_contract",
+    # --- join / product-analytics / profile misc (one per family) ---
+    "pit_join_scd2",
+    "funnel_conversion_ordered",
+    "retention_cohorts",
+    "events_column_profile",
+    "federated_formats_join",
+    "canonical_doc_per_cluster",
+    # --- new round-6 contract twins: retire the last rows-only rows ---
+    "compression_quality_contract",
+    "mojibake_repair_contract",
 )
 
-#: ROUND-6 ROTATION PLAN (same zero-sum recipe as rounds 4/5): the
-#: round-5 queries that registered AFTER the window froze are locally
-#: oracle-green but have never had a driver row — promote into
-#: PRIORITY_FIRST next round, demoting an equal number of r5-green
-#: stable passes: q10_returned_items, q14_promo_revenue,
-#: script_mix_stats, epoch_shuffle_layout, length_bucket_stats,
-#: uniform_sample_fixed_n, semantic_decontaminate, dedup_graph_stats,
-#: pagerank_mass_contract, streaming_sketch_maintenance,
-#: ansi_safe_math, observed_write_audit, multisignal_curation (all
-#: oracled); near_dup_lsh_verified, bpe_token_stats (rows-only +
-#: pytest).  Round-5 session 2 added 14 more oracle-green candidates:
-#: the TPC-H subquery family (q2_min_cost_supplier, q4_order_priority,
-#: q8_market_share, q13_customer_distribution, q16_parts_supplier_count,
-#: q19_disjunctive_revenue, q22_sales_opportunity), the corpus-LM
-#: quality family (bigram_lm_perplexity, unigram_kl_source_divergence,
-#: zipf_fit_stats, k_anonymity_profile), and the layout/streaming trio
-#: (zorder_box_query, dpp_top_days_report,
-#: streaming_outer_interval_join).  Session 2 continued with 10 more,
-#: all locally oracle-green: minhash_incremental_index (persisted band
-#: index + delta dedup), prefix_filter_jaccard_pairs (exact AllPairs
-#: set join), timeseries_gapfill / _recursive / _locf,
-#: streaming_sliding_counts, streaming_state_inspection (statestore
-#: reader), orc_roundtrip_stats, pipe_syntax_revenue,
-#: parameterized_sql_band, udtf_dynamic_topk_tokens,
-#: approx_quantile_contract, funnel_conversion_ordered,
-#: retention_cohorts; then canonical_doc_per_cluster,
-#: value_correlations, bucket_skew_audit, daily_count_anomalies,
-#: cusum_drift_scores, backfill_day_partition, weighted_sample_docs,
-#: collated_lang_counts, xml_roundtrip_events, pit_join_scd2,
-#: compact_small_files, events_column_profile, rollup_maintenance,
-#: federated_formats_join, hll_intersection_contract,
-#: cms_heavy_hitters_contract, stratified_sample_contract,
-#: quality_classifier_contract, near_dup_containment_contract — ALL are
-#: locally green at sf0.001/0.01(plain too)/0.1.  Rotate by surface
-#: diversity: prefer one per family over exhausting any single family.
+#: ROUND-7 ROTATION PLAN: after round 6's 40-promotion drain the
+#: never-driver-checked backlog is ~34 (down from 74).  Keep the same
+#: zero-sum recipe: hold the 10 sentinels, fill the other 40 slots from
+#: the remainder, preferring oracle-bearing and one-per-family:
+#: script_mix_stats, semantic_decontaminate, multisignal_curation,
+#: dedup_graph_stats, backfill_day_partition, compact_small_files,
+#: rollup_maintenance, ansi_safe_math, value_correlations,
+#: central_tendency_stats, boolean_aggregates_profile,
+#: keyword_string_agg, observed_write_audit, epoch_shuffle_layout,
+#: length_bucket_stats, uniform_sample_fixed_n, weighted_sample_docs,
+#: bucket_skew_audit, pipe_syntax_revenue, parameterized_sql_band,
+#: udtf_dynamic_topk_tokens, collated_lang_counts, xml_roundtrip_events,
+#: identifier_clause_counts, orc_roundtrip_stats, daily_count_anomalies,
+#: cusum_drift_scores, arrow_byte_stats, streaming_static_enrich,
+#: temperature_resample, token_rarity_scores (all oracled);
+#: near_dup_lsh_verified, bpe_token_stats, hll_daily_user_sketches,
+#: cms_heavy_hitters, quality_classifier (rows-only + pytest).
+#: Registration discipline (VERDICT r5 item 4): new registrations only
+#: for genuinely new operator families, never more than the round's
+#: rotation capacity, until the backlog is < 20.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
@@ -270,6 +263,49 @@ DEMOTE_LAST: tuple[str, ...] = (
     "keyword_flatten_per_source",
     "sequential_ids",
     "time_rollup_events",
+    # round-6 rotation OUT: r5 driver-green (history stands); demoting
+    # them keeps the mid region — the first overflow slots if the
+    # driver's window ever widens — made of never-checked queries.
+    "embedding_near_dup",
+    "streaming_daily_counts",
+    "streaming_session_counts",
+    "streaming_dedup_counts",
+    "grouping_sets_orders",
+    "udtf_token_bigrams",
+    "label_centroids",
+    "preprocess_source_counts",
+    "merge_scd2_orders",
+    "korean_text_ops",
+    "block_sequential_ids",
+    "decontaminate_docs",
+    "dedup_incremental_batch",
+    "cosine_topk",
+    "domain_mix_sample",
+    "dedup_connected_components",
+    "streaming_interval_join",
+    "session_window_stats",
+    "boilerplate_block_removal",
+    "trailing_week_user_value",
+    "tokenizer_fertility_stats",
+    "dsir_importance_weights",
+    "int8_quantize_embeddings",
+    "streaming_watermark_dedup",
+    "hybrid_rrf_retrieval",
+    "compression_quality_scores",
+    "near_dup_auto_pairs",
+    "streaming_semi_join",
+    "q7_nation_volume_shipping",
+    "dedup_graph_pagerank",
+    "ansi_q1_shared_text",
+    "homoglyph_fold_fingerprints",
+    "mojibake_repair_docs",
+    "event_value_quartiles",
+    "ann_lsh_recall_contract",
+    "ann_ivf_recall_contract",
+    "semantic_dedup_contract",
+    "media_decode_contract",
+    "bucketed_join_revenue",
+    "winnow_fingerprints",
 )
 
 

@@ -280,3 +280,44 @@ def test_mojibake_repair_roundtrip(spark, tmp_path):
     assert out[2].text_fixed == orig and not out[2].was_mojibake
     assert out[3].text_fixed == orig and out[3].was_mojibake
     assert out[4].text_fixed is None and out[4].was_mojibake is False
+
+
+def test_quality_contracts_on_planted_corpus(spark, tmp_path):
+    """The round-6 contract twins (compression / mojibake) must hold —
+    and their facts must be exact — on a corpus that exercises every
+    branch the natural testdata lacks: empty text, NULL text, planted
+    mojibake, template spam, and clean Korean."""
+    import os
+
+    from ssafynews_data_spark.operators.text import (
+        compression_quality_contract,
+        mojibake_repair_contract,
+    )
+
+    orig = "café — naïve résumé 한국어 ∑"
+    mangled = orig.encode("utf-8").decode("latin-1")
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400, "en", "s", 2000),
+            (2, mangled, "en", "s", 30),
+            (3, orig, "ko", "s", 30),
+            (4, "", "en", "s", 0),
+            (5, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    c = compression_quality_contract(spark, d).collect()[0]
+    assert c.n_docs == 5
+    assert c.n_empty_docs == 2  # "" and NULL both have 0 bytes
+    assert c.total_bytes == sum(
+        len((t or "").encode("utf-8")) for t in ["spam " * 400, mangled, orig, "", None]
+    )
+    assert c.ratio_bounds_ok and c.flag_consistent and c.deterministic
+
+    m = mojibake_repair_contract(spark, d).collect()[0]
+    assert m.n_docs == 5
+    assert m.n_marked_docs == 1  # only the mangled doc carries markers
+    assert m.repaired_subset_of_marked and m.clean_passthrough and m.idempotent

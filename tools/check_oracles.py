@@ -48,6 +48,11 @@ def main() -> int:
     only = set(args[1:])
 
     qs = registry.load_all()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not read as "0 failures" — fail loudly
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     if plain:
         # driver-faithful: a bare session with NONE of the engine configs
         # (the grading driver builds its own) — every query must self-heal

@@ -1,0 +1,215 @@
+"""Scale sweep for the top-5 headline queries (VERDICT r5 item 7).
+
+Shuffle-count pins (tests/test_shuffle_budget.py) prove the PLAN can't
+silently regress, but they cannot catch data-dependent blow-up — LSH
+bucket skew, candidate-pair explosion, a per-cluster GEMM whose cluster
+grew super-linearly.  This sweep measures wall-time at three row scales
+and reports the scaling exponent alpha = log(t2/t1) / log(n2/n1) per
+query; alpha <= ~1.3 is the "still linear-ish" bar (fixed overhead
+deflates alpha at these sizes, so an exponent NEAR 1 at toy scale means
+the data-dependent terms are not super-linear — a quadratic candidate
+blow-up would read alpha >= ~1.7 between the two larger scales).
+
+Dataset construction (why not just replicate 10x): byte-identical
+copies make every copy-group an all-pairs near-dup clique, so pair
+OUTPUT — and verify cost — would grow quadratically in the replication
+factor by construction, telling us nothing about the operator.  Instead
+each copy is deterministically perturbed so that copies of one doc are
+NOT near-dups of each other while genuine near-dup pairs WITHIN a copy
+survive:
+
+- documents: copy 0 is the corpus verbatim; copy i >= 1 suffixes every
+  token with ``x<i>`` (``regexp_replace(text, '(\\S+)', '$1x<i>')``) —
+  every shingle of copy i differs from every other copy's, so shingle
+  sets across copies are disjoint while within-copy Jaccard structure,
+  token counts, and the repetition profile are preserved (an earlier
+  filler-token-between-words scheme tripped the bigram-repetition
+  Gopher gate and emptied the curation pipeline).  x1 scales are the
+  untransformed corpus, so their per-row shape is exactly real data.
+- embeddings: copy 0 verbatim; copy i >= 1 adds a copy-specific noise
+  vector delta_i(j) = 0.11 * sin((i+1) * (j+1)) per dimension.
+  |delta| ~ 0.6 for the unit-norm dim-64 fixtures, which drops
+  cross-copy cosine to ~0.74 (below the 0.9 near-dup threshold) while
+  within-copy pairs at cos >= 0.9 stay above threshold (~0.93 after
+  the common shift).
+
+Scales: S1 = sf0.01 x1 (500 docs / 500 vecs), S2 = sf0.1 x1
+(5 000 / 2 000), S3 = sf0.1 x10 (50 000 / 20 000).  S2->S3 is the
+exponent that matters (x10 rows on both tables, least
+overhead-dominated).
+
+Usage: python tools/scale_sweep.py [--rebuild]
+Writes the table to stdout (paste into docs/SCALE.md) and the raw JSON
+to .scale_sweep/sweep_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ssafynews_data_spark import get_session
+
+SWEEP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sweep"
+)
+
+#: the five most expensive BENCH_r05 queries (VERDICT r5 plan audit).
+HEADLINERS = (
+    "near_dup_lsh_verified",
+    "bigram_lm_perplexity",
+    "semantic_dedup",
+    "minhash_lsh_pairs",
+    "llm_corpus_pipeline",
+)
+
+#: (name, source sf dir, replication factor)
+SCALES = (
+    ("S1", "/root/testdata/sf0.01", 1),
+    ("S2", "/root/testdata/sf0.1", 1),
+    ("S3", "/root/testdata/sf0.1", 10),
+)
+
+EMB_NOISE = 0.11  # |delta| ~ 0.6 on unit-norm dim-64 (module docstring)
+
+
+def _one_copy_docs(docs, copy: int):
+    if copy == 0:
+        text = F.col("text")
+    else:
+        text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{copy}")
+    return docs.select(
+        (F.col("doc_id") * 16 + copy).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def _one_copy_emb(emb, copy: int):
+    if copy == 0:
+        noisy = F.col("embedding")
+    else:
+        noisy = F.transform(
+            "embedding",
+            lambda x, j: (
+                x
+                + F.lit(EMB_NOISE) * F.sin((F.lit(copy) + 1) * (j.cast("double") + 1))
+            ).cast("float"),
+        )
+    return emb.select(
+        (F.col("vec_id") * 16 + copy).alias("vec_id"),
+        noisy.alias("embedding"),
+        "label",
+    )
+
+
+def build_scale(spark: SparkSession, out_dir: str, src_dir: str, copies: int) -> None:
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    d = _one_copy_docs(docs, 0)
+    e = _one_copy_emb(emb, 0)
+    for i in range(1, copies):
+        d = d.unionByName(_one_copy_docs(docs, i))
+        e = e.unionByName(_one_copy_emb(emb, i))
+    # 32 files per table so local[32] keeps full scan parallelism even
+    # on the replicated slice (matches the testdata layout intent)
+    d.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    e.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> int:
+    rebuild = "--rebuild" in sys.argv[1:]
+    spark = get_session(app_name="scale_sweep")
+    from ssafynews_data_spark import registry
+    from ssafynews_data_spark.caching import release_pins
+
+    qs = registry.load_all()
+
+    dirs: dict[str, str] = {}
+    rows: dict[str, dict[str, int]] = {}
+    for name, src, copies in SCALES:
+        out = os.path.join(SWEEP_ROOT, name)
+        if rebuild or not os.path.isdir(f"{out}/documents.parquet"):
+            print(f"# building {name} from {src} x{copies}", file=sys.stderr)
+            build_scale(spark, out, src, copies)
+        dirs[name] = out
+        rows[name] = {
+            "docs": spark.read.parquet(f"{out}/documents.parquet").count(),
+            "emb": spark.read.parquet(f"{out}/embeddings.parquet").count(),
+        }
+        print(f"# {name}: {rows[name]}", file=sys.stderr)
+
+    # warmup (same rationale as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(4).mapInPandas(lambda it: it, "id long").count()
+
+    results: dict[str, dict[str, float]] = {q: {} for q in HEADLINERS}
+    out_rows: dict[str, dict[str, int]] = {q: {} for q in HEADLINERS}
+    for sname, _, _ in SCALES:
+        for q in HEADLINERS:
+            t0 = time.perf_counter()
+            n = qs[q].fn(spark, dirs[sname]).count()
+            dt = time.perf_counter() - t0
+            release_pins()
+            results[q][sname] = round(dt, 3)
+            out_rows[q][sname] = n
+            print(f"# {q} @{sname}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    # embeddings-driven queries scale on emb rows, text ones on docs
+    table_of = {
+        "near_dup_lsh_verified": "emb",
+        "semantic_dedup": "emb",
+        "bigram_lm_perplexity": "docs",
+        "minhash_lsh_pairs": "docs",
+        "llm_corpus_pipeline": "docs",
+    }
+
+    def alpha(q: str, a: str, b: str) -> float:
+        t = table_of[q]
+        n_ratio = rows[b][t] / rows[a][t]
+        t_ratio = results[q][b] / results[q][a]
+        return round(math.log(t_ratio) / math.log(n_ratio), 2)
+
+    print("\n| query | rows S1/S2/S3 | t(S1) | t(S2) | t(S3) | alpha S1->S2 | alpha S2->S3 |")
+    print("|---|---|---|---|---|---|---|")
+    for q in HEADLINERS:
+        t = table_of[q]
+        r = f"{rows['S1'][t]}/{rows['S2'][t]}/{rows['S3'][t]} ({t})"
+        print(
+            f"| {q} | {r} | {results[q]['S1']:.2f}s | {results[q]['S2']:.2f}s "
+            f"| {results[q]['S3']:.2f}s | {alpha(q, 'S1', 'S2')} "
+            f"| {alpha(q, 'S2', 'S3')} |"
+        )
+
+    with open(os.path.join(SWEEP_ROOT, "sweep_results.json"), "w") as f:
+        json.dump(
+            {
+                "rows": rows,
+                "seconds": results,
+                "output_rows": out_rows,
+                "loadavg": list(os.getloadavg()),
+            },
+            f,
+            indent=2,
+        )
+    bad = [
+        q
+        for q in HEADLINERS
+        if alpha(q, "S2", "S3") > 1.5  # quadratic blow-up reads ~2.0
+    ]
+    print(f"\n# super-linear (alpha S2->S3 > 1.5): {bad or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
