@@ -9,8 +9,14 @@ ladder:
    DuckDB ``list_cosine_similarity``);
 2. embedding near-dup pairs — cosine >= threshold self-join (exact,
    quadratic → correctness oracle);
-3. BucketedRandomProjectionLSH — MLlib's banded random-projection
-   buckets; candidate pairs via equality join on bucket id (scale path);
+3. SRP-banded LSH — sign-random-projection bit bands (Charikar '02);
+   candidate pairs via equality join on (band, key), bits-per-band
+   derived from corpus size so background candidates stay ~linear
+   (scale path; replaced MLlib's BucketedRandomProjectionLSH in round
+   6 — BRP's scalar buckets degenerate on unit vectors, see
+   ``near_dup_auto``.  The query-side ANN ``ann_lsh_topk`` still
+   exercises the MLlib form: with a fixed 10-query probe side its cost
+   is O(q·n) regardless of bucket quality);
 4. IVF — KMeans(seed 42) coarse quantizer, probe the ``NPROBE`` nearest
    centroids only (classic IVF-Flat layout: at scale the corpus is
    partitioned by centroid id, so a query touches nprobe partitions).
@@ -288,6 +294,67 @@ def pair_cosine(a: Column, b: Column) -> Column:
     return _PAIR_COSINE_UDF(a, b)
 
 
+def srp_band_params(
+    n: int, threshold: float, target_recall: float = 0.9, band_cap: int = 48
+) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for SRP banding, derived from corpus
+    size and threshold — the standard SimHash/SRP AND-OR composition
+    (Charikar '02): P(bit agrees) = 1 - acos(cos) / pi, a band is an
+    AND of ``rbits`` bits, tables are an OR.
+
+    Two competing constraints, resolved in this order:
+
+    - pruning wants MORE bits: background collisions per random pair
+      per band are 0.5^rbits, so rbits ~ log2(n / 8) keeps expected
+      background candidates per vector roughly constant as n grows —
+      this is the knob that makes the join shuffle-linear at 100 TB;
+    - recall wants FEWER bits: hitting ``target_recall`` at exactly
+      ``threshold`` needs ln(1-R) / ln(1 - p_bit^rbits) bands, and the
+      band budget is capped (each band is one exploded row per vector
+      in the join), so rbits is clamped to the largest value whose
+      band requirement fits the cap.
+
+    At aggressive thresholds (>= ~0.8, the realistic near-dup regime)
+    the recall clamp never binds and pruning scales with log n.  At
+    permissive thresholds (the 0.35 fixture regime, inside the tail of
+    the RANDOM-pair cosine distribution at dim 64) p_bit is barely
+    above 1/2, the clamp binds at small rbits, and the pruning factor
+    is modest — correctly so: the true result set itself is a constant
+    fraction of all pairs there, so no candidate scheme can be
+    sub-quadratic.  Output-linear is the achievable contract, and the
+    verify step is output-proportional."""
+    import math
+
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    # largest rbits whose recall-mandated band count fits the cap
+    p_band_min = 1.0 - (1.0 - target_recall) ** (1.0 / band_cap)
+    rbits_recall_max = int(math.log(p_band_min) / math.log(p_bit))
+    rbits = max(4, min(math.ceil(math.log2(max(n, 16) / 8.0)), rbits_recall_max))
+    p_band = p_bit**rbits
+    bands = min(band_cap, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    return rbits, bands
+
+
+def _srp_band_keys(rbits: int, bands: int, seed: int = 42):
+    """Arrow UDF: embedding array -> array<long> of per-band SRP keys.
+    One numpy GEMM per batch against a seeded Gaussian direction matrix
+    (regenerated identically in every worker — cheaper than shipping
+    it), sign bits packed per band.  Row-local, no state."""
+
+    @F.pandas_udf("array<long>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy())
+        D = np.random.RandomState(seed).standard_normal((bands * rbits, X.shape[1]))
+        bits = (X @ D.T) > 0
+        w = 1 << np.arange(rbits, dtype=np.int64)
+        keys = bits.reshape(len(X), bands, rbits).astype(np.int64) @ w
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def near_dup_auto(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -298,13 +365,27 @@ def near_dup_auto(
     """Adaptive near-dup: the library-level rewrite SURVEY.md §4 calls
     out (no custom Catalyst rule needed).  Small corpora get the exact
     quadratic self-join; above ``exact_limit`` rows the plan switches to
-    LSH bucket candidates + exact verify — same output contract
+    SRP-banded LSH candidates + exact verify — same output contract
     (id_a < id_b, cos_sim >= threshold), different physical strategy.
 
     ``exact_limit`` is 1k because the crossover is early: even with the
     vectorized ``pair_cosine`` the quadratic branch pays |n|²/2 pair
-    materializations (~10 s at 2k×2k), while the LSH branch is
-    shuffle-linear (~3 s on the same corpus at ~85% recall).
+    materializations (~10 s at 2k×2k), while the LSH branch prunes
+    candidates before the verify.
+
+    The LSH is sign-random-projection banding (rbits-bit AND within a
+    band, OR across bands — parameters derived per corpus by
+    ``srp_band_params``), NOT MLlib's BucketedRandomProjectionLSH: BRP
+    buckets by floor(projection / bucketLength), but projections of
+    unit vectors concentrate in ±~3/sqrt(dim) (±0.38 at dim 64), so
+    any bucketLength coarse enough for recall puts nearly the whole
+    corpus in a couple of buckets per table and the "candidates" are
+    all pairs — invisible at 2k vectors, a 60x blow-up at 20k (caught
+    by tools/scale_sweep.py round 6).  BRP also cannot AND-compose
+    projections within a table, so narrowing the buckets just trades
+    the blow-up for recall loss.  SRP bands AND-compose by
+    construction, and rbits grows with log n so background candidates
+    stay ~linear in the corpus.
 
     The count() here is a cheap planning action (count-star over
     parquet metadata / cached input), the moral equivalent of AQE
@@ -316,30 +397,28 @@ def near_dup_auto(
     sim = pair_cosine(F.col("emb_a"), F.col("emb_b"))
     if n <= exact_limit:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:  # LSH candidates, then exact verify on candidates only
-        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-        from pyspark.ml.functions import array_to_vector
-
-        vecs = corpus.withColumn("_v0", array_to_vector(F.col(emb_col)))
-        vecs = Normalizer(inputCol="_v0", outputCol="_v", p=2.0).transform(vecs)
-        lsh = BucketedRandomProjectionLSH(
-            inputCol="_v", outputCol="_h", seed=42, bucketLength=0.5, numHashTables=2
+    else:  # SRP-LSH candidates, then exact verify on candidates only
+        rbits, bands = srp_band_params(n, threshold)
+        keys = _srp_band_keys(rbits, bands)
+        banded = corpus.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(keys(as_double(F.col(emb_col)))).alias("_band", "_key"),
         )
-        model = lsh.fit(vecs)
-        # cos >= t  ⇔  euclidean on unit vectors <= sqrt(2 - 2t)
-        radius = float((2.0 - 2.0 * threshold) ** 0.5)
-        j = model.approxSimilarityJoin(vecs, vecs, radius, distCol="_d")
-        # approxSimilarityJoin already emits DISTINCT row pairs (LSH.scala
-        # dedups across hash tables before computing distance), and each
-        # side carries its full row — so the raw embeddings ride along
-        # for free.  Selecting them here saves a distinct shuffle AND two
-        # join-back-to-corpus stages vs re-fetching by id.
-        pairs = j.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.col(f"datasetA.{emb_col}").alias("emb_a"),
-            F.col(f"datasetB.{emb_col}").alias("emb_b"),
-        ).filter(F.col("id_a") < F.col("id_b"))
+        cand = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x._band") == F.col("y._band"))
+                & (F.col("x._key") == F.col("y._key"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .distinct()
+        )
+        # join embeddings back by id: shuffles 2 corpus copies instead
+        # of carrying the vectors through the band explode (bands x the
+        # embedding bytes through the candidate shuffle)
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

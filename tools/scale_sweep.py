@@ -26,12 +26,17 @@ survive:
   filler-token-between-words scheme tripped the bigram-repetition
   Gopher gate and emptied the curation pipeline).  x1 scales are the
   untransformed corpus, so their per-row shape is exactly real data.
-- embeddings: copy 0 verbatim; copy i >= 1 adds a copy-specific noise
-  vector delta_i(j) = 0.11 * sin((i+1) * (j+1)) per dimension.
-  |delta| ~ 0.6 for the unit-norm dim-64 fixtures, which drops
-  cross-copy cosine to ~0.74 (below the 0.9 near-dup threshold) while
-  within-copy pairs at cos >= 0.9 stay above threshold (~0.93 after
-  the common shift).
+- embeddings: copy 0 verbatim; copy i >= 1 applies a copy-specific
+  ORTHOGONAL transform (seeded signed permutation of the dimensions).
+  Orthogonality preserves every within-copy inner product exactly, so
+  each copy reproduces the original near-dup pair structure and output
+  scales exactly linearly in copies; cross-copy cosines are ~0 for
+  generic vectors, so copies of one vector are neither near-dups nor
+  LSH bucket collisions.  (An earlier additive-common-shift scheme put
+  the 10 copies of each vector at Euclidean distance ~0.85 from each
+  other — below the LSH bucket width — which made CANDIDATE pairs grow
+  quadratically in the replication factor by construction and falsely
+  read as operator blow-up.)
 
 Scales: S1 = sf0.01 x1 (500 docs / 500 vecs), S2 = sf0.1 x1
 (5 000 / 2 000), S3 = sf0.1 x10 (50 000 / 20 000).  S2->S3 is the
@@ -95,20 +100,25 @@ def _one_copy_docs(docs, copy: int):
     )
 
 
-def _one_copy_emb(emb, copy: int):
+def _one_copy_emb(emb, copy: int, dim: int = 64):
     if copy == 0:
-        noisy = F.col("embedding")
+        out = F.col("embedding")
     else:
-        noisy = F.transform(
-            "embedding",
-            lambda x, j: (
-                x
-                + F.lit(EMB_NOISE) * F.sin((F.lit(copy) + 1) * (j.cast("double") + 1))
-            ).cast("float"),
+        import random
+
+        rng = random.Random(copy)
+        perm = list(range(dim))
+        rng.shuffle(perm)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(dim)]
+        out = F.array(
+            *[
+                (F.lit(signs[j]) * F.col("embedding")[perm[j]]).cast("float")
+                for j in range(dim)
+            ]
         )
     return emb.select(
         (F.col("vec_id") * 16 + copy).alias("vec_id"),
-        noisy.alias("embedding"),
+        out.alias("embedding"),
         "label",
     )
 
@@ -175,18 +185,30 @@ def main() -> int:
     }
 
     def alpha(q: str, a: str, b: str) -> float:
+        """Exponent of wall-time vs WORK = input rows + output rows.
+        Normalizing by output matters for join-like operators: when the
+        true result set itself grows super-linearly (e.g. near-dup at a
+        threshold inside the random-cosine tail), time proportional to
+        input+output is the best any algorithm can do — an operator is
+        only flagged when it burns time BEYOND the work it was asked
+        to produce."""
         t = table_of[q]
-        n_ratio = rows[b][t] / rows[a][t]
+        w_a = rows[a][t] + out_rows[q][a]
+        w_b = rows[b][t] + out_rows[q][b]
         t_ratio = results[q][b] / results[q][a]
-        return round(math.log(t_ratio) / math.log(n_ratio), 2)
+        return round(math.log(t_ratio) / math.log(w_b / w_a), 2)
 
-    print("\n| query | rows S1/S2/S3 | t(S1) | t(S2) | t(S3) | alpha S1->S2 | alpha S2->S3 |")
-    print("|---|---|---|---|---|---|---|")
+    print(
+        "\n| query | rows S1/S2/S3 | out S1/S2/S3 | t(S1) | t(S2) | t(S3) "
+        "| alpha S1->S2 | alpha S2->S3 |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for q in HEADLINERS:
         t = table_of[q]
         r = f"{rows['S1'][t]}/{rows['S2'][t]}/{rows['S3'][t]} ({t})"
+        o = f"{out_rows[q]['S1']}/{out_rows[q]['S2']}/{out_rows[q]['S3']}"
         print(
-            f"| {q} | {r} | {results[q]['S1']:.2f}s | {results[q]['S2']:.2f}s "
+            f"| {q} | {r} | {o} | {results[q]['S1']:.2f}s | {results[q]['S2']:.2f}s "
             f"| {results[q]['S3']:.2f}s | {alpha(q, 'S1', 'S2')} "
             f"| {alpha(q, 'S2', 'S3')} |"
         )
