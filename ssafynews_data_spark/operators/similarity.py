@@ -222,36 +222,48 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_topk", tags=("similarity", "lsh"), bench=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via ``BucketedRandomProjectionLSH`` (seed 42).
+    """Approximate top-k via SRP band candidates (round 6: replaced
+    MLlib's ``BucketedRandomProjectionLSH``, whose scalar buckets
+    degenerate on unit vectors — every probe was silently brute-force;
+    see ``near_dup_auto`` for the geometry).
 
-    Vectors are L2-normalized first, making euclidean distance monotone
-    in cosine (d² = 2 - 2cos), so the euclidean LSH family serves cosine
-    ranking.  ``approxSimilarityJoin`` joins on bucket equality —
-    shuffle-linear in rows, the 100 TB path.  Rows-only check (bucket
-    boundaries are engine-specific); tests assert recall vs exact.
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = _corpus(spark, sf_dir).withColumn(
-        "vec_raw", array_to_vector(F.col("emb"))
+    The corpus is banded once (seeded numpy GEMM per Arrow batch, no
+    model fit); the ``N_QUERIES``-row probe side reuses the same banded
+    frame and is BROADCAST into the (band, key) equi-join, so the
+    corpus is never shuffled for the probe — candidates stream out of
+    the scan, exact cosine ranks them, and the per-query top-k is a
+    window group limit.  Pruning factor 2^rbits / bands grows with
+    log n via ``srp_band_params``.  Rows-only driver check (band keys
+    are hash-specific); the recall floor is driver-certified by
+    ``ann_lsh_recall_contract`` and pytest-asserted vs exact."""
+    corpus = pin(_corpus(spark, sf_dir))
+    n = corpus.count()
+    rbits, bands = srp_band_params(max(n, 16), NEAR_DUP_COS)
+    keys = _srp_band_keys(rbits, bands)
+    banded = corpus.select(
+        "vec_id", F.posexplode(keys(F.col("emb"))).alias("_band", "_key")
     )
-    # corpus feeds fit(), the query side, and the corpus side of the join
-    corpus = pin(Normalizer(inputCol="vec_raw", outputCol="vec", p=2.0).transform(corpus))
-    lsh = BucketedRandomProjectionLSH(
-        # 2 tables: measured 4x faster than 4 with identical top-k output
-        # on the fixture; recall is guarded by tests/test_similarity.py
-        inputCol="vec", outputCol="hashes", seed=42, bucketLength=0.5, numHashTables=2
+    q_banded = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "_band", "_key"
     )
-    model = lsh.fit(corpus)
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
-    joined = model.approxSimilarityJoin(queries, corpus, 1.4, distCol="dist")
-    pairs = joined.select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        # on unit vectors: cos = 1 - d²/2
-        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("sim"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = (
+        banded.join(F.broadcast(q_banded), ["_band", "_key"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_emb = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_q")
+    )
+    pairs = (
+        cand.join(corpus.select(F.col("vec_id").alias("neighbor_id"), "emb"), "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("emb_q"), F.col("emb")), 4).alias("sim"),
+        )
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
