@@ -22,6 +22,7 @@ they are validated in tests against the exact-Jaccard ground truth.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
@@ -1113,4 +1114,147 @@ def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         pick.cast("long").alias("keeper_id"),
         F.max("n_chars").cast("long").alias("keeper_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find every >= L-token span that occurs
+# more than once anywhere in the corpus, merge overlapping spans per
+# document, report the duplicated-token budget per doc.
+# ---------------------------------------------------------------------------
+
+#: minimum duplicated span length in tokens.  The paper uses 50 BPE
+#: tokens on web corpora; the fixture documents are short, so 8 keeps
+#: the operator observable while the machinery is length-agnostic.
+EXSUB_L = 8
+
+#: fraction quantized by floor (not round): the ratio is computed from
+#: the same integers on both engines, so its double bits are identical
+#: and floor always agrees — round() half-tie algorithms may not
+#: (docs/SCALE.md, verify-skill gotcha).
+_FLOOR4 = "floor({} * 10000) / 10000"
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+             d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+             w AS (
+                 SELECT doc_id, u.i - 1 AS pos,
+                        md5(array_to_string(toks[u.i:u.i + {EXSUB_L - 1}], ' ')) AS k
+                 FROM d, LATERAL (
+                     SELECT unnest(range(1, n_tokens - {EXSUB_L} + 2)) AS i) u
+             ),
+             dup AS (SELECT k FROM w GROUP BY k HAVING count(*) > 1),
+             hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (k)),
+             isl AS (
+                 SELECT doc_id, pos,
+                        CASE WHEN pos > coalesce(max(pos + {EXSUB_L}) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) THEN 1 ELSE 0 END AS brk
+                 FROM hits
+             ),
+             isl2 AS (SELECT doc_id, pos,
+                             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                      FROM isl),
+             spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {EXSUB_L} AS e
+                       FROM isl2 GROUP BY doc_id, island),
+             per_doc AS (SELECT doc_id,
+                                count(*) AS n_dup_spans,
+                                sum(least(e, (SELECT n_tokens FROM d dd
+                                              WHERE dd.doc_id = spans.doc_id)) - s)
+                                    AS n_dup_tokens
+                         FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+               {_FLOOR4.format(f"coalesce(p.n_dup_tokens, 0) / greatest(d.n_tokens, 1)")}
+                   AS dup_frac
+        FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("dedup", "substring", "exact-span"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication audit: every L-token
+    window that occurs >= 2 times anywhere in the corpus (cross-doc OR
+    within-doc) marks its positions; overlapping/adjacent marked windows
+    merge into maximal spans (gaps-and-islands over positions); the
+    output is (doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac)
+    for every document.  This is the Lee et al. exact-substring dedup
+    decision input — the trim/remove policy is a consumer's choice.
+
+    Spark-first shape (the paper uses a suffix array, which is
+    single-machine; the distributed equivalent is windowed hashing):
+
+    - rolling windows come straight off the token array
+      (``transform(sequence(...), i -> slice(toks, i, L))``) — no
+      explode-then-self-join, zero shuffle to materialize;
+    - duplicated keys: ONE hash aggregate with map-side partial count
+      (shuffle carries one row per distinct window key);
+    - marked positions: equi-join windows⋈dup-keys on the key;
+    - span merge + per-doc rollup share ONE doc_id partitioning (the
+      island window and the final groupBy reuse the same exchange).
+
+    The window key is md5 of the joined span text so DuckDB computes
+    bit-identical keys; at 100 TB swap md5 for xxhash64 (same shape,
+    cheaper) and raise L to the paper's 50.  ``dup_frac`` is quantized
+    by floor over bit-identical doubles, not round (half-tie algorithms
+    differ across engines).  Spans clip at n_tokens (the trailing
+    window extends to exactly the doc end).  Reference scope: the
+    reference repo has no dedup at all (SURVEY.md §2.7) — this extends
+    the north-star dedup ladder alongside minhash/simhash/winnowing."""
+    toks = _doc_tokens(spark, sf_dir)
+    n = F.size("toks")
+    seq = F.sequence(F.lit(1), n - (EXSUB_L - 1))
+    keys = F.when(
+        n >= EXSUB_L,
+        F.transform(
+            seq,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, EXSUB_L)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select("doc_id", n.cast("long").alias("n_tokens"), keys.alias("ks"))
+    w = base.select("doc_id", "n_tokens", F.posexplode("ks").alias("pos", "k"))
+
+    dup = w.groupBy("k").count().filter(F.col("count") > 1).select("k")
+    hits = w.join(dup, "k").select("doc_id", "n_tokens", "pos")
+
+    win = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + EXSUB_L).over(
+        win.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(win))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + EXSUB_L).alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.least(F.col("e"), F.col("n_tokens")) - F.col("s")).alias(
+            "n_dup_tokens"
+        ),
+    )
+    frac = F.floor(
+        F.coalesce("n_dup_tokens", F.lit(0))
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+        * 10000
+    ) / 10000
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            frac.alias("dup_frac"),
+        )
     )

@@ -163,6 +163,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: temperature_resample, token_rarity_scores (all oracled);
 #: near_dup_lsh_verified, bpe_token_stats, hll_daily_user_sketches,
 #: cms_heavy_hitters, quality_classifier (rows-only + pytest).
+#: Round-6 additions (new families, registered after the r6 window
+#: froze — first-priority r7 promotions): exact_substring_spans
+#: (Lee-et-al. exact-substring dedup, oracled + planted-corpus pytest).
 #: Registration discipline (VERDICT r5 item 4): new registrations only
 #: for genuinely new operator families, never more than the round's
 #: rotation capacity, until the backlog is < 20.

@@ -290,3 +290,44 @@ def test_winnowing_guarantee_shared_substring(spark, tmp_path):
         assert rows[i].fp_sum == sum(
             (pos + 1) * _WINNOW_ENC + h for pos, h in ref[i]
         ), i
+
+
+def test_exact_substring_spans_semantics(spark, tmp_path):
+    """Planted corpus pins the Lee-et-al. span semantics: a shared
+    >=L-token run is found in BOTH docs and overlapping windows merge
+    into ONE maximal span of exactly the shared length; unique text
+    reports zero; within-doc repetition counts without a second doc;
+    sub-L sharing is invisible."""
+    import os
+
+    from ssafynews_data_spark.operators.dedup import EXSUB_L, exact_substring_spans
+
+    shared = " ".join(f"tok{i}" for i in range(EXSUB_L + 4))  # L+4 tokens
+    rep = " ".join(f"rep{i}" for i in range(EXSUB_L))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta", "en", "s", 10),
+            (2, f"zeta {shared} eta theta iota", "en", "s", 10),
+            (3, "totally unique words only here never repeated anywhere at all ok", "en", "s", 10),
+            (4, f"{rep} filler0 filler1 filler2 {rep}", "en", "s", 10),
+            (5, "short shared run tok0 tok1 tok2 ends", "en", "s", 10),  # < L overlap
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in exact_substring_spans(spark, d).collect()}
+
+    # docs 1 and 2: one merged span of exactly len(shared) = L+4 tokens
+    for doc in (1, 2):
+        assert out[doc].n_dup_spans == 1, out[doc]
+        assert out[doc].n_dup_tokens == EXSUB_L + 4, out[doc]
+    # unique doc: clean
+    assert out[3].n_dup_spans == 0 and out[3].n_dup_tokens == 0
+    # within-doc repetition: two spans of exactly L each (separated by
+    # 3 filler tokens > 0, so they do NOT merge)
+    assert out[4].n_dup_spans == 2 and out[4].n_dup_tokens == 2 * EXSUB_L
+    # sub-L sharing with doc 1's tokens: invisible
+    assert out[5].n_dup_spans == 0
+    # frac sanity
+    assert abs(out[1].dup_frac - (EXSUB_L + 4) / out[1].n_tokens) < 1e-3
