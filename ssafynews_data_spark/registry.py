@@ -165,7 +165,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: cms_heavy_hitters, quality_classifier (rows-only + pytest).
 #: Round-6 additions (new families, registered after the r6 window
 #: froze — first-priority r7 promotions): exact_substring_spans
-#: (Lee-et-al. exact-substring dedup, oracled + planted-corpus pytest).
+#: (Lee-et-al. exact-substring dedup, oracled + planted-corpus pytest);
+#: pq_ann_recall_contract (oracled, same frame as the LSH/IVF
+#: contracts) + ann_pq_topk (rows-only; product-quantization ANN).
 #: Registration discipline (VERDICT r5 item 4): new registrations only
 #: for genuinely new operator families, never more than the round's
 #: rotation capacity, until the backlog is < 20.

@@ -157,3 +157,26 @@ def test_near_dup_lsh_verified_containment_and_recall(spark, sf_dir):
     for pair, sim in lsh.items():
         assert sim == exact[pair]
     assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-ANN (codes + ADC + exact re-rank) must keep the contract
+    floor's aggregate recall against exact top-k, and its output must
+    be well-formed per query (<= TOP_K rows, exact sims, rank order)."""
+    exact = _topk_sets(similarity.cosine_topk(spark, sf_dir))
+    rows = similarity.ann_pq_topk(spark, sf_dir).collect()
+    approx = {}
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert 1 <= r.rank <= similarity.TOP_K
+        assert r.neighbor_id != r.query_id
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= similarity.PQ_RECALL_MIN_PCT / 100, (hits, total)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= similarity.TOP_K
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
