@@ -1201,14 +1201,16 @@ def ann_pq_topk_frame(
     serve many — and pairs naturally with the IVF layout
     (``write_ivf_index``) for partition-pruned PQ scans."""
     corpus = pin(corpus)
-    books = _pq_codebooks(corpus, emb_col)
     qrows = sorted(
         corpus.filter(F.col(id_col) < N_QUERIES).select(id_col, emb_col).collect()
     )  # Q rows by contract (N_QUERIES=10) — a capped query-set fetch
     if not qrows:
+        # empty corpus / no queries: nothing to train or serve (KMeans
+        # cannot fit on zero rows — same guard as the ANN contracts)
         return spark.createDataFrame(
-            [], f"query_id long, neighbor_id long, sim double, rank int"
+            [], "query_id long, neighbor_id long, sim double, rank int"
         )
+    books = _pq_codebooks(corpus, emb_col)
     Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
     qids = [int(r[0]) for r in qrows]
     qnorm = np.sqrt((Q * Q).sum(1))
