@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssafynews_data_spark.operators.text import tokens_col
+from ssafynews_data_spark.operators.text import _DUCK_TOKENS, tokens_col
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -159,4 +159,80 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.sum("n_bpe") * 10000 / F.nullif(F.sum("n_ws"), F.lit(0))
         ).alias("subwords_per_word_q4"),
+    )
+
+
+@register(
+    "bpe_training_contract",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          {_DUCK_TOKENS} AS toks
+                   FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS ws_tokens,
+               CAST(coalesce(sum(list_sum(list_transform(toks, x -> length(x)))), 0)
+                    AS BIGINT) AS word_chars,
+               true AS bounds_ok,
+               true AS reconstruct_ok,
+               true AS merges_ok
+        FROM t
+    """,
+    tags=("tokens", "bpe", "contract"),
+)
+def bpe_training_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_token_stats`` held to driver-hashable guarantees (merge
+    learning is Python-side, so — the round-5/6 contract pattern —
+    exact cross-engine facts plus booleans Spark verifies and DuckDB
+    asserts as literals):
+
+    - ``n_docs`` / ``ws_tokens`` / ``word_chars``: both engines count
+      documents, whitespace tokens, and total word characters with the
+      shared tokenizer mirror, so the corpus the tokenizer trains on is
+      itself cross-engine verified.
+    - ``bounds_ok``: for every document, ws_tokens <= bpe_tokens <=
+      word_chars + ws_tokens (each word is at least one subword; a word
+      of length c splits into at most c symbols, the last carrying the
+      EOW marker) — the structural sandwich any correct BPE apply must
+      satisfy, checked per row, aggregated with bool_and.
+    - ``reconstruct_ok``: for EVERY distinct word in the training
+      histogram, concatenating its BPE tokens reproduces the original
+      symbol sequence exactly (driver-side over the vocabulary-sized
+      histogram — the same table merge learning already collects).
+    - ``merges_ok``: a non-empty corpus learned at least one merge and
+      never more than N_MERGES.
+
+    The merge list's exact values stay pinned by tests/test_bpe.py
+    against a reference implementation; this row certifies the
+    corpus-scale plumbing on the driver's own data."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = word_histogram(docs)
+    word_freqs = [(r.word, r.n) for r in hist.collect()]  # vocab-sized
+    merges = learn_bpe(word_freqs, N_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    reconstruct_ok = all(
+        "".join(bpe_encode(w, ranks)) == "".join(_symbols(w)) for w, _ in word_freqs
+    )
+    merges_ok = (not word_freqs or len(merges) >= 1) and len(merges) <= N_MERGES
+    bpe_count = make_bpe_udf(merges)
+
+    toks = tokens_col(F.col("text"))
+    per_doc = docs.select(
+        F.size(toks).alias("n_ws"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+        bpe_count(F.col("text")).alias("n_bpe"),
+    )
+    bounds = (F.col("n_bpe") >= F.col("n_ws")) & (
+        F.col("n_bpe") <= F.col("n_chars") + F.col("n_ws")
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_ws"), F.lit(0)).cast("long").alias("ws_tokens"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("word_chars"),
+        F.coalesce(F.bool_and(bounds), F.lit(True)).alias("bounds_ok"),
+        F.lit(reconstruct_ok).alias("reconstruct_ok"),
+        F.lit(merges_ok).alias("merges_ok"),
     )

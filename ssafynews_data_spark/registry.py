@@ -167,7 +167,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: froze — first-priority r7 promotions): exact_substring_spans
 #: (Lee-et-al. exact-substring dedup, oracled + planted-corpus pytest);
 #: pq_ann_recall_contract (oracled, same frame as the LSH/IVF
-#: contracts) + ann_pq_topk (rows-only; product-quantization ANN).
+#: contracts) + ann_pq_topk (rows-only; product-quantization ANN);
+#: bpe_training_contract (oracled twin retiring bpe_token_stats'
+#: rows-only status: corpus facts + bounds/reconstruction booleans).
 #: Registration discipline (VERDICT r5 item 4): new registrations only
 #: for genuinely new operator families, never more than the round's
 #: rotation capacity, until the backlog is < 20.

@@ -47,6 +47,9 @@ def session_builder(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # stage progress bars carriage-return over tool output (the
+        # check_oracles PASS lines become unreadable in merged logs)
+        .config("spark.ui.showConsoleProgress", "false")
         # Deterministic oracle comparisons + correct event-time semantics.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas boundaries (pandas_udf, toPandas).

@@ -63,6 +63,8 @@ def main() -> int:
             SparkSession.builder.appName("check_oracles_plain")
             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
             .config("spark.ui.enabled", "false")
+            # keep result lines readable: progress bars \r over stdout
+            .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
     else:
