@@ -306,3 +306,43 @@ def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """docs/SCALE.md's selective-join story made executable: with the
+    broadcast path disabled (the 100 TB fact-fact case), Spark's runtime
+    row-level filter must inject a bloom filter built from the SELECTIVE
+    dim side (urgent orders) as a `might_contain` predicate on the fact
+    scan — lineitem rows for non-urgent orders die at the scan instead
+    of riding the shuffle.  Thresholds lowered to fixture scale and
+    restored."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan  # built from the dim side
+        # ...and applied to the fact key before the join
+        assert "might_contain" in plan and "l_orderkey" in plan.split(
+            "might_contain"
+        )[1][:120]
+        assert j.count() == 1  # semantics unchanged
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
