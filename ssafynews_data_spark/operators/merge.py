@@ -225,3 +225,128 @@ def pit_join_scd2(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("effective_status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — the read side of CDC: given two snapshots of a table,
+# classify every key as added / removed / changed / unchanged.
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic "next snapshot" of orders, mirrored bit-for-
+#: bit in the DuckDB oracle: keys % 37 deleted, % 23 re-priced (+100.0,
+#: an exact double op), % 41 re-inserted under key + 100_000_000.
+_DIFF_DEL, _DIFF_UPD, _DIFF_INS, _DIFF_SHIFT = 37, 23, 41, 100_000_000
+
+
+def snapshot_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """(key, change_type) for two snapshots: ONE co-partitioned full
+    outer join on the key, then row-local classification over ``cols``.
+    At 100 TB both snapshots live bucketed by the key (the layout
+    ``test_bucketed_join_has_no_exchange`` proves shuffle-free), so the
+    diff is a zero-shuffle zip of co-located buckets plus a map — the
+    same shape change-data-capture engines materialize."""
+    # presence flags, NOT a data column: any compared column may be
+    # legitimately NULL on a present row (planted-pair pytest pins this)
+    an = a.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_a"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
+    )
+    bn = b.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_b"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    j = an.join(bn, "k", "full_outer")
+    differs = None
+    for c in cols:
+        d = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_a").isNull(), "added")
+        .when(F.col("_b").isNull(), "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("k", change.alias("change_type"),
+                    F.coalesce(f"a_{cols[0]}", f"b_{cols[0]}").alias("_any"))
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle=f"""
+        WITH a AS (SELECT * FROM orders),
+             b AS (
+                 SELECT o_orderkey, o_custkey, o_orderstatus,
+                        CASE WHEN o_orderkey % {_DIFF_UPD} = 0
+                             THEN o_totalprice + 100.0
+                             ELSE o_totalprice END AS o_totalprice,
+                        o_orderpriority
+                 FROM a WHERE o_orderkey % {_DIFF_DEL} <> 0
+                 UNION ALL
+                 SELECT o_orderkey + {_DIFF_SHIFT}, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderpriority
+                 FROM a WHERE o_orderkey % {_DIFF_INS} = 0
+             ),
+             j AS (
+                 SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+                        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                             WHEN b.o_orderkey IS NULL THEN 'removed'
+                             WHEN a.o_custkey <> b.o_custkey
+                               OR a.o_orderstatus <> b.o_orderstatus
+                               OR a.o_totalprice <> b.o_totalprice
+                               OR a.o_orderpriority <> b.o_orderpriority
+                             THEN 'changed' ELSE 'unchanged' END AS change_type,
+                        coalesce(a.o_custkey, b.o_custkey) AS ck
+                 FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+             )
+        SELECT change_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(k) AS BIGINT) AS min_key,
+               CAST(max(k) AS BIGINT) AS max_key,
+               CAST(count(DISTINCT ck) AS BIGINT) AS n_custkeys
+        FROM j GROUP BY change_type
+    """,
+    tags=("cdc", "diff", "join"),
+)
+def snapshot_diff_orders(spark, sf_dir: str) -> DataFrame:
+    """CDC read-side diff of two orders snapshots: per change type, the
+    row count, key range, and distinct-customer count.  Snapshot B is
+    derived deterministically from A (delete / re-price / re-insert by
+    key residues) with the IDENTICAL derivation in the DuckDB oracle,
+    so the full-outer-join classification itself — null-side handling,
+    field-wise change detection including the exact-double +100.0
+    update — is what the hash check certifies.  Complements the write
+    side (``merge_upsert_orders`` / ``merge_scd2_orders``): MERGE
+    applies a diff, this computes one.  Scale shape: one key-partitioned
+    full outer join (shuffle-free on bucketed snapshots) + a row-local
+    CASE + a 4-group aggregate."""
+    a = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    b = (
+        a.filter(key % _DIFF_DEL != 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(key % _DIFF_UPD == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    ).unionByName(
+        a.filter(key % _DIFF_INS == 0).select(
+            (key + _DIFF_SHIFT).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    d = snapshot_diff(a.select("o_orderkey", *cols), b, "o_orderkey", cols)
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        F.count_distinct("_any").alias("n_custkeys"),
+    )

@@ -169,7 +169,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: pq_ann_recall_contract (oracled, same frame as the LSH/IVF
 #: contracts) + ann_pq_topk (rows-only; product-quantization ANN);
 #: bpe_training_contract (oracled twin retiring bpe_token_stats'
-#: rows-only status: corpus facts + bounds/reconstruction booleans).
+#: rows-only status: corpus facts + bounds/reconstruction booleans);
+#: snapshot_diff_orders (CDC read-side diff: full-outer-join
+#: classification, oracled + planted-pair pytest).
 #: Registration discipline (VERDICT r5 item 4): new registrations only
 #: for genuinely new operator families, never more than the round's
 #: rotation capacity, until the backlog is < 20.

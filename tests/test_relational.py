@@ -70,3 +70,24 @@ def test_sequential_ids_dense(spark, sf_dir):
     rows = relational.sequential_ids(spark, sf_dir).collect()
     ids = sorted(r.news_id for r in rows)
     assert ids == list(range(1, len(rows) + 1))
+
+
+def test_snapshot_diff_classification(spark):
+    """snapshot_diff on a planted pair pins the four-way classification:
+    null-side rows are added/removed, any field delta (including one
+    that is NULL on one side) is changed, identical rows unchanged."""
+    from ssafynews_data_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 21.0), (4, "w", 40.0), (5, "n", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r.k: r.change_type
+        for r in snapshot_diff(a, b, "k", ["s", "v"]).collect()
+    }
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
