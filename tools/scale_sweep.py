@@ -83,9 +83,6 @@ SCALES = (
     ("S3", "/root/testdata/sf0.1", 10),
 )
 
-EMB_NOISE = 0.11  # |delta| ~ 0.6 on unit-norm dim-64 (module docstring)
-
-
 def _one_copy_docs(docs, copy: int):
     if copy == 0:
         text = F.col("text")
