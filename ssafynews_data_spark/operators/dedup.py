@@ -1201,7 +1201,10 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The window key is md5 of the joined span text so DuckDB computes
     bit-identical keys; at 100 TB swap md5 for xxhash64 (same shape,
-    cheaper) and raise L to the paper's 50.  ``dup_frac`` is quantized
+    cheaper), raise L to the paper's 50, and pre-split pathological
+    multi-megatoken documents into overlapping chunks (chunk length C,
+    overlap L-1 — window sets are identical by construction) so no
+    single row materializes a C-sized key array.  ``dup_frac`` is quantized
     by floor over bit-identical doubles, not round (half-tie algorithms
     differ across engines).  Spans clip at n_tokens (the trailing
     window extends to exactly the doc end).  Reference scope: the
