@@ -54,7 +54,9 @@ def test_headliner_scales_subquadratically(spark, sweep_dirs, qname):
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, d).count()
+            # force_full, not count(): see scale_sweep.force_full — a
+            # bare count lets Catalyst eliminate unique-key left joins
+            scale_sweep.force_full(fn(spark, d))
             runs.append(time.perf_counter() - t0)
             release_pins()
         return min(runs)

@@ -67,13 +67,15 @@ SWEEP_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sweep"
 )
 
-#: the five most expensive BENCH_r05 queries (VERDICT r5 plan audit).
+#: the five most expensive BENCH_r05 queries (VERDICT r5 plan audit)
+#: plus the round-6 corpus-scale addition (exact-substring spans).
 HEADLINERS = (
     "near_dup_lsh_verified",
     "bigram_lm_perplexity",
     "semantic_dedup",
     "minhash_lsh_pairs",
     "llm_corpus_pipeline",
+    "exact_substring_spans",
 )
 
 #: (name, source sf dir, replication factor)
@@ -118,6 +120,24 @@ def _one_copy_emb(emb, copy: int, dim: int = 64):
         out.alias("embedding"),
         "label",
     )
+
+
+def force_full(df) -> int:
+    """count + per-column checksums in ONE pass: a bare .count() on a
+    frame ending in a left join on a provably-unique key lets Catalyst
+    eliminate the join (and everything feeding it) — the
+    exact_substring sweep row read 0.5 s at 50k docs because the whole
+    dup-detection pipeline was optimized away.  Referencing every
+    output column defeats join elimination and column pruning without
+    a driver-side materialization.  Returns the row count."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.max(F.xxhash64(F.col(c).cast("string"))).alias(f"h{i}")
+            for i, c in enumerate(df.columns)
+        ],
+    ).collect()[0]
+    return row["n"]
 
 
 def build_scale(spark: SparkSession, out_dir: str, src_dir: str, copies: int) -> None:
@@ -165,7 +185,7 @@ def main() -> int:
     for sname, _, _ in SCALES:
         for q in HEADLINERS:
             t0 = time.perf_counter()
-            n = qs[q].fn(spark, dirs[sname]).count()
+            n = force_full(qs[q].fn(spark, dirs[sname]))
             dt = time.perf_counter() - t0
             release_pins()
             results[q][sname] = round(dt, 3)
@@ -179,6 +199,7 @@ def main() -> int:
         "bigram_lm_perplexity": "docs",
         "minhash_lsh_pairs": "docs",
         "llm_corpus_pipeline": "docs",
+        "exact_substring_spans": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
