@@ -1136,6 +1136,45 @@ EXSUB_L = 8
 _FLOOR4 = "floor({} * 10000) / 10000"
 
 
+def _exsub_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, toks, ks): the rolling L-token window keys off
+    the token array — ``transform(sequence(...), i -> md5(slice))``, no
+    explode-then-self-join, zero shuffle to materialize."""
+    toks = _doc_tokens(spark, sf_dir)
+    n = F.size("toks")
+    seq = F.sequence(F.lit(1), n - (EXSUB_L - 1))
+    keys = F.when(
+        n >= EXSUB_L,
+        F.transform(
+            seq,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, EXSUB_L)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id", n.cast("long").alias("n_tokens"), F.col("toks"), keys.alias("ks")
+    )
+
+
+def _exsub_merge_spans(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of marked window positions into maximal
+    spans: (doc_id, island, n_tokens, s, e).  ``hits`` must carry
+    (doc_id, n_tokens, pos); the island window and every downstream
+    doc_id groupBy reuse ONE doc_id exchange."""
+    win = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + EXSUB_L).over(
+        win.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(brk).over(win))
+    return isl.groupBy("doc_id", "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + EXSUB_L).alias("e"),
+    )
+
+
 @register(
     "exact_substring_spans",
     oracle=f"""
@@ -1210,35 +1249,13 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window extends to exactly the doc end).  Reference scope: the
     reference repo has no dedup at all (SURVEY.md §2.7) — this extends
     the north-star dedup ladder alongside minhash/simhash/winnowing."""
-    toks = _doc_tokens(spark, sf_dir)
-    n = F.size("toks")
-    seq = F.sequence(F.lit(1), n - (EXSUB_L - 1))
-    keys = F.when(
-        n >= EXSUB_L,
-        F.transform(
-            seq,
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), i, EXSUB_L)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = toks.select("doc_id", n.cast("long").alias("n_tokens"), keys.alias("ks"))
+    base = _exsub_base(spark, sf_dir).select("doc_id", "n_tokens", "ks")
     w = base.select("doc_id", "n_tokens", F.posexplode("ks").alias("pos", "k"))
 
     dup = w.groupBy("k").count().filter(F.col("count") > 1).select("k")
     hits = w.join(dup, "k").select("doc_id", "n_tokens", "pos")
 
-    win = W.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + EXSUB_L).over(
-        win.rowsBetween(W.unboundedPreceding, -1)
-    )
-    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
-    isl = hits.withColumn("island", F.sum(brk).over(win))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.min("pos").alias("s"),
-        (F.max("pos") + EXSUB_L).alias("e"),
-    )
+    spans = _exsub_merge_spans(hits)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.least(F.col("e"), F.col("n_tokens")) - F.col("s")).alias(
@@ -1259,5 +1276,150 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
             frac.alias("dup_frac"),
+        )
+    )
+
+
+#: packs (doc_id, pos) into one orderable long for the canonical-occurrence
+#: argmin: doc_id < 1e6 (fixture contract, same packing as
+#: canonical_doc_per_cluster) and pos < 1e9 per document.
+_EXSUB_PACK = 1_000_000_000
+
+
+@register(
+    "substring_span_removal",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+             d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+             w AS (
+                 SELECT doc_id, u.i - 1 AS pos,
+                        md5(array_to_string(toks[u.i:u.i + {EXSUB_L - 1}], ' ')) AS k
+                 FROM d, LATERAL (
+                     SELECT unnest(range(1, n_tokens - {EXSUB_L} + 2)) AS i) u
+             ),
+             dup AS (
+                 SELECT k,
+                        min(CAST(doc_id AS BIGINT) * {_EXSUB_PACK} + pos) AS canon
+                 FROM w GROUP BY k HAVING count(*) > 1
+             ),
+             hits AS (
+                 SELECT w.doc_id, w.pos FROM w JOIN dup USING (k)
+                 WHERE CAST(w.doc_id AS BIGINT) * {_EXSUB_PACK} + w.pos <> dup.canon
+             ),
+             isl AS (
+                 SELECT doc_id, pos,
+                        CASE WHEN pos > coalesce(max(pos + {EXSUB_L}) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) THEN 1 ELSE 0 END AS brk
+                 FROM hits
+             ),
+             isl2 AS (SELECT doc_id, pos,
+                             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                      FROM isl),
+             spans AS (
+                 SELECT s.doc_id, s.s,
+                        least(s.e, (SELECT n_tokens FROM d dd
+                                    WHERE dd.doc_id = s.doc_id)) AS e
+                 FROM (SELECT doc_id, min(pos) AS s, max(pos) + {EXSUB_L} AS e
+                       FROM isl2 GROUP BY doc_id, island) s
+             ),
+             posd AS (
+                 SELECT doc_id, u.i - 1 AS p, toks[u.i] AS tok
+                 FROM d, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) u
+             ),
+             kept AS (
+                 SELECT posd.doc_id, posd.p, posd.tok FROM posd
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                   WHERE s.doc_id = posd.doc_id
+                                     AND posd.p >= s.s AND posd.p < s.e)
+             ),
+             ka AS (SELECT doc_id, count(*) AS n_kept,
+                           md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+                    FROM kept GROUP BY doc_id),
+             rem AS (SELECT doc_id, sum(e - s) AS n_removed
+                     FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+               CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+               coalesce(ka.cleaned_md5, md5('')) AS cleaned_md5
+        FROM d LEFT JOIN rem USING (doc_id) LEFT JOIN ka USING (doc_id)
+    """,
+    tags=("dedup", "substring", "exact-span", "removal"),
+)
+def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al. exact-substring REMOVAL consumer (VERDICT r6 item
+    6): drop every merged duplicated span while keeping one canonical
+    occurrence of each duplicated window corpus-wide, and re-emit the
+    cleaned text.  Output per document: (doc_id, n_tokens,
+    n_removed_tokens, n_kept_tokens, cleaned_md5) where cleaned_md5
+    fingerprints the surviving tokens re-joined with single spaces.
+
+    Canonical occurrence = the corpus-wide first occurrence of the
+    window key in (doc_id, pos) order, chosen with ONE ``min`` over a
+    packed ``doc_id * 1e9 + pos`` long — deterministic, engine-agnostic,
+    and computed in the same hash aggregate that counts the key (no
+    second shuffle vs the audit form).  Only NON-canonical occurrences
+    mark removal positions; overlapping marks merge via the shared
+    gaps-and-islands helper, and the final token filter is row-local —
+    ``filter(toks, (tok, i) -> no span covers i)`` against the doc's own
+    collected span list (spans per doc are few and KB-sized; the join
+    back to the token table is an equi-join on doc_id).
+
+    Note the honest edge the paper shares: a canonical occurrence may
+    itself lose tokens when it overlaps a NON-canonical span of a
+    *different* duplicated window in the same document — removal is
+    span-level, not key-level.  At 100 TB the shape is unchanged from
+    ``exact_substring_spans`` (one extra min in the same aggregate, one
+    extra doc_id equi-join); the giant-document chunking strategy
+    documented there applies verbatim.  Reference scope: the reference
+    repo has no dedup (SURVEY.md §2.7); this completes audit → removal
+    for the north-star ladder."""
+    base = _exsub_base(spark, sf_dir)
+    w = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("ks").alias("pos", "k"),
+    ).withColumn(
+        "packed", F.col("doc_id").cast("long") * _EXSUB_PACK + F.col("pos")
+    )
+
+    dup = (
+        w.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.min("packed").alias("canon"))
+        .filter(F.col("cnt") > 1)
+        .select("k", "canon")
+    )
+    hits = (
+        w.join(dup, "k")
+        .filter(F.col("packed") != F.col("canon"))
+        .select("doc_id", "n_tokens", "pos")
+    )
+
+    spans = _exsub_merge_spans(hits).select(
+        "doc_id",
+        F.col("s").cast("long").alias("s"),
+        F.least(F.col("e"), F.col("n_tokens")).cast("long").alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sps"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    )
+
+    sps = F.coalesce("sps", F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    covered = lambda i: F.exists(  # noqa: E731 — row-local span lookup
+        sps, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    cleaned = F.filter("toks", lambda tok, i: ~covered(i.cast("long")))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("kept", cleaned)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed_tokens"),
+            F.size("kept").cast("long").alias("n_kept_tokens"),
+            F.md5(F.concat_ws(" ", F.col("kept")).cast("binary")).alias("cleaned_md5"),
         )
     )

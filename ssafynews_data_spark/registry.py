@@ -65,24 +65,22 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50).  Round 6 executes the
-#: backlog drain VERDICT r5 prescribed: keepers cut from 26 to 10
-#: multi-surface sentinels (each r5 driver-green, each anchoring a
-#: distinct surface: curation plan, streaming e2e sink, verified
-#: minhash chain, ML contract, TPC-H join, skew salt, stateful
-#: streaming, reporting plan, star-contraction CC, fused corpus
-#: pipeline), the other 40 slots ALL first-ever driver checks — 38
-#: promotions from the never-checked backlog (one-per-family first:
-#: TPC-H subqueries, corpus-LM quality, Z-order/DPP layout, timeseries
-#: trio, the streaming session-2 five, set-join + incremental index,
-#: the seven guarantee contracts, then join/analytics/profile misc) +
-#: the 2 new round-6 contract twins that retire the window's last
-#: rows-only rows (compression, mojibake; pagerank's twin
-#: ``pagerank_mass_contract`` is among the 38).
-#: Expected: 50/50 oracle rows, 40 first-ever driver checks,
-#: 0 rows-only, 0 FAIL.
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 7 executes the
+#: FINAL drain VERDICT r6 prescribed (item 1): keep the same 10
+#: multi-surface sentinels (each r5+r6 driver-green), fill the other
+#: 40 slots with first-ever driver checks — the round-6 post-window
+#: families first (exact-substring span dedup + its new round-7
+#: removal consumer, PQ-ANN contract + top-k, BPE training contract,
+#: CDC snapshot diff), then every remaining oracled never-checked
+#: query (31), then 3 of the rows-only backlog (contract twins all
+#: driver-green r6).  ``quality_classifier`` and ``cms_heavy_hitters``
+#: (both rows-only; twins ``quality_classifier_contract`` /
+#: ``cms_heavy_hitters_contract`` pass r6) yield their slots to the
+#: new ``substring_span_removal`` registration and stay the only two
+#: backlog entries.  Expected: 46 hash-PASS + 4 rows-only / 50, 40
+#: first-ever driver checks, backlog after window = 2, 0 FAIL.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # --- keepers: 10 multi-surface sentinels, all r5 driver-green ---
+    # --- keepers: 10 multi-surface sentinels, all r5+r6 driver-green ---
     "curate_corpus",
     "streaming_file_sink_e2e",
     "minhash_verified_pairs",
@@ -93,88 +91,64 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- TPC-H subquery family (EXISTS / NOT IN / scalar / disjunctive) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_parts_supplier_count",
-    "q19_disjunctive_revenue",
-    "q22_sales_opportunity",
-    # --- corpus-LM quality family (CCNet-style) ---
-    "bigram_lm_perplexity",
-    "unigram_kl_source_divergence",
-    "zipf_fit_stats",
-    "k_anonymity_profile",
-    # --- layout: Z-order file skipping + dynamic partition pruning ---
-    "zorder_box_query",
-    "dpp_top_days_report",
-    # --- timeseries trio (gap-fill, recursive-CTE form, LOCF) ---
-    "timeseries_gapfill",
-    "timeseries_gapfill_recursive",
-    "timeseries_locf",
-    # --- streaming session-2 five (VERDICT r5 item 6) ---
-    "streaming_union_dedup",
-    "streaming_sliding_counts",
-    "streaming_state_inspection",
-    "streaming_outer_interval_join",
-    "streaming_sketch_maintenance",
-    # --- set-similarity join + persisted MinHash delta index ---
-    "prefix_filter_jaccard_pairs",
-    "minhash_incremental_index",
-    # --- guarantee contracts (each certifies an in-window or benched
-    #     subject: pagerank mass conservation, LSH containment+recall,
-    #     HLL/CMS/quantile sketch bounds, sampling strata, classifier) ---
-    "pagerank_mass_contract",
-    "near_dup_containment_contract",
-    "hll_intersection_contract",
-    "cms_heavy_hitters_contract",
-    "approx_quantile_contract",
-    "stratified_sample_contract",
-    "quality_classifier_contract",
-    # --- join / product-analytics / profile misc (one per family) ---
-    "pit_join_scd2",
-    "funnel_conversion_ordered",
-    "retention_cohorts",
-    "events_column_profile",
-    "federated_formats_join",
-    "canonical_doc_per_cluster",
-    # --- new round-6 contract twins: retire the last rows-only rows ---
-    "compression_quality_contract",
-    "mojibake_repair_contract",
+    # --- round-6 post-window families (VERDICT r6 item 1, first) ---
+    "exact_substring_spans",
+    "substring_span_removal",  # new r7: the Lee-et-al. removal consumer
+    "pq_ann_recall_contract",
+    "ann_pq_topk",
+    "bpe_training_contract",
+    "snapshot_diff_orders",
+    # --- remaining oracled never-checked (one sweep, whole families) ---
+    "script_mix_stats",
+    "semantic_decontaminate",
+    "multisignal_curation",
+    "dedup_graph_stats",
+    "backfill_day_partition",
+    "compact_small_files",
+    "rollup_maintenance",
+    "ansi_safe_math",
+    "value_correlations",
+    "central_tendency_stats",
+    "boolean_aggregates_profile",
+    "keyword_string_agg",
+    "observed_write_audit",
+    "epoch_shuffle_layout",
+    "length_bucket_stats",
+    "uniform_sample_fixed_n",
+    "weighted_sample_docs",
+    "bucket_skew_audit",
+    "pipe_syntax_revenue",
+    "parameterized_sql_band",
+    "udtf_dynamic_topk_tokens",
+    "collated_lang_counts",
+    "xml_roundtrip_events",
+    "identifier_clause_counts",
+    "orc_roundtrip_stats",
+    "daily_count_anomalies",
+    "cusum_drift_scores",
+    "arrow_byte_stats",
+    "streaming_static_enrich",
+    "temperature_resample",
+    "token_rarity_scores",
+    # --- rows-only three (weaker rows check; each guarantee lives in a
+    #     driver-green contract twin + pytest): near_dup/bpe/hll ---
+    "near_dup_lsh_verified",
+    "bpe_token_stats",
+    "hll_daily_user_sketches",
 )
 
-#: ROUND-7 ROTATION PLAN: after round 6's 40-promotion drain the
-#: never-driver-checked backlog is ~34 (down from 74).  Keep the same
-#: zero-sum recipe: hold the 10 sentinels, fill the other 40 slots from
-#: the remainder, preferring oracle-bearing and one-per-family:
-#: script_mix_stats, semantic_decontaminate, multisignal_curation,
-#: dedup_graph_stats, backfill_day_partition, compact_small_files,
-#: rollup_maintenance, ansi_safe_math, value_correlations,
-#: central_tendency_stats, boolean_aggregates_profile,
-#: keyword_string_agg, observed_write_audit, epoch_shuffle_layout,
-#: length_bucket_stats, uniform_sample_fixed_n, weighted_sample_docs,
-#: bucket_skew_audit, pipe_syntax_revenue, parameterized_sql_band,
-#: udtf_dynamic_topk_tokens, collated_lang_counts, xml_roundtrip_events,
-#: identifier_clause_counts, orc_roundtrip_stats, daily_count_anomalies,
-#: cusum_drift_scores, arrow_byte_stats, streaming_static_enrich,
-#: temperature_resample, token_rarity_scores (all oracled);
-#: near_dup_lsh_verified, bpe_token_stats, hll_daily_user_sketches,
-#: cms_heavy_hitters, quality_classifier (rows-only + pytest).
-#: Round-6 additions (new families, registered after the r6 window
-#: froze — first-priority r7 promotions): exact_substring_spans
-#: (Lee-et-al. exact-substring dedup, oracled + planted-corpus pytest);
-#: pq_ann_recall_contract (oracled, same frame as the LSH/IVF
-#: contracts) + ann_pq_topk (rows-only; product-quantization ANN);
-#: bpe_training_contract (oracled twin retiring bpe_token_stats'
-#: rows-only status: corpus facts + bounds/reconstruction booleans);
-#: snapshot_diff_orders (CDC read-side diff: full-outer-join
-#: classification, oracled + planted-pair pytest).
-#: Registration discipline (VERDICT r5 item 4): new registrations only
-#: for genuinely new operator families, never more than the round's
-#: rotation capacity, until the backlog is < 20.
+#: POST-ROUND-7 STATE: the drain is complete.  After this window lands,
+#: the never-driver-checked backlog is exactly two rows-only queries —
+#: quality_classifier and cms_heavy_hitters — whose guarantees are
+#: certified by driver-green oracle-bearing contract twins
+#: (quality_classifier_contract, cms_heavy_hitters_contract, both pass
+#: r6) plus pytest.  Round-8+ recipe: hold the 10 sentinels, and use
+#: the 40 free slots to (a) give first rows to any round-7+ new
+#: registrations, (b) re-certify high-value surfaces on rotation so no
+#: family's last driver row goes stale for >3 rounds.
+#: Registration discipline (VERDICT r5 item 4, renewed r6 item 4): new
+#: registrations only for genuinely new operator families, never more
+#: than the round's rotation capacity.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
@@ -315,6 +289,50 @@ DEMOTE_LAST: tuple[str, ...] = (
     "media_decode_contract",
     "bucketed_join_revenue",
     "winnow_fingerprints",
+    # round-7 rotation OUT: r6 driver-green (history stands); demoting
+    # keeps the mid region — first overflow if the window ever widens —
+    # reserved for never-checked queries (after r7: only the two
+    # rows-only twins-covered stragglers).
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_parts_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "bigram_lm_perplexity",
+    "unigram_kl_source_divergence",
+    "zipf_fit_stats",
+    "k_anonymity_profile",
+    "zorder_box_query",
+    "dpp_top_days_report",
+    "timeseries_gapfill",
+    "timeseries_gapfill_recursive",
+    "timeseries_locf",
+    "streaming_union_dedup",
+    "streaming_sliding_counts",
+    "streaming_state_inspection",
+    "streaming_outer_interval_join",
+    "streaming_sketch_maintenance",
+    "prefix_filter_jaccard_pairs",
+    "minhash_incremental_index",
+    "pagerank_mass_contract",
+    "near_dup_containment_contract",
+    "hll_intersection_contract",
+    "cms_heavy_hitters_contract",
+    "approx_quantile_contract",
+    "stratified_sample_contract",
+    "quality_classifier_contract",
+    "pit_join_scd2",
+    "funnel_conversion_ordered",
+    "retention_cohorts",
+    "events_column_profile",
+    "federated_formats_join",
+    "canonical_doc_per_cluster",
+    "compression_quality_contract",
+    "mojibake_repair_contract",
 )
 
 

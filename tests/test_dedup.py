@@ -331,3 +331,52 @@ def test_exact_substring_spans_semantics(spark, tmp_path):
     assert out[5].n_dup_spans == 0
     # frac sanity
     assert abs(out[1].dup_frac - (EXSUB_L + 4) / out[1].n_tokens) < 1e-3
+
+
+def test_substring_span_removal_semantics(spark, tmp_path):
+    """The removal consumer keeps ONE canonical occurrence corpus-wide:
+    with the same planted corpus, doc 1 (first in (doc_id, pos) order)
+    keeps the shared run intact while doc 2 loses exactly it; the
+    within-doc repeat keeps its first occurrence and drops the second;
+    clean docs pass through byte-identical."""
+    import hashlib
+    import os
+
+    from ssafynews_data_spark.operators.dedup import EXSUB_L, substring_span_removal
+
+    shared = " ".join(f"tok{i}" for i in range(EXSUB_L + 4))  # L+4 tokens
+    rep = " ".join(f"rep{i}" for i in range(EXSUB_L))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta", "en", "s", 10),
+            (2, f"zeta {shared} eta theta iota", "en", "s", 10),
+            (3, "totally unique words only here never repeated anywhere at all ok", "en", "s", 10),
+            (4, f"{rep} filler0 filler1 filler2 {rep}", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in substring_span_removal(spark, d).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 is canonical for every shared window: untouched
+    assert out[1].n_removed_tokens == 0
+    assert out[1].n_kept_tokens == out[1].n_tokens == EXSUB_L + 8
+    assert out[1].cleaned_md5 == md5(f"alpha beta {shared} gamma delta")
+    # doc 2 loses exactly the shared run, surrounding text survives
+    assert out[2].n_removed_tokens == EXSUB_L + 4
+    assert out[2].n_kept_tokens == 4
+    assert out[2].cleaned_md5 == md5("zeta eta theta iota")
+    # clean doc: byte-identical pass-through
+    assert out[3].n_removed_tokens == 0
+    assert out[3].cleaned_md5 == md5(
+        "totally unique words only here never repeated anywhere at all ok"
+    )
+    # within-doc repeat: first occurrence canonical, second removed
+    assert out[4].n_removed_tokens == EXSUB_L
+    assert out[4].n_kept_tokens == EXSUB_L + 3
+    assert out[4].cleaned_md5 == md5(f"{rep} filler0 filler1 filler2")
+    # conservation: kept + removed == total, every doc
+    for r in out.values():
+        assert r.n_kept_tokens + r.n_removed_tokens == r.n_tokens, r
