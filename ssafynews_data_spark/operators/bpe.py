@@ -212,7 +212,11 @@ def bpe_training_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruct_ok = all(
         "".join(bpe_encode(w, ranks)) == "".join(_symbols(w)) for w, _ in word_freqs
     )
-    merges_ok = (not word_freqs or len(merges) >= 1) and len(merges) <= N_MERGES
+    # a merge is mandatory only if some word has an adjacent symbol pair
+    # to merge — a corpus of single-character words legitimately learns
+    # zero merges (ADVICE r6), so the >=1 requirement gates on that
+    has_pair = any(len(_symbols(w)) > 1 for w, _ in word_freqs)
+    merges_ok = (not has_pair or len(merges) >= 1) and len(merges) <= N_MERGES
     bpe_count = make_bpe_udf(merges)
 
     toks = tokens_col(F.col("text"))

@@ -238,13 +238,27 @@ def pit_join_scd2(spark, sf_dir: str) -> DataFrame:
 _DIFF_DEL, _DIFF_UPD, _DIFF_INS, _DIFF_SHIFT = 37, 23, 41, 100_000_000
 
 
-def snapshot_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> DataFrame:
-    """(key, change_type) for two snapshots: ONE co-partitioned full
-    outer join on the key, then row-local classification over ``cols``.
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    cols: list[str],
+    carry: str | None = None,
+) -> DataFrame:
+    """(k, change_type, _any) for two snapshots: ONE co-partitioned full
+    outer join on the key, then row-local classification over ``cols``
+    (must be non-empty — with no compared columns there is no "changed"
+    definition).  ``_any`` carries ``coalesce(a.carry, b.carry)`` for
+    downstream aggregation; ``carry`` defaults to ``cols[0]``.
     At 100 TB both snapshots live bucketed by the key (the layout
     ``test_bucketed_join_has_no_exchange`` proves shuffle-free), so the
     diff is a zero-shuffle zip of co-located buckets plus a map — the
     same shape change-data-capture engines materialize."""
+    if not cols:
+        raise ValueError("snapshot_diff needs at least one compared column")
+    carry = carry or cols[0]
+    if carry not in cols:
+        raise ValueError(f"carry column {carry!r} must be one of cols")
     # presence flags, NOT a data column: any compared column may be
     # legitimately NULL on a present row (planted-pair pytest pins this)
     an = a.select(
@@ -269,7 +283,7 @@ def snapshot_diff(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> Data
         .otherwise("unchanged")
     )
     return j.select("k", change.alias("change_type"),
-                    F.coalesce(f"a_{cols[0]}", f"b_{cols[0]}").alias("_any"))
+                    F.coalesce(f"a_{carry}", f"b_{carry}").alias("_any"))
 
 
 @register(
@@ -343,7 +357,9 @@ def snapshot_diff_orders(spark, sf_dir: str) -> DataFrame:
         )
     )
     cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    d = snapshot_diff(a.select("o_orderkey", *cols), b, "o_orderkey", cols)
+    d = snapshot_diff(
+        a.select("o_orderkey", *cols), b, "o_orderkey", cols, carry="o_custkey"
+    )
     return d.groupBy("change_type").agg(
         F.count("*").alias("n"),
         F.min("k").cast("long").alias("min_key"),

@@ -59,6 +59,26 @@ def test_bpe_token_stats_accounting(spark, sf_dir):
         assert r.subwords_per_word_q4 == r.bpe_tokens * 10000 // r.ws_tokens
 
 
+def test_training_contract_degenerate_single_char_corpus(spark, tmp_path):
+    """A corpus whose words are all single characters has no adjacent
+    symbol pair, so zero learned merges is CORRECT behavior — the
+    contract's merges_ok must hold, not fail (ADVICE r6)."""
+    import os
+
+    from ssafynews_data_spark.operators.bpe import bpe_training_contract
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "s", 7), (2, "e f g", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    row = bpe_training_contract(spark, d).collect()[0]
+    assert row.merges_ok, row
+    assert row.bounds_ok and row.reconstruct_ok
+    assert row.ws_tokens == 7 and row.word_chars == 7
+
+
 def test_bpe_lossless_property():
     """Property: for ANY word, the concatenation of its BPE segments
     reconstructs word+EOW exactly (merges never lose or invent chars)."""

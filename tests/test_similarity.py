@@ -58,6 +58,20 @@ def test_near_dup_guard_rejects_large_corpus(spark, sf_dir, monkeypatch):
         similarity.embedding_near_dup(spark, sf_dir)
 
 
+def test_router_never_exceeds_exact_hard_cap(spark, sf_dir, monkeypatch):
+    """The ONE shared cap (VERDICT r6 item 5): even a caller demanding
+    the exact branch (exact_limit=maxint) is clamped to
+    EXACT_NEAR_DUP_MAX_ROWS — above it the router must take the SRP-LSH
+    plan (band posexplode + equi-join), never the quadratic
+    nested-loop self-join."""
+    corpus = similarity._corpus(spark, sf_dir)
+    assert similarity.EXACT_NEAR_DUP_ROUTE_ROWS <= similarity.EXACT_NEAR_DUP_MAX_ROWS
+    monkeypatch.setattr(similarity, "EXACT_NEAR_DUP_MAX_ROWS", 10)
+    routed = similarity.near_dup_auto(corpus, exact_limit=2_000_000_000)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
     """A kept vector may not have a smaller-id kept neighbor >= eps in
     its own cluster; every dropped vector must have SOME smaller-id

@@ -68,7 +68,12 @@ SWEEP_ROOT = os.path.join(
 )
 
 #: the five most expensive BENCH_r05 queries (VERDICT r5 plan audit)
-#: plus the round-6 corpus-scale addition (exact-substring spans).
+#: plus the round-6 corpus-scale addition (exact-substring spans) and,
+#: round 7, the PQ serving path — its codebook fit is sample-bounded
+#: (flat in corpus size by construction), so this row guards that the
+#: remaining cost (encode UDF + ADC scoring + re-rank) stays ~linear
+#: and a future regression to corpus-sized fitting (or a quadratic
+#: ADC) is caught the way the BRP-LSH blow-up was.
 HEADLINERS = (
     "near_dup_lsh_verified",
     "bigram_lm_perplexity",
@@ -76,6 +81,7 @@ HEADLINERS = (
     "minhash_lsh_pairs",
     "llm_corpus_pipeline",
     "exact_substring_spans",
+    "ann_pq_topk",
 )
 
 #: (name, source sf dir, replication factor)
@@ -200,6 +206,7 @@ def main() -> int:
         "minhash_lsh_pairs": "docs",
         "llm_corpus_pipeline": "docs",
         "exact_substring_spans": "docs",
+        "ann_pq_topk": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
