@@ -138,14 +138,15 @@ PRIORITY_FIRST: tuple[str, ...] = (
 )
 
 #: POST-ROUND-7 STATE: the drain is complete.  After this window lands,
-#: the never-driver-checked backlog is exactly two rows-only queries —
-#: quality_classifier and cms_heavy_hitters — whose guarantees are
-#: certified by driver-green oracle-bearing contract twins
-#: (quality_classifier_contract, cms_heavy_hitters_contract, both pass
-#: r6) plus pytest.  Round-8+ recipe: hold the 10 sentinels, and use
-#: the 40 free slots to (a) give first rows to any round-7+ new
-#: registrations, (b) re-certify high-value surfaces on rotation so no
-#: family's last driver row goes stale for >3 rounds.
+#: the never-driver-checked backlog is two legacy rows-only queries —
+#: quality_classifier and cms_heavy_hitters, guarantees certified by
+#: driver-green oracle-bearing contract twins (pass r6) plus pytest —
+#: and the round-7 post-window registrations (ivfpq_index_topk
+#: rows-only + ivfpq_recall_contract oracled: the faiss-style composite
+#: index, first-priority r8 promotions).  Round-8+ recipe: hold the 10
+#: sentinels, and use the 40 free slots to (a) give first rows to any
+#: round-7+ new registrations, (b) re-certify high-value surfaces on
+#: rotation so no family's last driver row goes stale for >3 rounds.
 #: Registration discipline (VERDICT r5 item 4, renewed r6 item 4): new
 #: registrations only for genuinely new operator families, never more
 #: than the round's rotation capacity.

@@ -72,6 +72,40 @@ def test_router_never_exceeds_exact_hard_cap(spark, sf_dir, monkeypatch):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_ivfpq_recall_and_pruned_read(spark, sf_dir, tmp_path):
+    """IVF-PQ composite: recall@k vs exact must clear the contract
+    floor, the codes index must be centroid-partitioned with ONLY
+    (vec_id, codes) payload (PQ_M small ints, not vectors), and the
+    probe read must reach the scan as PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    corpus = similarity._corpus(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    out = similarity.ivfpq_topk_frame(spark, corpus, path)
+    approx = _topk_sets(out)
+    exact = _topk_sets(similarity.cosine_topk(spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits * 100 >= total * similarity.IVFPQ_RECALL_MIN_PCT, (hits, total)
+
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"vec_id", "codes", "centroid"}
+    row = back.first()
+    assert len(row.codes) == similarity.PQ_M
+    assert all(0 <= c < similarity.PQ_K for c in row.codes)
+    probe = back.filter(F.col("centroid").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "centroid" in pf  # pruning predicate reached the scan
+
+
+def test_ivfpq_contract_row(spark, sf_dir):
+    r = similarity.ivfpq_recall_contract(spark, sf_dir).collect()[0]
+    assert r.recall_ok
+    assert r.n_queries == similarity.N_QUERIES
+    assert r.n_exact_rows == similarity.N_QUERIES * similarity.TOP_K
+
+
 def test_semantic_dedup_keepers_have_no_smaller_dup_in_cluster(spark, sf_dir):
     """A kept vector may not have a smaller-id kept neighbor >= eps in
     its own cluster; every dropped vector must have SOME smaller-id
