@@ -72,13 +72,14 @@ def register(
 #: families first (exact-substring span dedup + its new round-7
 #: removal consumer, PQ-ANN contract + top-k, BPE training contract,
 #: CDC snapshot diff), then every remaining oracled never-checked
-#: query (31), then 3 of the rows-only backlog (contract twins all
-#: driver-green r6).  ``quality_classifier`` and ``cms_heavy_hitters``
-#: (both rows-only; twins ``quality_classifier_contract`` /
-#: ``cms_heavy_hitters_contract`` pass r6) yield their slots to the
-#: new ``substring_span_removal`` registration and stay the only two
-#: backlog entries.  Expected: 46 hash-PASS + 4 rows-only / 50, 40
-#: first-ever driver checks, backlog after window = 2, 0 FAIL.
+#: query (31), then the three hardest shapes of round 7's TPC-H
+#: completion (q21 double-EXISTS, q17 correlated scalar, q20 nested
+#: semi — all oracled).  The rows-only backlog (quality_classifier,
+#: cms_heavy_hitters, near_dup_lsh_verified, bpe_token_stats,
+#: hll_daily_user_sketches) yields its slots entirely: every one of
+#: those guarantees lives in a driver-green oracle-bearing contract
+#: twin plus pytest.  Expected: 49 hash-PASS + 1 rows-only
+#: (ann_pq_topk) / 50, 40 first-ever driver checks, 0 FAIL.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: 10 multi-surface sentinels, all r5+r6 driver-green ---
     "curate_corpus",
@@ -130,23 +131,28 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "streaming_static_enrich",
     "temperature_resample",
     "token_rarity_scores",
-    # --- rows-only three (weaker rows check; each guarantee lives in a
-    #     driver-green contract twin + pytest): near_dup/bpe/hll ---
-    "near_dup_lsh_verified",
-    "bpe_token_stats",
-    "hll_daily_user_sketches",
+    # --- TPC-H completion (round 7, part 5): the three hardest new
+    #     decorrelation shapes take the last slots — oracled, replacing
+    #     three rows-only candidates whose guarantees already have
+    #     driver-green contract twins (near_dup_containment_contract,
+    #     bpe_training_contract in this window, hll_intersection r6) ---
+    "q21_waiting_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
 )
 
 #: POST-ROUND-7 STATE: the drain is complete.  After this window lands,
-#: the never-driver-checked backlog is two legacy rows-only queries —
-#: quality_classifier and cms_heavy_hitters, guarantees certified by
-#: driver-green oracle-bearing contract twins (pass r6) plus pytest —
-#: and the round-7 post-window registrations (ivfpq_index_topk
-#: rows-only + ivfpq_recall_contract oracled: the faiss-style composite
-#: index, first-priority r8 promotions).  Round-8+ recipe: hold the 10
-#: sentinels, and use the 40 free slots to (a) give first rows to any
-#: round-7+ new registrations, (b) re-certify high-value surfaces on
-#: rotation so no family's last driver row goes stale for >3 rounds.
+#: the never-driver-checked backlog is (a) five rows-only queries
+#: (quality_classifier, cms_heavy_hitters, near_dup_lsh_verified,
+#: bpe_token_stats, hll_daily_user_sketches) whose guarantees are all
+#: certified by driver-green oracle-bearing contract twins plus pytest,
+#: and (b) the round-7 post-window registrations, all local-oracle
+#: green: ivfpq_index_topk (rows-only) + ivfpq_recall_contract
+#: (oracled) and the five easier TPC-H completions (q6, q9, q11, q12,
+#: q15 — oracled; the three hardest, q17/q20/q21, are in THIS window).
+#: Round-8 recipe: hold the 10 sentinels; promote (b) first, then (a),
+#: then re-certify high-value surfaces on rotation so no family's last
+#: driver row goes stale for >3 rounds.
 #: Registration discipline (VERDICT r5 item 4, renewed r6 item 4): new
 #: registrations only for genuinely new operator families, never more
 #: than the round's rotation capacity.
