@@ -198,8 +198,9 @@ def bpe_training_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
       histogram, concatenating its BPE tokens reproduces the original
       symbol sequence exactly (driver-side over the vocabulary-sized
       histogram — the same table merge learning already collects).
-    - ``merges_ok``: a non-empty corpus learned at least one merge and
-      never more than N_MERGES.
+    - ``merges_ok``: never more than N_MERGES merges, and at least one
+      whenever some word has an adjacent symbol pair to merge (a corpus
+      of single-character words legitimately learns zero).
 
     The merge list's exact values stay pinned by tests/test_bpe.py
     against a reference implementation; this row certifies the

@@ -1280,6 +1280,56 @@ def _adc_dot_norm2(books: list, Q: "np.ndarray") -> tuple[Column, Column]:
     return dots, norm2
 
 
+def _adc_explode(
+    df: DataFrame, books: list, Q: "np.ndarray", qids: list, qnorm: "np.ndarray"
+) -> DataFrame:
+    """Explode a coded frame (``neighbor_id``, ``codes``, any carry
+    columns) into per-(query, neighbor) ADC cosine rows: (query_id,
+    <carry>, adc_sim), self-pairs dropped.  Shared by the flat PQ path
+    and IVF-PQ so the ADC normalization/tiebreak lives in ONE place."""
+    dots, norm2 = _adc_dot_norm2(books, Q)
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
+    carry = [c for c in df.columns if c != "codes"]
+    return (
+        df.select(
+            *carry,
+            F.posexplode(
+                F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
+            ).alias("qpos", "adc_sim"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+            *carry,
+            "adc_sim",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+
+def _adc_candidate_cut(scored: DataFrame) -> DataFrame:
+    """Keep the PQ_RERANK best ADC rows per query (deterministic
+    neighbor_id tiebreak)."""
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
+    return scored.withColumn("r0", F.row_number().over(w)).filter(
+        F.col("r0") <= PQ_RERANK
+    )
+
+
+def _exact_rerank_topk(cand: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a candidate frame carrying (query_id,
+    neighbor_id, emb_q, emb_n) down to TOP_K."""
+    rer = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("emb_q"), F.col("emb_n")), 4).alias("sim"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return rer.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
 def ann_pq_topk_frame(
     spark: SparkSession, corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "emb"
 ) -> DataFrame:
@@ -1312,38 +1362,16 @@ def ann_pq_topk_frame(
     qids = [int(r[0]) for r in qrows]
     qnorm = np.sqrt((Q * Q).sum(1))
 
-    coded = corpus.select(id_col, emb_col, _pq_encode(books)(F.col(emb_col)).alias("codes"))
-    dots, norm2 = _adc_dot_norm2(books, Q)
-    qid_arr = F.array(*[F.lit(q) for q in qids])
-    qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
-    scored = coded.select(
+    coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("emb_n"),
-        F.posexplode(
-            F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
-        ).alias("qpos", "adc_sim"),
-    ).select(
-        F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
-        "neighbor_id",
-        "emb_n",
-        "adc_sim",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
-    cand = scored.withColumn("r0", F.row_number().over(w)).filter(
-        F.col("r0") <= PQ_RERANK
+        _pq_encode(books)(F.col(emb_col)).alias("codes"),
     )
+    cand = _adc_candidate_cut(_adc_explode(coded, books, Q, qids, qnorm))
     q_emb = corpus.filter(F.col(id_col) < N_QUERIES).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_q")
     )
-    rer = cand.join(F.broadcast(q_emb), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("emb_q"), F.col("emb_n")), 4).alias("sim"),
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return rer.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return _exact_rerank_topk(cand.join(F.broadcast(q_emb), "query_id"))
 
 
 @register("ann_pq_topk", tags=("similarity", "pq"))
@@ -1453,54 +1481,26 @@ def ivfpq_topk_frame(spark: SparkSession, corpus: DataFrame, path: str) -> DataF
     pruned = spark.read.parquet(path).filter(F.col("centroid").isin(cells))
 
     # -- ADC over the pruned codes, restricted per query to ITS cells --
-    dots, norm2 = _adc_dot_norm2(books, Q)
-    qid_arr = F.array(*[F.lit(q) for q in qids])
-    qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
     allow = F.map_from_arrays(
         F.array(*[F.lit(q) for q in qids]),
         F.array(*[F.array(*[F.lit(c) for c in probes[q]]) for q in qids]),
     )
-    scored = (
-        pruned.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("centroid"),
-            F.posexplode(
-                F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
-            ).alias("qpos", "adc_sim"),
-        )
-        .select(
-            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
-            "neighbor_id",
-            "centroid",
-            "adc_sim",
-        )
-        .filter(F.array_contains(F.element_at(allow, F.col("query_id")), F.col("centroid")))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    coded_read = pruned.select(
+        F.col("vec_id").alias("neighbor_id"), "centroid", "codes"
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), "neighbor_id")
-    cand = (
-        scored.withColumn("r0", F.row_number().over(w))
-        .filter(F.col("r0") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
+    scored = _adc_explode(coded_read, books, Q, qids, qnorm).filter(
+        F.array_contains(F.element_at(allow, F.col("query_id")), F.col("centroid"))
     )
+    cand = _adc_candidate_cut(scored).select("query_id", "neighbor_id")
 
     # -- refine: exact re-rank against the flat store -------------------
     flat = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("emb_n"))
     q_emb = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_q")
     )
-    rer = (
+    return _exact_rerank_topk(
         flat.join(F.broadcast(cand), "neighbor_id")  # candidates are Q×RERANK rows
         .join(F.broadcast(q_emb), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("emb_q"), F.col("emb_n")), 4).alias("sim"),
-        )
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return rer.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= TOP_K
     )
 
 

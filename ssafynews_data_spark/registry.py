@@ -172,12 +172,12 @@ DEMOTE_LAST: tuple[str, ...] = (
     "media_decode_features",
     "hll_daily_user_sketches",
     # round-2 session-4 additions: same zero-sum window policy
+    # (arrow_byte_stats / streaming_static_enrich / temperature_resample
+    # / token_rarity_scores moved UP into the r7 window — a name must
+    # never sit in both tuples, PRIORITY_FIRST would win only via
+    # _ordered's guard)
     "cms_heavy_hitters",
-    "arrow_byte_stats",
-    "streaming_static_enrich",
-    "temperature_resample",
     "quality_classifier",
-    "token_rarity_scores",
     # round-5 rotation OUT: the staged round-4 promotions went IN
     # (see PRIORITY_FIRST); these r4-checked queries yield their slots.
     # The ANN/ML rows-only originals are now driver-covered by their

@@ -106,8 +106,15 @@ def _one_copy_docs(docs, copy: int):
 
 
 def _one_copy_emb(emb, copy: int, dim: int = 64):
+    """Copy 0 keeps vec_id VERBATIM so the ANN query set (vec_id <
+    N_QUERIES) is IDENTICAL at every scale; copies >= 1 offset far past
+    any real id.  An earlier vec_id*16+copy remap left 1 query at x1
+    scales but 10 at x10, so the PQ sweep row's exponent conflated
+    query-set growth (ADC work is O(Q) per corpus row) with corpus
+    growth — the replicated corpus must grow ONLY the non-query mass."""
     if copy == 0:
         out = F.col("embedding")
+        vid = F.col("vec_id")
     else:
         import random
 
@@ -121,11 +128,8 @@ def _one_copy_emb(emb, copy: int, dim: int = 64):
                 for j in range(dim)
             ]
         )
-    return emb.select(
-        (F.col("vec_id") * 16 + copy).alias("vec_id"),
-        out.alias("embedding"),
-        "label",
-    )
+        vid = F.col("vec_id") + copy * 10_000_000
+    return emb.select(vid.alias("vec_id"), out.alias("embedding"), "label")
 
 
 def force_full(df) -> int:
