@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -155,7 +156,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    val = (
+    # pinned: both branches (the important set AND the 1-row threshold)
+    # read the SAME materialized aggregate — without it Spark plans the
+    # scan+join+shuffle twice (measured 3 exchanges → 2)
+    val = pin(
         li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
@@ -245,9 +249,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+    # pinned: the revenue 'view' feeds both the argmax probe and the
+    # scalar max — one aggregation, not two (the namesake's CREATE VIEW
+    # materialization semantics)
+    rev = pin(
+        li.groupBy("l_suppkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -337,7 +346,11 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    # pinned: pq feeds BOTH the per-(part, supplier) probe side and the
+    # per-part total — unpinned, Spark aggregates lineitem twice
+    pq = pin(
+        li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    )
     pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     hot = (
@@ -352,7 +365,12 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        supplier.join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # the dominating-supplier set is small by construction (it needs
+        # > half of a part's corpus-wide quantity) — broadcast the semi
+        # probe instead of sort-merging the supplier table against it
+        supplier.join(
+            F.broadcast(hot), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )

@@ -50,21 +50,46 @@ SHUFFLE_BUDGET: dict[str, int] = {
     "zscore_grouped_pandas": 1,
 }
 
+#: non-benched queries worth pinning anyway — round-7 additions and the
+#: new TPC-H shapes.  Note the textual count includes the build plan of
+#: a pinned (persisted) subtree once per InMemoryTableScan reference,
+#: so a pinned aggregate read by two branches still counts its one
+#: physical exchange twice here; the pin is what keeps it physical-once.
+EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
+    "exact_substring_spans": 2,
+    "substring_span_removal": 2,
+    "q6_forecast_revenue": 0,
+    "q9_product_profit": 2,
+    "q11_important_parts": 3,
+    "q12_priority_shipping": 2,
+    "q15_top_supplier": 3,
+    "q17_small_quantity_revenue": 1,
+    "q20_excess_shippers": 5,
+    "q21_waiting_suppliers": 3,
+    "ann_pq_topk": 1,
+    "ivfpq_index_topk": 2,
+    "snapshot_diff_orders": 4,
+    "bpe_training_contract": 0,
+}
+
 
 def _shuffles(df) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
 
 
-@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+@pytest.mark.parametrize(
+    "name", sorted({**SHUFFLE_BUDGET, **EXTRA_SHUFFLE_BUDGET})
+)
 def test_benched_query_within_shuffle_budget(spark, sf_dir, name):
+    budget = {**SHUFFLE_BUDGET, **EXTRA_SHUFFLE_BUDGET}[name]
     q = registry.load_all()[name]
     try:
         got = _shuffles(q.fn(spark, sf_dir))
     finally:
         release_pins()
-    assert got <= SHUFFLE_BUDGET[name], (
-        f"{name}: {got} shuffles > budget {SHUFFLE_BUDGET[name]} — "
+    assert got <= budget, (
+        f"{name}: {got} shuffles > budget {budget} — "
         "a plan regression, or update the budget with justification"
     )
 
