@@ -248,3 +248,83 @@ def federated_formats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+#: range-layout file count: enough for a real disjointness check,
+#: small enough that every range is non-empty at every fixture SF
+#: (boundaries are sampled from observed keys, so each range holds at
+#: least its boundary key when the key is dense and distinct).
+RANGE_LAYOUT_PARTS = 8
+
+
+@register(
+    "range_layout_audit",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS rows_total,
+               CAST({RANGE_LAYOUT_PARTS} AS BIGINT) AS n_files,
+               true AS ranges_disjoint,
+               true AS rows_sorted
+        FROM events
+    """,
+    tags=("maintenance", "layout", "range-partition", "sorted"),
+)
+def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as a RANGE-PARTITIONED, WITHIN-FILE-SORTED parquet
+    layout (``repartitionByRange(event_id).sortWithinPartitions``) and
+    audit the files actually on disk: per-file min/max/count via the
+    ``_metadata.file_path`` hidden column, disjointness via a lag over
+    files ordered by their min, sortedness via in-file row order
+    (``monotonically_increasing_id`` preserves scan order within a
+    read split).  The contract row (total rows conserved, expected file
+    count, disjoint ranges, sorted rows) is what the oracle asserts.
+
+    This layout is the prerequisite for every min/max-pruned pattern in
+    the engine (zorder.py single-dim case, DPP, bloom pruning): a range
+    query then touches ONE file via parquet footer stats instead of
+    scanning the table.  100 TB shape: the write is one range shuffle
+    (sampled boundaries, so skewed keys still balance); the audit reads
+    footer-equivalent stats — at scale you'd read the parquet footers
+    directly (as tests/test_maintenance.py does via pyarrow) instead of
+    re-scanning rows, making the audit O(files), not O(rows).
+    Reference anchor: the reference's HDFS sink writes time-bucketed
+    files (`collect/consumer2.py:200-210`) but nothing enforces or
+    audits key-disjoint layout; this is that missing maintenance job.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _dir(sf_dir, "range_layout_events")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        ev.repartitionByRange(RANGE_LAYOUT_PARTS, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "event_id", F.col("_metadata.file_path").alias("f")
+    )
+    # in-file sortedness: within a (file, read-split) the monotonic id
+    # increases in row order, so any lag-inversion is a sort violation
+    order_w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    violations = (
+        back.withColumn("prev", F.lag("event_id").over(order_w))
+        .filter(F.col("prev") > F.col("event_id"))
+        .count()
+    )
+    per_file = back.groupBy("f").agg(
+        F.min("event_id").alias("mn"),
+        F.max("event_id").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    lag_w = Window.orderBy("mn")
+    audit = per_file.withColumn("prev_mx", F.lag("mx").over(lag_w)).agg(
+        F.sum("n").cast("long").alias("rows_total"),
+        F.count("*").cast("long").alias("n_files"),
+        F.min(
+            F.when(F.col("prev_mx").isNull(), True).otherwise(
+                F.col("prev_mx") < F.col("mn")
+            )
+        ).alias("ranges_disjoint"),
+    )
+    return audit.withColumn("rows_sorted", F.lit(violations == 0))

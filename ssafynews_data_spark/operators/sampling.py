@@ -618,3 +618,143 @@ def stratified_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum_size",
         (F.abs(F.col("achieved") - F.col("p")) <= band).alias("fraction_ok"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain mixture reweighting (Xie et al. 2023).
+# ---------------------------------------------------------------------------
+
+#: multiplicative-weights iterations (DoReMi runs ~thousands of proxy
+#: steps; 5 keeps the fixture fast while exercising the averaging).
+DOREMI_T = 5
+
+
+@register(
+    "doremi_mixture_weights",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(array_to_string(toks, ''))) AS BIGINT)
+                       AS chars,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_toks
+            FROM (SELECT source, {_DUCK_TOKENS} AS toks FROM documents)
+            GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(sum(chars) * 1000 // sum(n_toks) AS BIGINT) AS b
+            FROM d
+        ),
+        m AS (
+            SELECT source, n_docs,
+                   chars * 1000 // n_toks AS loss_mill,
+                   greatest(0, least(1000, chars * 1000 // n_toks - b))
+                       AS excess,
+                   100 + greatest(0, least(1000,
+                                           chars * 1000 // n_toks - b)) // 10
+                       AS mult
+            FROM d, base
+        ),
+        it AS (
+            SELECT 1 AS t, source, CAST(mult AS BIGINT) AS w FROM m
+            UNION ALL
+            SELECT t + 1, it.source, w * mult
+            FROM it JOIN m USING (source)
+            WHERE t < {DOREMI_T}
+        ),
+        a AS (
+            SELECT t, source,
+                   w * 10000 // sum(w) OVER (PARTITION BY t) AS a_bp
+            FROM it
+        ),
+        f AS (
+            SELECT source, CAST(sum(a_bp) // {DOREMI_T} AS BIGINT)
+                       AS weight_bp
+            FROM a GROUP BY 1
+        )
+        SELECT m.source, m.n_docs,
+               CAST(m.loss_mill AS BIGINT) AS loss_mill,
+               CAST(m.excess AS BIGINT) AS excess,
+               f.weight_bp
+        FROM m JOIN f USING (source)
+        ORDER BY source
+    """,
+    tags=("sampling", "mixing", "doremi"),
+)
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023): per-domain
+    multiplicative-weights updates on an excess-loss signal, final
+    weights = the average of the per-step normalized distributions (the
+    paper's key output — averaging across steps is what makes the
+    result robust to the stopping point, and it is NOT a closed-form
+    softmax, so the iteration is semantically load-bearing).
+
+    The excess-loss proxy is chars-per-token vs the corpus mean (longer
+    tokens ≈ harder text under a char-level reference model); a real
+    run would plug per-domain proxy/reference model losses into the
+    same arithmetic.  Everything is integer — loss in per-mille via one
+    fixed division order, multiplier m = 100 + excess//10 ∈ [100, 200],
+    step weights m^t (≤ 200^{DOREMI_T} ≪ 2^63), shares in basis points
+    via integer division — so Spark and DuckDB agree bit-for-bit and no
+    exp()/softmax ULP can flip the hash.
+
+    100 TB shape: ONE map-side-combining aggregate over the corpus
+    (per-domain char/token totals — the only pass that touches data),
+    then every iteration runs on the domains-sized table (≤ thousands
+    of rows): the unpartitioned window sums are driver-trivial by
+    construction, and the corpus is never rescanned or reshuffled.
+    Reference anchor: the reference resamples its feed mix by fixed
+    category quotas (`collect/consumer.py` category fan-out); this is
+    the principled version a training pipeline would use."""
+    from pyspark.sql import Window
+
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("source", tokens_col(F.col("text")).alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length(F.array_join("toks", ""))).cast("long").alias("chars"),
+            F.sum(F.size("toks")).cast("long").alias("n_toks"),
+        )
+    )
+    base = d.agg(
+        F.expr("sum(chars) * 1000 div sum(n_toks)").cast("long").alias("b")
+    )
+    loss = F.expr("chars * 1000 div n_toks")
+    excess = F.greatest(F.lit(0), F.least(F.lit(1000), loss - F.col("b")))
+    # integer `div` everywhere (never float `/` + cast: a float quotient
+    # can round UP across an integer boundary and diverge from DuckDB's
+    # floor `//`)
+    m = pin(
+        d.crossJoin(F.broadcast(base))
+        .select(
+            "source",
+            "n_docs",
+            loss.cast("long").alias("loss_mill"),
+            excess.cast("long").alias("excess"),
+        )
+        .withColumn("mult", F.expr("100 + excess div 10").cast("long"))
+    )
+    # all T step-weights as columns, all T share denominators over ONE
+    # window spec — Catalyst computes every sum in a single
+    # exchange+window pass on the domains-sized table (no self-joins)
+    whole = Window.partitionBy()
+    stepped, cur = m, F.col("mult")
+    for t in range(1, DOREMI_T + 1):
+        stepped = stepped.withColumn(f"w_{t}", cur)
+        cur = cur * F.col("mult")
+    for t in range(1, DOREMI_T + 1):
+        stepped = stepped.withColumn(f"sw_{t}", F.sum(f"w_{t}").over(whole))
+    step_sum = " + ".join(
+        f"((w_{t} * 10000) div sw_{t})" for t in range(1, DOREMI_T + 1)
+    )
+    return stepped.select(
+        "source",
+        "n_docs",
+        "loss_mill",
+        "excess",
+        F.expr(f"({step_sum}) div {DOREMI_T}").cast("long").alias("weight_bp"),
+    ).orderBy("source")

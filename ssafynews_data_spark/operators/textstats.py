@@ -127,3 +127,117 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-growth diagnostics: n-gram novelty curve (Heaps'-law profile).
+# ---------------------------------------------------------------------------
+
+#: n-gram width for the novelty curve (trigrams repeat enough on the
+#: fixture vocabulary for the curve to bend; real corpora use 3-8).
+NOVELTY_W = 3
+#: corpus prefix buckets (deciles of the doc_id ingest order).
+NOVELTY_BUCKETS = 10
+
+_DUCK_NOVELTY_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+)
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+        WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        d AS (
+            SELECT doc_id * {NOVELTY_BUCKETS} // m AS bucket,
+                   {_DUCK_NOVELTY_TOKS} AS toks
+            FROM documents, mx
+        ),
+        g AS (
+            SELECT bucket,
+                   unnest(CASE WHEN len(toks) >= {NOVELTY_W}
+                               THEN list_transform(
+                                        range(1, len(toks) - {NOVELTY_W - 2}),
+                                        i -> array_to_string(
+                                                 toks[i:i + {NOVELTY_W - 1}], ' '))
+                               ELSE [] END) AS gram
+            FROM d
+        ),
+        occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS occurrences
+                FROM g GROUP BY 1),
+        fb AS (SELECT gram, min(bucket) AS bucket FROM g GROUP BY 1),
+        nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams
+               FROM fb GROUP BY 1),
+        nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+               FROM d GROUP BY 1)
+        SELECT CAST(nd.bucket AS BIGINT) AS bucket, nd.n_docs,
+               coalesce(occ.occurrences, 0) AS occurrences,
+               coalesce(nw.new_grams, 0) AS new_grams,
+               CAST(sum(coalesce(nw.new_grams, 0))
+                        OVER (ORDER BY nd.bucket) AS BIGINT) AS cum_distinct
+        FROM nd LEFT JOIN occ USING (bucket) LEFT JOIN nw USING (bucket)
+        ORDER BY bucket
+    """,
+    tags=("corpus-growth", "ngrams", "novelty", "heaps-law"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law novelty profile: split the corpus into
+    ``NOVELTY_BUCKETS`` ingest-order prefixes (doc_id deciles) and
+    report, per bucket, how many DISTINCT ``NOVELTY_W``-grams appear
+    there for the FIRST time (plus total occurrences and the cumulative
+    distinct count).  A flattening curve means additional shards add
+    volume but not diversity — the standard diminishing-returns
+    diagnostic for "is more of this source worth ingesting?" in
+    training-data curation.
+
+    Engine joins on ``xxhash64(token-slice)`` while the oracle joins on
+    the shingle string — injective because tokens contain no spaces
+    (same parity argument as contamination._DUCK_CONTAM_SHINGLES).
+
+    100 TB shape: one explode + ONE gram-keyed aggregate (min over the
+    bucket id, map-side combining) is the only big shuffle; everything
+    downstream is buckets-sized.  The gram aggregate is the canonical
+    heavy-hitter hash-agg — when even that is too big, swap min() for
+    the HLL sketch variant (relational3.hll_intersection_contract's
+    machinery) and accept ±2% on the curve."""
+    from pyspark.sql import Window
+
+    from ssafynews_data_spark.caching import pin
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    d = pin(
+        docs.crossJoin(F.broadcast(mx)).select(
+            F.expr(f"doc_id * {NOVELTY_BUCKETS} div m").cast("long").alias("bucket"),
+            tokens_col(F.col("text")).alias("toks"),
+        )
+    )
+    n = F.size(F.col("toks"))
+    seq = F.sequence(F.lit(1), n - (NOVELTY_W - 1))
+    hashes = F.transform(
+        seq, lambda i: F.xxhash64(F.slice(F.col("toks"), i, NOVELTY_W))
+    )
+    guarded = F.when(n >= NOVELTY_W, hashes).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    g = d.select("bucket", F.explode(guarded).alias("h"))
+    occ = g.groupBy("bucket").agg(F.count("*").cast("long").alias("occurrences"))
+    fb = g.groupBy("h").agg(F.min("bucket").alias("bucket"))
+    nw = fb.groupBy("bucket").agg(F.count("*").cast("long").alias("new_grams"))
+    nd = d.groupBy("bucket").agg(F.count("*").cast("long").alias("n_docs"))
+    cum_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        nd.join(occ, "bucket", "left")
+        .join(nw, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("occurrences", F.lit(0)).cast("long").alias("occurrences"),
+            F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+        )
+        .withColumn(
+            "cum_distinct", F.sum("new_grams").over(cum_w).cast("long")
+        )
+        .orderBy("bucket")
+    )

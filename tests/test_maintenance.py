@@ -44,3 +44,47 @@ def test_profile_covers_all_requested_columns(spark, sf_dir):
     assert set(rows) == {"event_type", "user_id", "value"}
     ev = load_table(spark, sf_dir, "events")
     assert rows["event_type"].n_distinct == ev.select("event_type").distinct().count()
+
+
+# --- range-partitioned sorted layout ----------------------------------------
+
+
+def test_range_layout_audit_contract(spark, sf_dir):
+    row = maintenance.range_layout_audit(spark, sf_dir).collect()[0]
+    assert row.ranges_disjoint and row.rows_sorted
+    assert row.n_files == maintenance.RANGE_LAYOUT_PARTS
+    assert row.rows_total == load_table(spark, sf_dir, "events").count()
+
+
+def test_range_layout_footers_disjoint(spark, sf_dir):
+    """The at-scale version of the audit: O(files) parquet-footer
+    min/max, no row scan — file-level ranges must not overlap and
+    within each file row-group mins must be nondecreasing (sorted
+    writes)."""
+    import pyarrow.parquet as pq
+
+    maintenance.range_layout_audit(spark, sf_dir).collect()
+    path = maintenance._dir(sf_dir, "range_layout_events")
+    spans = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            col = [
+                i
+                for i in range(len(md.schema))
+                if md.schema.column(i).name == "event_id"
+            ][0]
+            rg_mins, mn, mx = [], None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                rg_mins.append(st.min)
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            assert rg_mins == sorted(rg_mins)
+            spans.append((mn, mx))
+    spans.sort()
+    assert len(spans) == maintenance.RANGE_LAYOUT_PARTS
+    for (_, prev_mx), (mn, _) in zip(spans, spans[1:]):
+        assert prev_mx < mn

@@ -169,3 +169,43 @@ def test_length_buckets_ordered_and_exhaustive(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert prev.max_tokens <= cur.min_tokens
         assert prev.min_tokens <= prev.max_tokens
+
+
+# --- DoReMi mixture weights -------------------------------------------------
+
+
+def test_doremi_weights_mass_and_order(spark, sf_dir):
+    """Invariants of the multiplicative-weights average: (a) the final
+    weights are a near-distribution (floor losses only: each of the T
+    averaged steps loses < 1 bp per domain), (b) weight order follows
+    excess order (m is monotone in excess and x^t preserves order),
+    (c) every weight is positive (m >= 100 > 0)."""
+    from ssafynews_data_spark.operators.sampling import doremi_mixture_weights
+
+    rows = doremi_mixture_weights(spark, sf_dir).collect()
+    d = len(rows)
+    assert d >= 2
+    total = sum(r.weight_bp for r in rows)
+    assert 10000 - 2 * d <= total <= 10000
+    assert all(r.weight_bp > 0 for r in rows)
+    by_excess = sorted(rows, key=lambda r: r.excess)
+    for lo, hi in zip(by_excess, by_excess[1:]):
+        assert lo.weight_bp <= hi.weight_bp or lo.excess == hi.excess
+
+
+def test_doremi_uniform_when_no_excess(spark, sf_dir):
+    """All-equal losses (excess 0 everywhere) must yield the uniform
+    mixture — multiplicative weights with identical multipliers can't
+    move off the simplex center."""
+    from ssafynews_data_spark.operators.sampling import doremi_mixture_weights
+
+    out = doremi_mixture_weights(spark, sf_dir)
+    rows = out.collect()
+    if all(r.excess == 0 for r in rows):  # fixture-dependent branch
+        assert len({r.weight_bp for r in rows}) == 1
+    else:  # the fixture has spread — uniform case covered by arithmetic:
+        # domains with equal excess must get equal weight
+        by_excess = {}
+        for r in rows:
+            by_excess.setdefault(r.excess, set()).add(r.weight_bp)
+        assert all(len(v) == 1 for v in by_excess.values())

@@ -321,3 +321,42 @@ def test_quality_contracts_on_planted_corpus(spark, tmp_path):
     assert m.n_docs == 5
     assert m.n_marked_docs == 1  # only the mangled doc carries markers
     assert m.repaired_subset_of_marked and m.clean_passthrough and m.idempotent
+
+
+# --- n-gram novelty curve ----------------------------------------------------
+
+
+def test_novelty_curve_invariants(spark, sf_dir):
+    """cum_distinct is the running sum of new_grams and ends at the true
+    corpus-wide distinct trigram count; novelty never exceeds volume."""
+    from ssafynews_data_spark.operators.text import tokens_col
+    from ssafynews_data_spark.operators.textstats import (
+        NOVELTY_W,
+        ngram_novelty_curve,
+    )
+    from ssafynews_data_spark.sources.readers import load_table
+
+    rows = ngram_novelty_curve(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    run = 0
+    for r in rows:
+        assert 0 <= r.new_grams <= r.occurrences
+        run += r.new_grams
+        assert r.cum_distinct == run
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    grams = toks.select(
+        F.explode(
+            F.when(
+                n >= NOVELTY_W,
+                F.transform(
+                    F.sequence(F.lit(1), n - (NOVELTY_W - 1)),
+                    lambda i: F.xxhash64(F.slice(F.col("toks"), i, NOVELTY_W)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("h")
+    )
+    assert rows[-1].cum_distinct == grams.distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()
