@@ -148,8 +148,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: certified by driver-green oracle-bearing contract twins plus pytest,
 #: and (b) the round-7 post-window registrations, all local-oracle
 #: green: ivfpq_index_topk (rows-only) + ivfpq_recall_contract
-#: (oracled) and the five easier TPC-H completions (q6, q9, q11, q12,
-#: q15 — oracled; the three hardest, q17/q20/q21, are in THIS window).
+#: (oracled), the five easier TPC-H completions (q6, q9, q11, q12,
+#: q15 — oracled; the three hardest, q17/q20/q21, are in THIS window),
+#: and three new late-round-7 families (doremi_mixture_weights,
+#: range_layout_audit, ngram_novelty_curve — all oracled).
 #: Round-8 recipe: hold the 10 sentinels; promote (b) first, then (a),
 #: then re-certify high-value surfaces on rotation so no family's last
 #: driver row goes stale for >3 rounds.

@@ -82,6 +82,11 @@ HEADLINERS = (
     "llm_corpus_pipeline",
     "exact_substring_spans",
     "ann_pq_topk",
+    # round 7: the novelty curve's gram-keyed min-aggregate is the
+    # heaviest new shuffle of the round — the sweep proves the distinct
+    # n-gram hash-agg stays ~linear as the corpus replicates (dup grams
+    # across copies collapse in the combiner, fresh grams grow the map)
+    "ngram_novelty_curve",
 )
 
 #: (name, source sf dir, replication factor)
