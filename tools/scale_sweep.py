@@ -216,6 +216,7 @@ def main() -> int:
         "llm_corpus_pipeline": "docs",
         "exact_substring_spans": "docs",
         "ann_pq_topk": "emb",
+        "ngram_novelty_curve": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
