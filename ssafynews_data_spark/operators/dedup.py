@@ -1281,9 +1281,35 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: packs (doc_id, pos) into one orderable long for the canonical-occurrence
-#: argmin: doc_id < 1e6 (fixture contract, same packing as
-#: canonical_doc_per_cluster) and pos < 1e9 per document.
+#: argmin: pos < _EXSUB_PACK per document and doc_id < _EXSUB_DOC_MAX so
+#: doc_id * _EXSUB_PACK + pos < 2^63 - 1.  The bounds are ENFORCED at
+#: runtime (not just a fixture-contract comment): ``_exsub_packed``
+#: raises from inside the plan on any row outside them, so at 100 TB an
+#: id scheme that outgrows the packing fails loudly instead of silently
+#: electing the wrong canonical occurrence or overflowing long.
 _EXSUB_PACK = 1_000_000_000
+_EXSUB_DOC_MAX = 9_200_000_000
+
+
+def _exsub_packed() -> F.Column:
+    """(doc_id, pos) packed into one orderable long, bounds-checked
+    per-row (raise_error inside the plan — JVM-side, no UDF)."""
+    doc = F.col("doc_id").cast("long")
+    in_bounds = (doc >= 0) & (doc < _EXSUB_DOC_MAX) & (F.col("n_tokens") < _EXSUB_PACK)
+    return F.when(in_bounds, doc * _EXSUB_PACK + F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "substring_span_removal: (doc_id, n_tokens) outside the "
+                    f"(doc_id < {_EXSUB_DOC_MAX}, n_tokens < {_EXSUB_PACK}) "
+                    "packing bounds: doc_id="
+                ),
+                doc.cast("string"),
+                F.lit(" n_tokens="),
+                F.col("n_tokens").cast("string"),
+            )
+        )
+    )
 
 
 @register(
@@ -1360,7 +1386,9 @@ def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     window key in (doc_id, pos) order, chosen with ONE ``min`` over a
     packed ``doc_id * 1e9 + pos`` long — deterministic, engine-agnostic,
     and computed in the same hash aggregate that counts the key (no
-    second shuffle vs the audit form).  Only NON-canonical occurrences
+    second shuffle vs the audit form).  The packing bounds are enforced
+    at runtime (``_exsub_packed`` raises per-row on doc_id >= 9.2e9 or
+    n_tokens >= 1e9), so an id scheme that outgrows them fails loudly.  Only NON-canonical occurrences
     mark removal positions; overlapping marks merge via the shared
     gaps-and-islands helper, and the final token filter is row-local —
     ``filter(toks, (tok, i) -> no span covers i)`` against the doc's own
@@ -1381,9 +1409,7 @@ def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.posexplode("ks").alias("pos", "k"),
-    ).withColumn(
-        "packed", F.col("doc_id").cast("long") * _EXSUB_PACK + F.col("pos")
-    )
+    ).withColumn("packed", _exsub_packed())
 
     dup = (
         w.groupBy("k")

@@ -261,7 +261,7 @@ RANGE_LAYOUT_PARTS = 8
     "range_layout_audit",
     oracle=f"""
         SELECT CAST(count(*) AS BIGINT) AS rows_total,
-               CAST({RANGE_LAYOUT_PARTS} AS BIGINT) AS n_files,
+               true AS files_within_cap,
                true AS ranges_disjoint,
                true AS rows_sorted
         FROM events
@@ -273,10 +273,18 @@ def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (``repartitionByRange(event_id).sortWithinPartitions``) and
     audit the files actually on disk: per-file min/max/count via the
     ``_metadata.file_path`` hidden column, disjointness via a lag over
-    files ordered by their min, sortedness via in-file row order
-    (``monotonically_increasing_id`` preserves scan order within a
-    read split).  The contract row (total rows conserved, expected file
-    count, disjoint ranges, sorted rows) is what the oracle asserts.
+    files ordered by their min, sortedness via the per-file
+    ``_metadata.row_index`` hidden column (exact physical row order —
+    unlike ``monotonically_increasing_id``, which only tracks file
+    order when each file maps to a single read split; a file larger
+    than maxSplitBytes can have its splits scheduled out of offset
+    order).  The contract row (total rows conserved, file count within
+    the requested cap, disjoint ranges, sorted rows) is what the oracle
+    asserts: ``repartitionByRange(N)`` produces AT MOST N non-empty
+    files (empty ranges write nothing under skewed or low-cardinality
+    keys), so the oracle checks ``1 <= n_files <= N``; the exact-count
+    claim lives in tests/test_maintenance.py where the fixture's key
+    distribution is known.
 
     This layout is the prerequisite for every min/max-pruned pattern in
     the engine (zorder.py single-dim case, DPP, bloom pruning): a range
@@ -302,11 +310,14 @@ def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     back = spark.read.parquet(path).select(
-        "event_id", F.col("_metadata.file_path").alias("f")
+        "event_id",
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("ri"),
     )
-    # in-file sortedness: within a (file, read-split) the monotonic id
-    # increases in row order, so any lag-inversion is a sort violation
-    order_w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    # in-file sortedness: row_index is the row's physical offset within
+    # its file regardless of how splits were packed into partitions, so
+    # any lag-inversion in row_index order is a true sort violation
+    order_w = Window.partitionBy("f").orderBy("ri")
     violations = (
         back.withColumn("prev", F.lag("event_id").over(order_w))
         .filter(F.col("prev") > F.col("event_id"))
@@ -320,7 +331,9 @@ def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag_w = Window.orderBy("mn")
     audit = per_file.withColumn("prev_mx", F.lag("mx").over(lag_w)).agg(
         F.sum("n").cast("long").alias("rows_total"),
-        F.count("*").cast("long").alias("n_files"),
+        (
+            (F.count("*") >= 1) & (F.count("*") <= RANGE_LAYOUT_PARTS)
+        ).alias("files_within_cap"),
         F.min(
             F.when(F.col("prev_mx").isNull(), True).otherwise(
                 F.col("prev_mx") < F.col("mn")

@@ -137,7 +137,7 @@ Q11_FRACTION = 0.002
         )
         SELECT l_partkey AS partkey, round(v, 2) AS part_value
         FROM val
-        WHERE v > (SELECT sum(v) * {Q11_FRACTION} FROM val)
+        WHERE round(v, 2) > (SELECT round(sum(v) * {Q11_FRACTION}, 2) FROM val)
         ORDER BY part_value DESC, partkey
     """,
     tags=("tpch", "q11", "scalar-subquery"),
@@ -150,7 +150,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + scalar-threshold shape).  Spark computes the per-part
     frame ONCE, derives the 1-row total from it, and broadcasts the row
     via crossJoin — the aggregate is not recomputed (self-referencing
-    scalar subqueries decorrelate to exactly this)."""
+    scalar subqueries decorrelate to exactly this).  Both sides of the
+    strict inequality are quantized (round to cents, the q15 treatment)
+    so a part value within an ULP of the threshold can't flip
+    membership between Spark's and DuckDB's summation orders."""
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3"
@@ -165,10 +168,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
     )
-    total = val.agg((F.sum("v") * Q11_FRACTION).alias("threshold"))
+    total = val.agg(F.round(F.sum("v") * Q11_FRACTION, 2).alias("threshold"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("v") > F.col("threshold"))
+        .filter(F.round("v", 2) > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round("v", 2).alias("part_value"),
@@ -273,14 +276,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-        WITH pa AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        WITH pa AS (SELECT l_partkey AS pk,
+                           round(0.2 * avg(l_quantity), 4) AS qty_cap
                     FROM lineitem GROUP BY l_partkey)
         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN pa   ON pk = l_partkey
         WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
-          AND l_quantity < 0.2 * avg_qty
+          AND l_quantity < qty_cap
     """,
     tags=("tpch", "q17", "correlated-scalar"),
 )
@@ -291,10 +295,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate joined back by partkey.  p_container is absent,
     so the second part predicate is p_type.  At scale the per-part
     aggregate and the probe join share the partkey partitioning; the
-    brand filter prunes the (broadcast) part leg."""
+    brand filter prunes the (broadcast) part leg.  The per-part
+    threshold 0.2*avg is quantized (round to 4 digits) before the
+    strict compare so a quantity within an ULP of the cutoff can't
+    flip between Spark's and DuckDB's accumulation orders."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_cap")
     )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
@@ -302,7 +309,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
@@ -323,7 +330,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pq
             JOIN pt USING (l_partkey)
             JOIN part ON p_partkey = pq.l_partkey
-            WHERE p_name LIKE 'small%' AND pq.sq > 0.5 * pt.tq
+            WHERE p_name LIKE 'small%'
+              AND round(pq.sq, 2) > round(0.5 * pt.tq, 2)
         )
         SELECT s_name, round(s_acctbal, 2) AS s_acctbal
         FROM supplier
@@ -341,7 +349,10 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide 1996 quantity' over lineitem (two cascaded aggregates on
     the same shuffle key + a fraction-of-group comparison — the
     namesake's correlated 0.5*sum(l_quantity) shape).  The hot-supplier
-    set reduces to a left-semi join; the nation leg broadcasts."""
+    set reduces to a left-semi join; the nation leg broadcasts.  Both
+    sides of the dominance compare are quantized (round to 2) so a
+    supplier at exactly half the part total can't flip membership on
+    FP accumulation-order differences between engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -356,7 +367,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         pq.join(pt, "l_partkey")
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .filter(F.round("sq", 2) > F.round(0.5 * F.col("tq"), 2))
         .select("l_suppkey")
         .distinct()
     )

@@ -640,6 +640,7 @@ DOREMI_T = 5
                    CAST(sum(len(toks)) AS BIGINT) AS n_toks
             FROM (SELECT source, {_DUCK_TOKENS} AS toks FROM documents)
             GROUP BY 1
+            HAVING sum(len(toks)) > 0
         ),
         base AS (
             SELECT CAST(sum(chars) * 1000 // sum(n_toks) AS BIGINT) AS b
@@ -719,6 +720,10 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length(F.array_join("toks", ""))).cast("long").alias("chars"),
             F.sum(F.size("toks")).cast("long").alias("n_toks"),
         )
+        # drop all-zero-token domains BEFORE any division: Spark's
+        # non-ANSI div yields NULL on n_toks=0 while DuckDB errors —
+        # both sides agree on the degenerate case by excluding it
+        .filter(F.col("n_toks") > 0)
     )
     base = d.agg(
         F.expr("sum(chars) * 1000 div sum(n_toks)").cast("long").alias("b")

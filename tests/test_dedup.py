@@ -380,3 +380,32 @@ def test_substring_span_removal_semantics(spark, tmp_path):
     # conservation: kept + removed == total, every doc
     for r in out.values():
         assert r.n_kept_tokens + r.n_removed_tokens == r.n_tokens, r
+
+
+def test_substring_span_removal_packing_bounds_raise(spark, tmp_path):
+    """The (doc_id, pos) long-packing is bounds-ENFORCED at runtime: a
+    doc_id beyond _EXSUB_DOC_MAX must raise from inside the plan rather
+    than silently electing the wrong canonical occurrence (overflowed
+    longs order arbitrarily)."""
+    import os
+
+    import pytest
+
+    from ssafynews_data_spark.operators.dedup import (
+        _EXSUB_DOC_MAX,
+        EXSUB_L,
+        substring_span_removal,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(EXSUB_L + 2))
+    docs = spark.createDataFrame(
+        [
+            (_EXSUB_DOC_MAX + 7, f"a {shared} b", "en", "s", 10),
+            (1, f"c {shared} d", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    with pytest.raises(Exception, match="packing bounds"):
+        substring_span_removal(spark, d).collect()
