@@ -65,23 +65,23 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50).  Round 7 executes the
-#: FINAL drain VERDICT r6 prescribed (item 1): keep the same 10
-#: multi-surface sentinels (each r5+r6 driver-green), fill the other
-#: 40 slots with first-ever driver checks — the round-6 post-window
-#: families first (exact-substring span dedup + its new round-7
-#: removal consumer, PQ-ANN contract + top-k, BPE training contract,
-#: CDC snapshot diff), then every remaining oracled never-checked
-#: query (31), then the three hardest shapes of round 7's TPC-H
-#: completion (q21 double-EXISTS, q17 correlated scalar, q20 nested
-#: semi — all oracled).  The rows-only backlog (quality_classifier,
-#: cms_heavy_hitters, near_dup_lsh_verified, bpe_token_stats,
-#: hll_daily_user_sketches) yields its slots entirely: every one of
-#: those guarantees lives in a driver-green oracle-bearing contract
-#: twin plus pytest.  Expected: 49 hash-PASS + 1 rows-only
-#: (ann_pq_topk) / 50, 40 first-ever driver checks, 0 FAIL.
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 8 retires the
+#: never-driver-checked backlog to ZERO (VERDICT r7 item 1): keep the
+#: same 10 multi-surface sentinels (driver-green r5/r6/r7), promote
+#: the 10 round-7 post-window registrations (the five easier TPC-H
+#: completions, the IVF-PQ pair, DoReMi weights, the range-layout
+#: audit, the novelty curve — all local-oracle green), then the 5
+#: rows-only stragglers whose guarantees live in driver-green
+#: oracle-bearing contract twins (a rows-only driver row is still a
+#: first-ever row, and it ends the "never checked" state for good),
+#: then fill the remaining 25 slots re-certifying the STALEST driver
+#: rows: round-1-checked oracled queries untouched by any window since
+#: (no family's last row should go stale while never-checked names
+#: exist — after this window none do).  Expected: 44 hash-PASS + 6
+#: rows-only-by-design / 50, 15 first-ever driver rows, 0 FAIL, and
+#: (registered − ever-driver-checked) = 0.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # --- keepers: 10 multi-surface sentinels, all r5+r6 driver-green ---
+    # --- keepers: 10 multi-surface sentinels, all r5+r6+r7 driver-green ---
     "curate_corpus",
     "streaming_file_sink_e2e",
     "minhash_verified_pairs",
@@ -92,72 +92,72 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- round-6 post-window families (VERDICT r6 item 1, first) ---
-    "exact_substring_spans",
-    "substring_span_removal",  # new r7: the Lee-et-al. removal consumer
-    "pq_ann_recall_contract",
-    "ann_pq_topk",
-    "bpe_training_contract",
-    "snapshot_diff_orders",
-    # --- remaining oracled never-checked (one sweep, whole families) ---
-    "script_mix_stats",
-    "semantic_decontaminate",
-    "multisignal_curation",
-    "dedup_graph_stats",
-    "backfill_day_partition",
-    "compact_small_files",
-    "rollup_maintenance",
-    "ansi_safe_math",
-    "value_correlations",
-    "central_tendency_stats",
-    "boolean_aggregates_profile",
-    "keyword_string_agg",
-    "observed_write_audit",
-    "epoch_shuffle_layout",
-    "length_bucket_stats",
-    "uniform_sample_fixed_n",
-    "weighted_sample_docs",
-    "bucket_skew_audit",
-    "pipe_syntax_revenue",
-    "parameterized_sql_band",
-    "udtf_dynamic_topk_tokens",
-    "collated_lang_counts",
-    "xml_roundtrip_events",
-    "identifier_clause_counts",
-    "orc_roundtrip_stats",
-    "daily_count_anomalies",
-    "cusum_drift_scores",
-    "arrow_byte_stats",
-    "streaming_static_enrich",
-    "temperature_resample",
-    "token_rarity_scores",
-    # --- TPC-H completion (round 7, part 5): the three hardest new
-    #     decorrelation shapes take the last slots — oracled, replacing
-    #     three rows-only candidates whose guarantees already have
-    #     driver-green contract twins (near_dup_containment_contract,
-    #     bpe_training_contract in this window, hll_intersection r6) ---
-    "q21_waiting_suppliers",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
+    # --- round-7 post-window registrations (first-ever driver rows) ---
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "ivfpq_index_topk",  # rows-only; oracle twin is next
+    "ivfpq_recall_contract",
+    "doremi_mixture_weights",
+    "range_layout_audit",
+    "ngram_novelty_curve",
+    # --- the 5 rows-only stragglers: last never-checked names.  Each
+    #     guarantee is already driver-certified via an oracle-bearing
+    #     contract twin (quality_classifier_contract r6,
+    #     cms_heavy_hitters_contract r6, near_dup_containment_contract
+    #     r6, bpe_training_contract r7, hll_intersection_contract r6);
+    #     the driver row here is the weaker rows-only check by design ---
+    "bpe_token_stats",
+    "near_dup_lsh_verified",
+    "hll_daily_user_sketches",
+    "cms_heavy_hitters",
+    "quality_classifier",
+    # --- re-certification: the 25 stalest oracled driver rows, all
+    #     last checked in round 1 (CORRECTNESS_r01.json) ---
+    "train_test_split_docs",
+    "value_band_join",
+    "merge_upsert_orders",
+    "clean_documents",
+    "source_token_stats",
+    "first_sentence_summaries",
+    "doc_len_stats",
+    "doc_len_histogram",
+    "null_profile_documents",
+    "segment_distinct_aggs",
+    "rollup_order_stats",
+    "cube_order_stats",
+    "events_pivot_daily",
+    "events_unpivot",
+    "customers_with_orders",
+    "customers_without_orders",
+    "user_funnel_set_ops",
+    "top_events_per_user",
+    "rolling_daily_counts",
+    "event_value_deltas",
+    "event_value_ranks",
+    "order_price_percentiles",
+    "parse_event_props",
+    "props_map_stats",
+    "keyword_flatten_per_source",
 )
 
-#: POST-ROUND-7 STATE: the drain is complete.  After this window lands,
-#: the never-driver-checked backlog is (a) five rows-only queries
-#: (quality_classifier, cms_heavy_hitters, near_dup_lsh_verified,
-#: bpe_token_stats, hll_daily_user_sketches) whose guarantees are all
-#: certified by driver-green oracle-bearing contract twins plus pytest,
-#: and (b) the round-7 post-window registrations, all local-oracle
-#: green: ivfpq_index_topk (rows-only) + ivfpq_recall_contract
-#: (oracled), the five easier TPC-H completions (q6, q9, q11, q12,
-#: q15 — oracled; the three hardest, q17/q20/q21, are in THIS window),
-#: and three new late-round-7 families (doremi_mixture_weights,
-#: range_layout_audit, ngram_novelty_curve — all oracled).
-#: Round-8 recipe: hold the 10 sentinels; promote (b) first, then (a),
-#: then re-certify high-value surfaces on rotation so no family's last
-#: driver row goes stale for >3 rounds.
-#: Registration discipline (VERDICT r5 item 4, renewed r6 item 4): new
-#: registrations only for genuinely new operator families, never more
-#: than the round's rotation capacity.
+#: POST-ROUND-8 STATE: (registered − ever-driver-checked) = 0 once this
+#: window lands — every registered query has a driver row; the only
+#: rows-only rows are the six whose oracle-bearing twins are
+#: driver-green.  The r1-era queries NOT re-certified here
+#: (sessionization, daily_event_counts, doc_fingerprints, token_counts,
+#: sequential_ids, time_rollup_events) have in-window relatives
+#: covering their surfaces (stateful_session_stats,
+#: daily_category_report, the md5-fingerprint dedup family, the
+#: token-stat family, block_sequential_ids) and head the round-9
+#: re-certification queue together with the round-3 set (word_freq_topk
+#: … media_metadata).
+#: Registration discipline (VERDICT r7 item 2): the promotion list
+#: above was FROZEN before any new round-8 registration; new families
+#: register only into the mid region (never this window) and stay ≤ 5
+#: per round so the next window can absorb them.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
@@ -172,14 +172,9 @@ DEMOTE_LAST: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_pairs",
     "media_decode_features",
-    "hll_daily_user_sketches",
-    # round-2 session-4 additions: same zero-sum window policy
-    # (arrow_byte_stats / streaming_static_enrich / temperature_resample
-    # / token_rarity_scores moved UP into the r7 window — a name must
-    # never sit in both tuples, PRIORITY_FIRST would win only via
-    # _ordered's guard)
-    "cms_heavy_hitters",
-    "quality_classifier",
+    # (hll_daily_user_sketches / cms_heavy_hitters / quality_classifier
+    # moved UP into the r8 window for their first-ever driver rows — a
+    # name must never sit in both tuples)
     # round-5 rotation OUT: the staged round-4 promotions went IN
     # (see PRIORITY_FIRST); these r4-checked queries yield their slots.
     # The ANN/ML rows-only originals are now driver-covered by their
@@ -213,46 +208,17 @@ DEMOTE_LAST: tuple[str, ...] = (
     "mock_enrich_documents",
     "q1_pricing_summary",
     "media_metadata",
-    # md5-bucket split mechanism is oracle-covered in-window by
-    # domain_mix_sample; the split variant yields its slot
-    "train_test_split_docs",
-    # r01-green 2-row range-join variant; as-of join keeps the
-    # range-predicate surface in-window
-    "value_band_join",
     # r01-green queries whose surface is covered by an in-window
-    # relative: sessionization (streaming_session_counts +
-    # stateful_session_stats), daily_event_counts
-    # (daily_category_report), merge_upsert_orders (merge_scd2_orders),
-    # doc_fingerprints (exact_dedup_groups' md5 fingerprint)
+    # relative: sessionization (stateful_session_stats),
+    # daily_event_counts (daily_category_report), doc_fingerprints
+    # (exact-dedup md5 family), token_counts (the token-stat family),
+    # sequential_ids / time_rollup_events (block_sequential_ids /
+    # daily_category_report).  The other 25 r01-era queries moved UP
+    # into the r8 window for re-certification.
     "sessionization",
     "daily_event_counts",
-    "merge_upsert_orders",
     "doc_fingerprints",
-    # r01-green; its F1/F3/P8 chain is in-window via
-    # preprocess_source_counts and korean_text_ops
-    "clean_documents",
     "token_counts",
-    "source_token_stats",
-    "first_sentence_summaries",
-    "doc_len_stats",
-    "doc_len_histogram",
-    "null_profile_documents",
-    "segment_distinct_aggs",
-    "rollup_order_stats",
-    "cube_order_stats",
-    "events_pivot_daily",
-    "events_unpivot",
-    "customers_with_orders",
-    "customers_without_orders",
-    "user_funnel_set_ops",
-    "top_events_per_user",
-    "rolling_daily_counts",
-    "event_value_deltas",
-    "event_value_ranks",
-    "order_price_percentiles",
-    "parse_event_props",
-    "props_map_stats",
-    "keyword_flatten_per_source",
     "sequential_ids",
     "time_rollup_events",
     # round-6 rotation OUT: r5 driver-green (history stands); demoting
@@ -342,6 +308,49 @@ DEMOTE_LAST: tuple[str, ...] = (
     "canonical_doc_per_cluster",
     "compression_quality_contract",
     "mojibake_repair_contract",
+    # round-8 rotation OUT: r7 driver-green (history stands) — the 40
+    # non-sentinel names of the round-7 window yield their slots to the
+    # backlog drain + re-certification set.
+    "exact_substring_spans",
+    "substring_span_removal",
+    "pq_ann_recall_contract",
+    "ann_pq_topk",
+    "bpe_training_contract",
+    "snapshot_diff_orders",
+    "script_mix_stats",
+    "semantic_decontaminate",
+    "multisignal_curation",
+    "dedup_graph_stats",
+    "backfill_day_partition",
+    "compact_small_files",
+    "rollup_maintenance",
+    "ansi_safe_math",
+    "value_correlations",
+    "central_tendency_stats",
+    "boolean_aggregates_profile",
+    "keyword_string_agg",
+    "observed_write_audit",
+    "epoch_shuffle_layout",
+    "length_bucket_stats",
+    "uniform_sample_fixed_n",
+    "weighted_sample_docs",
+    "bucket_skew_audit",
+    "pipe_syntax_revenue",
+    "parameterized_sql_band",
+    "udtf_dynamic_topk_tokens",
+    "collated_lang_counts",
+    "xml_roundtrip_events",
+    "identifier_clause_counts",
+    "orc_roundtrip_stats",
+    "daily_count_anomalies",
+    "cusum_drift_scores",
+    "arrow_byte_stats",
+    "streaming_static_enrich",
+    "temperature_resample",
+    "token_rarity_scores",
+    "q21_waiting_suppliers",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
 )
 
 
