@@ -26,7 +26,9 @@ ladder:
 5. PQ — product quantization (Jegou et al. 2011): per-subspace
    codebooks (seeded Lloyd's on a bounded md5-ordered sample, r7)
    compress each vector to PQ_M 4-bit codes, queries score by ADC
-   (driver-built literal lookup maps, pure codegen, zero joins), deep
+   (≤ ADC_LITERAL_MAX_QUERIES queries: driver-built literal lookup
+   maps, pure codegen, zero joins; above: the same lookups as one
+   broadcast row, plan size independent of the batch — r8), deep
    candidate list exact-re-ranked;
 6. IVF-PQ (``ivfpq_index_topk``) — the faiss-standard composite: PQ
    codes written PARTITIONED BY coarse centroid, so a query reads
@@ -1246,6 +1248,21 @@ def _pq_encode(books: list):
     return encode
 
 
+#: ADC lookup router (VERDICT r7 item 3).  The literal-map ADC form
+#: compiles M·K·|Q| partial-dot doubles INTO THE PLAN — a few KB at the
+#: contract's 10 queries, but thousands of serving queries would bloat
+#: generated code past the JVM method-size comfort zone.  Above this
+#: query count the SAME lookups travel as broadcast DATA instead: one
+#: 1-row frame carrying a (m·K + code) -> (partial-dots, ||c||²) map
+#: plus the query-id/norm arrays, crossJoined (Spark broadcasts the
+#: row) with identical per-row math — plan size then independent of
+#: |Q| and K.  64 keeps the literal form for every interactive/contract
+#: shape (8·16·64 ≈ 8k literals) and routes bulk serving to the
+#: broadcast form.  Both paths are hash-equal by construction and
+#: pinned so by tests/test_similarity.py.
+ADC_LITERAL_MAX_QUERIES = 64
+
+
 def _adc_dot_norm2(books: list, Q: "np.ndarray") -> tuple[Column, Column]:
     """ADC scoring columns over a ``codes`` column: driver-built LITERAL
     lookup maps — dot_maps[m][code] = array over queries of Q_m . c,
@@ -1280,20 +1297,87 @@ def _adc_dot_norm2(books: list, Q: "np.ndarray") -> tuple[Column, Column]:
     return dots, norm2
 
 
+def _adc_lut_row(
+    spark: SparkSession, books: list, Q: "np.ndarray", qids: list, qnorm: "np.ndarray"
+) -> DataFrame:
+    """The batch-serving ADC lookup table as ONE broadcastable row:
+    ``_adc_lut[m·K + code] = (partial dots over queries, ||c||²)`` plus
+    the query-id / query-norm arrays.  Built with createDataFrame (data,
+    not plan literals), so the serving plan stays constant-size no
+    matter how many queries are batched."""
+    sub = books[0].shape[1]
+    entries = []
+    for m, C in enumerate(books):
+        pd_mk = Q[:, m * sub : (m + 1) * sub] @ C.T  # (Q, K)
+        for k in range(PQ_K):
+            entries.append(
+                (
+                    m * PQ_K + k,
+                    [float(x) for x in pd_mk[:, k]],
+                    float((C[k] * C[k]).sum()),
+                )
+            )
+    return (
+        spark.createDataFrame(entries, "lk int, pd array<double>, cn2 double")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("lk", F.struct("pd", "cn2")))
+            ).alias("_adc_lut")
+        )
+        .withColumn("_adc_qids", F.lit([int(q) for q in qids]))
+        .withColumn("_adc_qn", F.lit([float(x) for x in qnorm]))
+    )
+
+
+#: columns the ADC machinery injects; never part of the caller's carry
+_ADC_HELPER_COLS = frozenset({"codes", "_adc_lut", "_adc_qids", "_adc_qn"})
+
+
 def _adc_explode(
-    df: DataFrame, books: list, Q: "np.ndarray", qids: list, qnorm: "np.ndarray"
+    df: DataFrame,
+    books: list,
+    Q: "np.ndarray",
+    qids: list,
+    qnorm: "np.ndarray",
+    use_literal: bool | None = None,
 ) -> DataFrame:
     """Explode a coded frame (``neighbor_id``, ``codes``, any carry
     columns) into per-(query, neighbor) ADC cosine rows: (query_id,
     <carry>, adc_sim), self-pairs dropped.  Shared by the flat PQ path
-    and IVF-PQ so the ADC normalization/tiebreak lives in ONE place."""
-    dots, norm2 = _adc_dot_norm2(books, Q)
-    qid_arr = F.array(*[F.lit(q) for q in qids])
-    qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
-    carry = [c for c in df.columns if c != "codes"]
+    and IVF-PQ so the ADC normalization/tiebreak lives in ONE place.
+
+    Routing (``use_literal=None``): ≤ ADC_LITERAL_MAX_QUERIES queries →
+    literal lookup maps compiled into the plan (zero extra operators);
+    above → the same lookups as one broadcast row (``_adc_lut_row``)
+    crossJoined in, so plan size is independent of the query count.
+    Both branches compute identical doubles in identical order."""
+    nq = Q.shape[0]
+    if use_literal is None:
+        use_literal = nq <= ADC_LITERAL_MAX_QUERIES
+    carry = [c for c in df.columns if c not in _ADC_HELPER_COLS]
+    if use_literal:
+        dots, norm2 = _adc_dot_norm2(books, Q)
+        qid_arr = F.array(*[F.lit(int(q)) for q in qids])
+        qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
+        mid_extra: list[str] = []
+    else:
+        df = df.crossJoin(
+            F.broadcast(_adc_lut_row(df.sparkSession, books, Q, qids, qnorm))
+        )
+        ent = lambda m: F.element_at(  # noqa: E731 — per-subspace lookup
+            F.col("_adc_lut"), F.lit(m * PQ_K) + F.col("codes")[m]
+        )
+        dots, norm2 = ent(0)["pd"], ent(0)["cn2"]
+        for m in range(1, len(books)):
+            dots = F.zip_with(dots, ent(m)["pd"], lambda a, b: a + b)
+            norm2 = norm2 + ent(m)["cn2"]
+        qid_arr = F.col("_adc_qids")
+        qnorm_arr = F.col("_adc_qn")
+        mid_extra = ["_adc_qids"]
     return (
         df.select(
             *carry,
+            *mid_extra,
             F.posexplode(
                 F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
             ).alias("qpos", "adc_sim"),

@@ -228,3 +228,74 @@ def test_pq_recall_vs_exact(spark, sf_dir):
         assert len(rs) <= similarity.TOP_K
         sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_adc_literal_and_batch_paths_identical(spark, sf_dir):
+    """The ADC router's two forms — literal maps compiled into the plan
+    vs one broadcast lookup row (ADC_LITERAL_MAX_QUERIES) — must produce
+    IDENTICAL (query_id, neighbor_id, adc_sim) rows: same lookups, same
+    accumulation order, only where the table lives differs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    corpus = similarity.pin(similarity._corpus(spark, sf_dir))
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    books = similarity._pq_codebooks(corpus)
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+    coded = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._pq_encode(books)(F.col("emb")).alias("codes"),
+    )
+
+    def rows(use_literal):
+        out = similarity._adc_explode(
+            coded, books, Q, qids, qnorm, use_literal=use_literal
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, r.adc_sim) for r in out.collect()
+        )
+
+    lit_rows, batch_rows = rows(True), rows(False)
+    assert lit_rows == batch_rows  # bit-identical, not approx
+    assert len(lit_rows) > 0
+
+
+def test_adc_router_switches_on_query_count(spark, sf_dir, monkeypatch):
+    """Routing: at |Q| <= ADC_LITERAL_MAX_QUERIES the plan carries the
+    literal maps (no join); above it the broadcast lookup row appears
+    as a BroadcastNestedLoopJoin of the 1-row lut frame."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    corpus = similarity._corpus(spark, sf_dir).limit(200)
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    books = similarity._pq_codebooks(corpus)
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+    coded = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._pq_encode(books)(F.col("emb")).alias("codes"),
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default at contract scale (10 queries <= 64): literal — no join
+    p_default = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
+    assert "_adc_lut" not in p_default
+
+    # force the threshold below |Q|: the broadcast lut row must appear
+    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 0)
+    p_batch = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
+    assert "_adc_lut" in p_batch and "Broadcast" in p_batch
