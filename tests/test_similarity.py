@@ -299,3 +299,59 @@ def test_adc_router_switches_on_query_count(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 0)
     p_batch = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
     assert "_adc_lut" in p_batch and "Broadcast" in p_batch
+
+
+def test_residual_adc_matches_numpy_reconstruction(spark, sf_dir, tmp_path):
+    """Residual-ADC is exact over the RECONSTRUCTION: for every scored
+    (query, neighbor) row, adc_sim must equal the numpy cosine between
+    the query and center[centroid] + decode(codes) — the cross-term and
+    norm bookkeeping of by_residual has no approximation of its own."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = similarity.pin(similarity._corpus(spark, sf_dir).limit(300))
+    vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
+    model = KMeans(
+        k=similarity.IVF_K, seed=42, featuresCol="vec", predictionCol="centroid"
+    ).fit(vecs)
+    centers = np.stack([np.asarray(c, dtype=float) for c in model.clusterCenters()])
+    assigned = model.transform(vecs).select("vec_id", "emb", "centroid")
+    books = similarity._pq_codebooks_residual(assigned, centers)
+
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+
+    coded = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid",
+        similarity._pq_encode_residual(books, centers)(
+            F.col("emb"), F.col("centroid")
+        ).alias("codes"),
+    )
+    rows = similarity._adc_explode_residual(
+        coded, books, Q, qids, qnorm, centers
+    ).collect()
+    assert rows
+
+    qpos = {q: i for i, q in enumerate(qids)}
+    code_rows = {r.neighbor_id: (r.centroid, list(r.codes)) for r in coded.collect()}
+    sub = books[0].shape[1]
+    checked = 0
+    for r in rows[:500]:
+        cent, codes = code_rows[r.neighbor_id]
+        recon = centers[cent].copy()
+        for m, k in enumerate(codes):
+            recon[m * sub : (m + 1) * sub] += books[m][k]
+        q = Q[qpos[r.query_id]]
+        expect = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+        assert abs(r.adc_sim - expect) < 1e-9, (r, expect)
+        checked += 1
+    assert checked > 0
