@@ -324,29 +324,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_verified_pairs",
-    # SAME oracle as ngram_jaccard_pairs: exact-verified candidates must
-    # EQUAL the exact pair set, because deterministic banding (seed-42
-    # multiply-shift over xxhash64) recovers every >=0.5 pair on the
-    # fixture — if banding recall ever dropped, this row would fail the
-    # driver hash check.
-    oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
-            FROM documents
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               CAST(floor(common / (sa.n + sb.n - common) * 10000) AS BIGINT) AS jaccard_q4
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
-    """,
+    # Rows-only BY DESIGN (round 8): this row carried the exact-pair-set
+    # oracle through r7, but banding recall at the threshold boundary is
+    # PROBABILISTIC — a pair at Jaccard exactly 0.5 collides in a 4-row
+    # band with prob 0.5^4, so it is missed with prob (1-0.0625)^8 ≈ 0.60.
+    # The seed-42 fixture's >=0.5 pairs all sit far above the boundary,
+    # so equality held by margin, not by guarantee; a reseeded fixture
+    # with planted borderline pairs (tools/reseed_fixture.py, r8) caught
+    # the chain 2 pairs short.  The exact-equality contract lives where
+    # it is true BY CONSTRUCTION: ``prefix_filter_jaccard_pairs``
+    # (setjoin.py — zero false negatives by the prefix lemma, same
+    # output columns, oracled, driver-green r6).  This chain's honest
+    # guarantees — precision 1.0 (exact verify) i.e. emitted ⊆ exact,
+    # and high-but-probabilistic recall — are pinned by
+    # tests/test_dedup.py::test_minhash_verified_subset_and_recall.
     tags=("dedup", "minhash", "lsh", "verified"),
 )
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,9 +345,12 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates candidates (shuffle-linear), then ONLY candidates pay the
     exact shingle-intersection price — never the full quadratic
     self-join.  Output contract identical to ``ngram_jaccard_pairs``
-    (doc_a < doc_b, floor-quantized exact Jaccard >= 0.5), so the driver
-    hash-verifies that the banded chain loses nothing vs the exact
-    formulation.
+    (doc_a < doc_b, floor-quantized exact Jaccard >= 0.5); every emitted
+    pair is exact-verified (precision 1.0), recall is the banding
+    S-curve 1-(1-s^4)^8 — ~1.0 for the near-identical pairs dedup
+    targets, deliberately permissive at the 0.5 boundary.  A consumer
+    needing the complete boundary set runs the deterministic
+    ``prefix_filter_jaccard_pairs`` twin instead.
 
     Physical shape: candidates (tiny) broadcast-join onto the shingle
     table twice — the intersection count shuffles candidate×shingle

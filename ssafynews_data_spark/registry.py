@@ -77,14 +77,20 @@ def register(
 #: then fill the remaining 25 slots re-certifying the STALEST driver
 #: rows: round-1-checked oracled queries untouched by any window since
 #: (no family's last row should go stale while never-checked names
-#: exist — after this window none do).  Expected: 44 hash-PASS + 6
+#: exist — after this window none do).  Expected: 43 hash-PASS + 7
 #: rows-only-by-design / 50, 15 first-ever driver rows, 0 FAIL, and
 #: (registered − ever-driver-checked) = 0.
+#: Round-8 reseed finding (tools/reseed_fixture.py): the sentinel slot
+#: that was ``minhash_verified_pairs`` now holds its deterministic twin
+#: ``prefix_filter_jaccard_pairs`` (driver-green r6, same output
+#: columns, same exact-pair-set oracle — TRUE by the prefix lemma, not
+#: by fixture margin); the banded chain stays in-window as an honest
+#: rows-only row (see dedup.py:326 for the S-curve arithmetic).
 PRIORITY_FIRST: tuple[str, ...] = (
-    # --- keepers: 10 multi-surface sentinels, all r5+r6+r7 driver-green ---
+    # --- keepers: 10 multi-surface sentinels, all driver-green ---
     "curate_corpus",
     "streaming_file_sink_e2e",
-    "minhash_verified_pairs",
+    "prefix_filter_jaccard_pairs",
     "pca_kmeans_summary",
     "q18_large_volume_customer",
     "salted_event_counts",
@@ -114,6 +120,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "hll_daily_user_sketches",
     "cms_heavy_hitters",
     "quality_classifier",
+    # --- the banded minhash chain, rows-only post-reseed (see header);
+    #     keeps its driver-row continuity from r5-r7 in this window ---
+    "minhash_verified_pairs",
     # --- re-certification: the 25 stalest oracled driver rows, all
     #     last checked in round 1 (CORRECTNESS_r01.json) ---
     "train_test_split_docs",
@@ -140,7 +149,6 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "order_price_percentiles",
     "parse_event_props",
     "props_map_stats",
-    "keyword_flatten_per_source",
 )
 
 #: POST-ROUND-8 STATE: (registered − ever-driver-checked) = 0 once this
@@ -221,6 +229,9 @@ DEMOTE_LAST: tuple[str, ...] = (
     "token_counts",
     "sequential_ids",
     "time_rollup_events",
+    # r01-green, rotated to the round-9 re-cert queue when the reseed
+    # finding moved minhash_verified_pairs (rows-only) into the window
+    "keyword_flatten_per_source",
     # round-6 rotation OUT: r5 driver-green (history stands); demoting
     # them keeps the mid region — the first overflow slots if the
     # driver's window ever widens — made of never-checked queries.
@@ -291,7 +302,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     "streaming_state_inspection",
     "streaming_outer_interval_join",
     "streaming_sketch_maintenance",
-    "prefix_filter_jaccard_pairs",
     "minhash_incremental_index",
     "pagerank_mass_contract",
     "near_dup_containment_contract",

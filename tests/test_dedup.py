@@ -210,10 +210,14 @@ def test_largestar_cc_equals_propagation_on_fixture(spark, sf_dir):
     assert a == b and a
 
 
-def test_minhash_verified_pairs_equal_exact(spark, sf_dir):
-    """The banded-candidates + exact-verify chain must reproduce the
-    exact pair set bit-for-bit (100% banding recall on the fixture —
-    also enforced cross-engine by the shared driver oracle)."""
+def test_minhash_verified_subset_and_recall(spark, sf_dir):
+    """The banded chain's honest contract (r8 — the exact-equality claim
+    moved to the deterministic prefix-filter twin after a reseeded
+    fixture planted a Jaccard-boundary pair the 4×8 banding legitimately
+    missed): every emitted pair is in the exact set with the identical
+    quantized Jaccard (precision 1.0 — the verify step is exact), and
+    recall stays above the S-curve expectation for the fixture's
+    comfortably-above-threshold pairs."""
     exact = {
         (r.doc_a, r.doc_b, r.jaccard_q4)
         for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
@@ -222,7 +226,26 @@ def test_minhash_verified_pairs_equal_exact(spark, sf_dir):
         (r.doc_a, r.doc_b, r.jaccard_q4)
         for r in dedup.minhash_verified_pairs(spark, sf_dir).collect()
     }
-    assert exact and verified == exact
+    assert exact and verified
+    assert verified <= exact  # precision 1.0, values bit-identical
+    assert len(verified) >= 0.9 * len(exact), (len(verified), len(exact))
+
+
+def test_prefix_filter_equals_exact(spark, sf_dir):
+    """The deterministic twin really is complete: prefix-filtered
+    candidates + exact verify EQUAL the exact pair set (the guarantee
+    the driver oracle states)."""
+    from ssafynews_data_spark.operators.setjoin import prefix_filter_jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard_q4)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b, r.jaccard_q4)
+        for r in prefix_filter_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert exact and pf == exact
 
 
 def test_winnowing_guarantee_shared_substring(spark, tmp_path):

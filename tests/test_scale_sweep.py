@@ -48,7 +48,7 @@ def test_headliner_scales_subquadratically(spark, sweep_dirs, qname):
     from ssafynews_data_spark.caching import release_pins
 
     small, big = sweep_dirs
-    fn = registry.load_all()[qname].fn
+    fn = scale_sweep.query_fn(registry.load_all(), qname)
 
     def best_of_two(d: str) -> float:
         runs = []
