@@ -98,6 +98,16 @@ def test_ivfpq_recall_and_pruned_read(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "centroid" in pf  # pruning predicate reached the scan
 
+    # the r8 flat companion (inverted-list raw vectors for the refine
+    # step) must be centroid-partitioned and prune identically — serve
+    # never scans the corpus
+    flat = spark.read.parquet(path + "_flat")
+    assert set(flat.columns) == {"vec_id", "emb", "centroid"}
+    fprobe = flat.filter(F.col("centroid").isin([0, 1]))
+    fplan = fprobe._jdf.queryExecution().executedPlan().toString()
+    fpf = fplan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "centroid" in fpf
+
 
 def test_ivfpq_contract_row(spark, sf_dir):
     r = similarity.ivfpq_recall_contract(spark, sf_dir).collect()[0]
