@@ -1813,3 +1813,179 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ivfpq_index_topk(spark, sf_dir),
         IVFPQ_RECALL_MIN_PCT,
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Round-8 contracts: ADC router parity + incremental index append.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "adc_batch_parity_contract",
+    oracle=f"""
+        SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES})
+                    * (count(*) - 1) AS BIGINT) AS n_scored,
+               true AS paths_identical
+        FROM embeddings
+    """,
+    tags=("similarity", "pq", "adc", "contract"),
+)
+def adc_batch_parity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for the ADC router (r8): the literal
+    form (lookup tables compiled into the plan) and the batch-serving
+    form (the same tables as ONE broadcast row) must score every
+    (query, neighbor) pair BIT-identically — same lookups, same
+    accumulation order, only where the table lives differs.  Output:
+    (n_scored, paths_identical); n_scored = |Q|·(n−1) (self-pairs
+    dropped) is what DuckDB recomputes.  The equality is checked with
+    one anti-join in each direction on the full scored row (query,
+    neighbor, sim), so ANY diverging double fails the contract — this
+    is the cross-engine twin of
+    tests/test_similarity.py::test_adc_literal_and_batch_paths_identical."""
+    corpus = pin(_corpus(spark, sf_dir))
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [(0, True)], "n_scored long, paths_identical boolean"
+        )
+    books = _pq_codebooks(corpus)
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+    coded = pin(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_encode(books)(F.col("emb")).alias("codes"),
+        )
+    )
+    lit = _adc_explode(coded, books, Q, qids, qnorm, use_literal=True)
+    bat = _adc_explode(coded, books, Q, qids, qnorm, use_literal=False)
+    cols = ["query_id", "neighbor_id", "adc_sim"]
+    only_lit = lit.join(bat, cols, "left_anti").count()
+    only_bat = bat.join(lit, cols, "left_anti").count()
+    n = lit.count()
+    return spark.createDataFrame(
+        [(n, only_lit == 0 and only_bat == 0)],
+        "n_scored long, paths_identical boolean",
+    )
+
+
+def _assign_centroids(centers: "np.ndarray"):
+    """Arrow UDF: embedding -> nearest coarse-cell id (argmin Euclidean
+    via the same argmax identity PQ encoding uses; one GEMM per batch
+    against the KB-sized centroid matrix)."""
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy())
+        return pd.Series(
+            np.argmax(X @ centers.T - (centers * centers).sum(1) / 2.0, axis=1).astype(
+                "int32"
+            )
+        )
+
+    return assign
+
+
+#: holdout appended incrementally in ``ivfpq_index_append`` — the
+#: newest IVFPQ_APPEND_N vec_ids arrive AFTER the index is built.
+IVFPQ_APPEND_N = 20
+
+
+@register(
+    "ivfpq_index_append",
+    oracle=f"""
+        WITH m AS (SELECT max(vec_id) AS mx, count(*) AS n FROM embeddings)
+        SELECT CAST(n - (SELECT count(*) FROM embeddings, m
+                         WHERE vec_id > mx - {IVFPQ_APPEND_N}) AS BIGINT)
+                   AS n_base,
+               CAST((SELECT count(*) FROM embeddings, m
+                     WHERE vec_id > mx - {IVFPQ_APPEND_N}) AS BIGINT)
+                   AS n_appended,
+               CAST(n AS BIGINT) AS n_index,
+               CAST((SELECT count(*) FROM embeddings
+                     WHERE vec_id < {N_QUERIES}) * {TOP_K} AS BIGINT)
+                   AS serve_rows,
+               true AS codes_valid
+        FROM m
+    """,
+    tags=("similarity", "ivf", "pq", "maintenance", "incremental"),
+)
+def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance (the faiss ``add()``-after-
+    ``train()`` lifecycle): build the index on the corpus MINUS the
+    newest IVFPQ_APPEND_N vectors, then append those by encoding with
+    the EXISTING codebooks/centroids — assign each new vector to its
+    nearest coarse cell (one Arrow GEMM against the KB centroid
+    matrix), residual-encode, and ``mode("append")`` into the
+    centroid-partitioned codes + flat tables.  No re-fit, no rewrite of
+    existing partitions: at 100 TB this is how a live index absorbs a
+    day's new embeddings — append cost is sized by the DELTA only.
+
+    Contract row (all DuckDB-recomputable): base/appended/total index
+    row counts, serve_rows = |Q|·TOP_K from a post-append serve (proves
+    the appended rows are visible to the probe path), and codes_valid
+    (every stored code array is PQ_M codes in [0, PQ_K)).  Quantization
+    drift is the known cost of append-without-refit (codebooks were fit
+    pre-append); the recall story stays with ``ivfpq_recall_contract``.
+    Reference scope: the reference re-embeds into pgvector row by row
+    (ollama_consumer.py:234) with no index lifecycle at all."""
+    import shutil
+
+    corpus = pin(_corpus(spark, sf_dir))
+    stats = corpus.agg(
+        F.max("vec_id").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    if stats.n == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, True)],
+            "n_base long, n_appended long, n_index long, serve_rows long,"
+            " codes_valid boolean",
+        )
+    cut = int(stats.mx) - IVFPQ_APPEND_N  # newest N ids are the delta
+    base = corpus.filter(F.col("vec_id") <= cut)
+    delta = corpus.filter(F.col("vec_id") > cut)
+    path = _ivfpq_path(sf_dir) + "_append"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_flat", ignore_errors=True)
+    books, centers = ivfpq_build_index(spark, base, path)
+    coded_delta = delta.select(
+        "vec_id", _assign_centroids(centers)(F.col("emb")).alias("centroid"), "emb"
+    )
+    coded_delta.select(
+        "vec_id",
+        "centroid",
+        _pq_encode_residual(books, centers)(F.col("emb"), F.col("centroid")).alias(
+            "codes"
+        ),
+    ).write.mode("append").partitionBy("centroid").parquet(path)
+    coded_delta.select("vec_id", "emb", "centroid").write.mode("append").partitionBy(
+        "centroid"
+    ).parquet(path + "_flat")
+
+    idx = spark.read.parquet(path)
+    ok = idx.agg(
+        F.min(
+            (F.size("codes") == PQ_M)
+            & F.forall("codes", lambda c: (c >= 0) & (c < PQ_K))
+        ).alias("ok")
+    ).collect()[0].ok
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+    )
+    serve_rows = ivfpq_serve(spark, path, books, centers, qrows).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(base.count()),
+                int(delta.count()),
+                int(idx.count()),
+                int(serve_rows),
+                bool(ok),
+            )
+        ],
+        "n_base long, n_appended long, n_index long, serve_rows long,"
+        " codes_valid boolean",
+    )

@@ -365,3 +365,43 @@ def test_residual_adc_matches_numpy_reconstruction(spark, sf_dir, tmp_path):
         assert abs(r.adc_sim - expect) < 1e-9, (r, expect)
         checked += 1
     assert checked > 0
+
+
+def test_ivfpq_append_visible_to_serve(spark, sf_dir, tmp_path):
+    """Incremental append correctness: a vector appended AFTER the index
+    build (a near-copy of an existing one) must be found by the probe
+    path — appended rows land in the right centroid partition and serve
+    reads them with no re-fit."""
+    from pyspark.sql import functions as F
+
+    corpus = similarity.pin(similarity._corpus(spark, sf_dir).limit(300))
+    path = str(tmp_path / "ivfpq_append")
+    books, centers = similarity.ivfpq_build_index(spark, corpus, path)
+
+    # the appended twin: vec_id 9_000_000, almost identical to vec 0
+    twin_src = corpus.filter(F.col("vec_id") == 0).collect()[0].emb
+    twin = [float(x) + 1e-4 for x in twin_src]
+    delta = spark.createDataFrame(
+        [(9_000_000, twin)], "vec_id long, emb array<double>"
+    )
+    coded = delta.select(
+        "vec_id",
+        similarity._assign_centroids(centers)(F.col("emb")).alias("centroid"),
+        "emb",
+    )
+    coded.select(
+        "vec_id",
+        "centroid",
+        similarity._pq_encode_residual(books, centers)(
+            F.col("emb"), F.col("centroid")
+        ).alias("codes"),
+    ).write.mode("append").partitionBy("centroid").parquet(path)
+    coded.select("vec_id", "emb", "centroid").write.mode("append").partitionBy(
+        "centroid"
+    ).parquet(path + "_flat")
+
+    qrows = [(0, list(twin_src))]
+    out = similarity.ivfpq_serve(spark, path, books, centers, qrows).collect()
+    got = {r.neighbor_id: r.rank for r in out}
+    # the twin is ~cos 1.0 with the query: it must be the top neighbor
+    assert got.get(9_000_000) == 1, got
