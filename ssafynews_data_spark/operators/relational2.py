@@ -103,8 +103,8 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_price_percentiles",
     oracle="""
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               quantile_disc(o_totalprice, 0.5) AS p50,
+               quantile_disc(o_totalprice, 0.9) AS p90,
                count(*) AS n
         FROM orders
         GROUP BY o_orderpriority
@@ -112,15 +112,27 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("percentile",),
 )
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont`` semantics).  Exact percentile holds all
+    """Exact DISCRETE percentiles (SQL-standard ``percentile_disc`` ==
+    DuckDB ``quantile_disc``): the result is an actual stored value, so
+    it is bit-identical across engines by construction.  The earlier
+    continuous form interpolated between two values and each engine's
+    FMA/rounding order could land the midpoint on a different side of a
+    .xx5 cent tie — the round-8 second-seed reseed caught exactly that
+    (256879.795 rounding to .79 vs .80).  Exact percentile holds all
     group values — at 100 TB switch to ``percentile_approx``
     (t-digest-style sketch, bounded memory, mergeable map-side)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
-        F.count("*").alias("n"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p90"),
+            F.count("*").alias("n"),
+        )
     )
 
 
