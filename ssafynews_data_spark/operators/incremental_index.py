@@ -26,11 +26,14 @@ minutes job instead of a re-run.
 
 The registered query runs build + delta in one call (the driver's
 correctness gate needs a self-contained query) with a deterministic
-80/20 split, and hash-checks the verified cross-set pairs against the
-exact DuckDB Jaccard of the same split — proving the index lost no
-pair ≥ the threshold.  The same signature pipeline's FULL-corpus recall
-is already oracle-pinned by ``minhash_verified_pairs``
-(operators/dedup.py:351).
+80/20 split.  Its guarantee is stated honestly (round 8): every
+verified pair is in the exact cross-set pair list (precision 1.0), and
+aggregate recall clears a floor — banding is PROBABILISTIC at the
+Jaccard boundary, so exact-equality with the quadratic ground truth is
+not a claim an LSH index can make (a reseeded fixture proved it).
+Both halves are the oracled ``incremental_index_recall_contract``;
+the full-corpus twin is ``minhash_chain_recall_contract``
+(operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -96,9 +99,9 @@ def build_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "minhash_incremental_index",
-    oracle=f"""
+#: exact cross-set (delta vs base) pair facts, shared by the recall
+#: contract's oracle.
+_CROSS_EXACT_SQL = f"""
         WITH sh AS (
             SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
             FROM documents
@@ -118,15 +121,29 @@ def build_index(spark: SparkSession, sf_dir: str) -> str:
         JOIN sizes sd ON sd.doc_id = doc_delta
         JOIN sizes sb ON sb.doc_id = doc_base
         WHERE common / (sd.n + sb.n - common) >= {JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@register(
+    "minhash_incremental_index",
+    # Rows-only BY DESIGN (round 8, same finding as minhash_verified_
+    # pairs): the index is BANDED, so a cross-set pair at Jaccard
+    # exactly 0.5 is missed with prob (1-0.5^4)^8 ≈ 0.60 — the old
+    # exact-equality oracle held on seed-42 by margin and a third-seed
+    # reseeded fixture (tools/reseed_fixture.py) caught it one pair
+    # short.  The honest guarantee — verified output ⊆ exact cross-set
+    # pairs, recall ≥ floor — is the oracled
+    # ``incremental_index_recall_contract`` below.
     tags=("dedup", "minhash", "incremental", "index"),
 )
 def minhash_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the base index on disk, then dedup the delta batch against
     it: delta docs compute their own signatures only, join the stored
-    band rows, and exact-verify the candidates.  The verified cross-set
-    pairs hash-match DuckDB's exact quadratic Jaccard of the same
-    split — the index misses nothing at the threshold."""
+    band rows, and exact-verify the candidates.  Every emitted pair is
+    exact-verified (precision 1.0); recall is the banding S-curve
+    1-(1-s^4)^8 — ~1.0 for the near-identical pairs dedup targets,
+    permissive at the 0.5 boundary (see
+    ``incremental_index_recall_contract``)."""
     path = build_index(spark, sf_dir)
     # explicit schema: an empty base corpus writes zero files and the
     # read can't infer one (band_idx is the partition column)
@@ -162,4 +179,65 @@ def minhash_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_base")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_delta", "doc_base", F.floor(jac * 10000).alias("jaccard_q4"))
+    )
+
+
+@register(
+    "incremental_index_recall_contract",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_cross_pairs,
+               true AS index_subset_of_exact,
+               true AS recall_ok
+        FROM ({_CROSS_EXACT_SQL})
+    """,
+    tags=("dedup", "minhash", "incremental", "contract"),
+)
+def incremental_index_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for the incremental index (r8): DuckDB
+    recomputes the exact cross-set (delta vs base) pair count; Spark
+    asserts (a) every index-found pair is in the exact set with the
+    identical quantized Jaccard (precision 1.0 — the verify step is
+    exact) and (b) aggregate recall >= MINHASH_CHAIN_RECALL_MIN_PCT
+    (shared floor with the full-corpus chain — same banding, same
+    S-curve).  Exact side computed once at contract scale; at 100 TB
+    the contract runs on a sampled slice while the production delta
+    path (`minhash_incremental_index`) never pays the quadratic cost."""
+    from ssafynews_data_spark.operators.dedup import MINHASH_CHAIN_RECALL_MIN_PCT
+
+    found = pin(minhash_incremental_index(spark, sf_dir))
+    sh = pin(_doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    d = sh.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        F.col("doc_id").alias("doc_delta"), "sh"
+    )
+    b = sh.filter(F.col("doc_id") % DELTA_MOD != 0).select(
+        F.col("doc_id").alias("doc_base"), "sh"
+    )
+    exact_common = (
+        d.join(b, "sh")
+        .groupBy("doc_delta", "doc_base")
+        .agg(F.count("*").alias("common"))
+    )
+    sd = sizes.select(F.col("doc_id").alias("doc_delta"), F.col("n").alias("nd"))
+    sb = sizes.select(F.col("doc_id").alias("doc_base"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("nd") + F.col("nb") - F.col("common"))
+    exact = pin(
+        exact_common.join(F.broadcast(sd), "doc_delta")
+        .join(F.broadcast(sb), "doc_base")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_delta", "doc_base", F.floor(jac * 10000).alias("jaccard_q4"))
+    )
+    cols = ["doc_delta", "doc_base", "jaccard_q4"]
+    n_exact = exact.count()
+    n_found = found.count()
+    n_common = found.join(exact, cols, "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_common == n_found,
+                n_common * 100 >= n_exact * MINHASH_CHAIN_RECALL_MIN_PCT,
+            )
+        ],
+        "n_exact_cross_pairs long, index_subset_of_exact boolean, recall_ok boolean",
     )

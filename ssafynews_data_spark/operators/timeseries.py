@@ -296,7 +296,8 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS d,
-                   CAST(round(round(avg(value), 2) * 100) AS BIGINT) AS vi
+                   CAST(floor(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS DOUBLE) / count(*)) AS BIGINT) AS vi
             FROM events GROUP BY 1, 2
         ),
         base AS (
@@ -313,7 +314,7 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                strftime(d, '%Y-%m-%d') AS day,
-               round((s_k * nd - k * tot) / (100.0 * nd), 2) + 0.0 AS cusum
+               CAST(s_k * nd - k * tot AS DOUBLE) / (100.0 * nd) + 0.0 AS cusum
         FROM run
         ORDER BY event_type, day
     """,
@@ -324,14 +325,30 @@ def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the series mean — a sustained shift in daily average value
     shows as a monotone CUSUM ramp long before any single day trips a
     z-score.  Deviations are accumulated in SCALED INTEGERS
-    (cusum_k = (S_k·n − k·T) / 100n with S_k, T exact hundredth sums):
-    a floating running sum of near-cancelling terms rounds to 2dp
-    differently per summation order, and the trailing + 0.0 collapses
-    IEEE −0.0 when a series nets out to zero.  One ordered window per
-    type over day-level rows."""
+    (cusum_k = (S_k·n − k·T) / 100n with S_k, T exact cent sums):
+
+    - per-row cents ``round(value*100)`` are exact (stored values are
+      2dp, so value*100 sits within an ulp of an integer — never at a
+      tie);
+    - the daily value ``vi = floor(cent_sum / count)`` floors a
+      bit-identical double (exact integer operands ≤ 2^53, one IEEE
+      division) — ``floor`` agrees across engines on identical doubles,
+      unlike ``round``, whose half-tie algorithm differs (a third-seed
+      reseeded fixture landed a daily average on a .xx5 cent tie and
+      flipped the old ``round(avg(value), 2)`` form by one cent);
+    - the OUTPUT is the raw double quotient of identical integers — no
+      final rounding to disagree over; the trailing + 0.0 collapses
+      IEEE −0.0 when a series nets out to zero.
+
+    One ordered window per type over day-level rows."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.round(F.avg("value"), 2) * 100).cast("long").alias("vi")
+        F.floor(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("vi")
     )
     base = daily.groupBy("event_type").agg(
         F.sum("vi").alias("tot"), F.count("*").alias("nd")
@@ -346,11 +363,11 @@ def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s_k", F.sum("vi").over(w))
         .withColumn("k", F.row_number().over(W.partitionBy("event_type").orderBy("d")))
     )
-    cusum = (F.col("s_k") * F.col("nd") - F.col("k") * F.col("tot")) / (
-        100.0 * F.col("nd")
-    )
+    cusum = (F.col("s_k") * F.col("nd") - F.col("k") * F.col("tot")).cast(
+        "double"
+    ) / (100.0 * F.col("nd"))
     return run.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        (F.round(cusum, 2) + 0.0).alias("cusum"),
+        (cusum + 0.0).alias("cusum"),
     ).orderBy("event_type", "day")

@@ -166,14 +166,17 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: above was FROZEN before any new round-8 registration; new families
 #: register only into the mid region (never this window) and stay ≤ 5
 #: per round so the next window can absorb them.  Round 8 registered
-#: THREE, all oracled, all mid-region, all local-green at sf0.001/
-#: sf0.01/sf0.1 AND on the reseeded fixture: adc_batch_parity_contract
-#: (similarity.py — cross-engine twin of the ADC router's literal≡batch
-#: equality), ivfpq_index_append (the add-after-train incremental index
-#: lifecycle), and minhash_chain_recall_contract (dedup.py — the
-#: banded chain's subset + recall-floor guarantee restated as an
-#: oracle-bearing contract after the reseed finding).  They head the
-#: round-9 promotion list.
+#: FOUR, all oracled, all mid-region, all green at sf0.001/sf0.01/
+#: sf0.1 AND on three reseeded fixtures (seeds 777/1234/555):
+#: adc_batch_parity_contract (similarity.py — cross-engine twin of the
+#: ADC router's literal≡batch equality), ivfpq_index_append (the
+#: add-after-train incremental index lifecycle),
+#: minhash_chain_recall_contract (dedup.py) and
+#: incremental_index_recall_contract (incremental_index.py) — the two
+#: banded surfaces' subset + recall-floor guarantees restated as
+#: oracle-bearing contracts after the reseed findings (their pair-list
+#: queries are rows-only by design).  They head the round-9 promotion
+#: list.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
