@@ -166,7 +166,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: above was FROZEN before any new round-8 registration; new families
 #: register only into the mid region (never this window) and stay ≤ 5
 #: per round so the next window can absorb them.  Round 8 registered
-#: FOUR, all oracled, all mid-region, all green at sf0.001/sf0.01/
+#: FIVE, all oracled, all mid-region, all green at sf0.001/sf0.01/
 #: sf0.1 AND on three reseeded fixtures (seeds 777/1234/555):
 #: adc_batch_parity_contract (similarity.py — cross-engine twin of the
 #: ADC router's literal≡batch equality), ivfpq_index_append (the
@@ -175,8 +175,11 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: incremental_index_recall_contract (incremental_index.py) — the two
 #: banded surfaces' subset + recall-floor guarantees restated as
 #: oracle-bearing contracts after the reseed findings (their pair-list
-#: queries are rows-only by design).  They head the round-9 promotion
-#: list.
+#: queries are rows-only by design); plus edit_distance_pairs
+#: (setjoin.py — Ed-Join, exact-complete vs its quadratic levenshtein
+#: oracle by the q-gram prefix lemma; the degenerate small-gram block
+#: is property-tested on adversarial corpora).  They head the round-9
+#: promotion list.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the

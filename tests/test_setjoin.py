@@ -45,3 +45,131 @@ def test_prefix_join_is_smaller_than_full_join(spark, sf_dir):
     sh = _doc_shingles(spark, sf_dir)
     pref = setjoin.prefix_rows(sh, JACCARD_THRESHOLD)
     assert pref.count() < sh.count()
+
+
+# ---------------------------------------------------------------------------
+# Ed-Join (edit_distance_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(keys: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    ids = sorted(keys)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _lev(keys[a], keys[b])
+            if d <= k:
+                out.add((a, b, d))
+    return out
+
+
+def test_edjoin_matches_bruteforce_on_fixture(spark, sf_dir):
+    """Engine output == quadratic DP over the same keys (the property
+    the DuckDB oracle hash-checks at the driver, re-proven locally)."""
+    keys = {
+        r.doc_id: r.key for r in setjoin._edjoin_keys(spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in setjoin.edit_distance_pairs(spark, sf_dir).collect()
+    }
+    assert got == _brute(keys, setjoin.EDIT_DISTANCE_MAX)
+
+
+def test_edjoin_degenerate_small_block(spark):
+    """Keys with < q·k+1 distinct grams (repetitive or tiny, incl. the
+    empty string) are exactly the pairs the prefix lemma can't see; the
+    guarded small×small block must still find them all."""
+    corpus = {
+        1: "aaaaaaaaaaaa",  # 1 distinct trigram
+        2: "aaaaaaaaaaab",  # ed 1 from doc 1, 3 distinct trigrams
+        3: "ab",            # shorter than q: zero grams
+        4: "ba",            # ed 2 from doc 3
+        5: "",              # empty key
+        6: "zz",            # ed 2 from doc 5
+        # one "normal" key so small and large docs coexist
+        7: "the quick brown fox jumps over the lazy dog once more",
+        8: "the quick brown fox jumps over the lazy dog once mare",  # ed 1
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, s in corpus.items()], "doc_id long, key string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in setjoin.edjoin_pairs(df).collect()
+    }
+    expect = _brute(corpus, setjoin.EDIT_DISTANCE_MAX)
+    assert got == expect
+    assert (1, 2, 1) in got and (3, 4, 2) in got and (7, 8, 1) in got
+
+
+def test_edjoin_randomized_completeness(spark):
+    """Adversarial random corpora over a 3-letter alphabet (maximally
+    colliding grams, many borderline distances): engine == DP brute
+    force for several k."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = "abc"
+    corpus = {}
+    base = "".join(rng.choice(alphabet) for _ in range(30))
+    for i in range(40):
+        s = list(base)
+        for _ in range(rng.randrange(0, 8)):
+            op = rng.randrange(3)
+            p = rng.randrange(len(s)) if s else 0
+            if op == 0 and s:
+                s[p] = rng.choice(alphabet)
+            elif op == 1:
+                s.insert(p, rng.choice(alphabet))
+            elif s:
+                del s[p]
+        corpus[i] = "".join(s)
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, key string"
+    )
+    for k in (1, 3):
+        got = {
+            (r.doc_a, r.doc_b, r.edit_dist)
+            for r in setjoin.edjoin_pairs(df, k=k).collect()
+        }
+        assert got == _brute(corpus, k), f"k={k}"
+
+
+def test_edjoin_small_block_cap_raises(spark, monkeypatch):
+    monkeypatch.setattr(setjoin, "EDJOIN_SMALL_MAX_DOCS", 3)
+    df = spark.createDataFrame(
+        [(i, "xy") for i in range(10)], "doc_id long, key string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="degenerate all-pairs block"):
+        setjoin.edjoin_pairs(df).collect()
+
+
+def test_edjoin_prefix_economy(spark, sf_dir):
+    """Candidate-side economy: each doc exposes at most q·k+1 gram rows
+    to the join — constant per row, the whole scale argument."""
+    keys = setjoin._edjoin_keys(spark, sf_dir)
+    n_docs = keys.count()
+    # reconstruct the prefix rows the operator builds
+    pos = F.posexplode(
+        F.expr(
+            f"transform(sequence(1, greatest(length(key) - {setjoin.EDJOIN_Q - 1}, 0)),"
+            f" i -> substring(key, i, {setjoin.EDJOIN_Q}))"
+        )
+    )
+    grams = keys.select("doc_id", pos.alias("p", "gr")).select("doc_id", "gr").distinct()
+    assert grams.count() > n_docs * setjoin.EDJOIN_PREFIX  # pruning is real

@@ -70,6 +70,11 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     "ivfpq_index_topk": 2,
     "snapshot_diff_orders": 4,
     "bpe_training_contract": 0,
+    # round-8: gram df agg + vocab rank window + per-doc prefix window +
+    # candidate equi-join + distinct + two verify joins + small-block
+    # count — all key-partitioned except the vocab-sized rank (see
+    # setjoin.py scale notes)
+    "edit_distance_pairs": 8,
 }
 
 

@@ -98,6 +98,11 @@ HEADLINERS = (
     # scale (order in this tuple is load-bearing).
     "ivfpq_index_topk",
     "ivfpq_serve",
+    # round 8: Ed-Join — candidate generation exposes a CONSTANT k·q+1
+    # gram rows per doc, so the sweep proves candidates (and the
+    # verify) stay work-linear as the corpus replicates; a regression
+    # to an unfiltered gram self-join would read as quadratic here.
+    "edit_distance_pairs",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -279,6 +284,7 @@ def main() -> int:
         "ngram_novelty_curve": "docs",
         "ivfpq_index_topk": "emb",
         "ivfpq_serve": "emb",
+        "edit_distance_pairs": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
