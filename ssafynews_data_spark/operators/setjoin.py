@@ -125,28 +125,21 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Ed-Join: exact edit-distance similarity join via q-gram prefix filter.
+# Pass-Join: exact edit-distance similarity join via chunk signatures.
 # ---------------------------------------------------------------------------
 
 #: Edit-distance threshold for `edit_distance_pairs` (reference parity:
 #: the notebook dedups headlines by "almost identical title" — the
 #: string-level complement of the token-level Jaccard family above).
 EDIT_DISTANCE_MAX = 4
-#: q-gram width.  One edit operation destroys at most EDJOIN_Q q-grams
-#: (it touches q gram windows), which is the whole count/prefix lemma.
-EDJOIN_Q = 3
-#: Number of rarest-first distinct q-grams each string must expose to
-#: the candidate join: q·k + 1 (Xiao et al. 2008 "Ed-Join", lemma 1 —
-#: derivation restated in edit_distance_pairs' docstring).
-EDJOIN_PREFIX = EDJOIN_Q * EDIT_DISTANCE_MAX + 1
 #: Comparison-key width: the first N chars of the document.  A fixed
-#: window bounds the per-row gram fan-out (≤ N − q + 1 grams) no matter
-#: how long the document is — the scan stays O(rows · N), not O(bytes).
+#: window bounds the per-row signature fan-out no matter how long the
+#: document is — the scan stays O(rows · k²), not O(bytes).
 EDJOIN_KEY_CHARS = 64
-#: Guard for the degenerate small-gram-set block (see docstring): if
-#: more than this many documents have < EDJOIN_PREFIX distinct grams,
-#: the all-pairs fallback block is no longer "a handful of degenerate
-#: rows" and the job raises instead of silently going quadratic.
+#: Guard for the degenerate tiny-key block (see docstring): if more
+#: than this many documents have keys of length <= k, the all-pairs
+#: fallback block is no longer "a handful of degenerate rows" and the
+#: job raises instead of silently going quadratic.
 EDJOIN_SMALL_MAX_DOCS = 1_000
 
 
@@ -158,9 +151,9 @@ def _edjoin_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "edit_distance_pairs",
-    # Exact-complete (prefix lemma, degenerate block included), so the
-    # oracle is the brute-force quadratic answer — equality holds by
-    # construction, not by fixture margin.
+    # Exact-complete (chunk pigeonhole, degenerate block included), so
+    # the oracle is the brute-force quadratic answer — equality holds
+    # by construction, not by fixture margin.
     oracle=f"""
         WITH k AS (
             SELECT doc_id, substr(text, 1, {EDJOIN_KEY_CHARS}) AS key
@@ -171,103 +164,93 @@ def _edjoin_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM k a JOIN k b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.key, b.key) <= {EDIT_DISTANCE_MAX}
     """,
-    tags=("dedup", "set-join", "edit-distance", "edjoin"),
+    tags=("dedup", "set-join", "edit-distance", "pass-join"),
 )
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact edit-distance similarity join (Ed-Join, Xiao et al. 2008):
-    all document pairs whose first-{EDJOIN_KEY_CHARS}-chars keys are
-    within Levenshtein distance EDIT_DISTANCE_MAX, without an all-pairs
-    product.  The string-level member of the near-dup ladder — catches
-    single-character edits (typos, date stamps, mojibake repairs) that
-    token-level Jaccard smears over a whole shingle.
+    """Exact edit-distance similarity join: all document pairs whose
+    first-{EDJOIN_KEY_CHARS}-chars keys are within Levenshtein distance
+    EDIT_DISTANCE_MAX, without an all-pairs product — Pass-Join chunk
+    signatures (Li, Deng, Feng, ICDE 2011).  The string-level member of
+    the near-dup ladder: catches single-character edits (typos, date
+    stamps, mojibake repairs) that token-level Jaccard smears over a
+    whole shingle.  See edjoin_pairs for the algorithm and the
+    losslessness argument.
 
-    Losslessness, spelled out (this is what lets the quadratic oracle
-    hash-match by construction):
-
-    - one edit operation overlaps at most q gram windows, so it removes
-      at most q values from a key's DISTINCT q-gram set; ed(a,b) <= k
-      implies |G_a ∩ G_b| >= max(|G_a|,|G_b|) − k·q  (count lemma);
-    - order all grams by one global total order (rarest document-
-      frequency first — any fixed order is correct, this one minimizes
-      candidates); if |G_a ∩ G_b| >= t >= 1 then the length-(|G|−t+1)
-      prefixes share >= 1 gram (prefix lemma), and |G| − t + 1 <= k·q+1,
-      so exposing min(|G|, k·q + 1) grams per key suffices WHENEVER
-      max(|G_a|,|G_b|) >= k·q + 1;
-    - the remaining pairs — BOTH keys with < k·q + 1 distinct grams
-      (near-degenerate repetitive or tiny strings; zero rows on the
-      fixtures, asserted in tests) — go through an explicit small×small
-      block guarded by EDJOIN_SMALL_MAX_DOCS, so completeness never
-      silently depends on the corpus being nice.
-
-    Verification is row-local: ``levenshtein(a, b, k)`` (the
-    threshold form — JVM-side banded DP that early-exits at k+1, so
-    verify cost is O(k·|key|) per candidate, not O(|key|²)).
-
-    At 100 TB: gram document frequencies are a vocab-sized aggregate;
-    candidate generation joins only k·q+1 rows per document (constant!),
-    so the shuffle is O(rows), and the verify touches candidates only —
-    same shape as prefix_filter_jaccard_pairs / the MinHash chain.
+    History note: the first cut used Ed-Join q-gram prefix filtering
+    (Xiao et al. 2008) — lossless, but candidates join on 3-char gram
+    VALUES, whose selectivity collapses on low-entropy text (the scale
+    sweep read alpha 1.52 / 968 s at 50k replicated synthetic docs:
+    even each doc's rarest trigrams had thousands-deep buckets).
+    Chunk signatures join on ~{EDJOIN_KEY_CHARS // (EDIT_DISTANCE_MAX + 1)}-char
+    substrings instead, so bucket depth tracks true near-duplicates
+    rather than alphabet entropy.
     """
     return edjoin_pairs(pin(_edjoin_keys(spark, sf_dir)))
 
 
 def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
-    """Core Ed-Join over a ``(doc_id, key)`` frame — see
-    edit_distance_pairs for the lemma walkthrough.  Factored out so the
-    completeness property (engine == brute-force DP) is testable on
-    adversarial synthetic corpora, including the degenerate small-gram
-    block the parquet fixtures never exercise."""
-    prefix_len = EDJOIN_Q * k + 1
-    pos = F.posexplode(
-        F.expr(
-            f"transform(sequence(1, greatest(length(key) - {EDJOIN_Q - 1}, 0)),"
-            f" i -> substring(key, i, {EDJOIN_Q}))"
-        )
-    )
-    grams = (
-        keys.select("doc_id", pos.alias("p", "gr"))
-        .select("doc_id", "gr")
-        .distinct()
-    )
-    nd = grams.groupBy("doc_id").agg(F.count("*").alias("nd"))
-    # rarest-first global order; rank() over the vocab-sized frequency
-    # table (same shape as prefix_rows above)
-    freq = grams.groupBy("gr").agg(F.count("*").alias("df"))
-    order = freq.withColumn("r", F.row_number().over(W.orderBy("df", "gr"))).select(
-        "gr", "r"
-    )
-    ranked = grams.join(order, "gr")
-    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("r"))
-    pref = (
-        ranked.withColumn("rk", rk)
-        .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "gr")
-    )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "gr")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "gr")
+    """Core Pass-Join over a ``(doc_id, key)`` frame.
+
+    Losslessness (this is what lets the quadratic oracle hash-match by
+    construction): split each key into k+1 contiguous CHUNKS.  Along an
+    optimal alignment, a substitution or deletion in `a` touches
+    exactly one chunk of `a` and an insertion touches none, so <= k
+    edits leave >= 1 chunk untouched (pigeonhole).  An untouched chunk
+    appears VERBATIM in `b`, shifted by the net indel count before it —
+    at most k positions.  Therefore every pair within distance k shares
+    (chunk i of the chunked side) == (substring of the probed side at a
+    position within ±k of chunk i's start), and an equi-join of chunk
+    rows against enumerated probe substrings has zero false negatives.
+
+    - Chunk side: every key with length >= k+1 emits its k+1 chunks
+      (lengths L div (k+1) ± 1, deterministic split).
+    - Probe side: every key emits, for each chunk index i and each
+      possible chunked-side length La in [len−k, len+k] ∩ [k+1, cap],
+      its substrings at positions start_i(La) ± k of length clen_i(La)
+      — O(k²) rows per doc before dedup, CONSTANT per row.
+    - Pairs where BOTH keys are shorter than k+1 (no chunking possible)
+      go through an explicit small×small block guarded by
+      EDJOIN_SMALL_MAX_DOCS — completeness never silently depends on
+      the corpus being nice.  (A pair with one side >= k+1 is covered:
+      that side chunks, the tiny side probes.)
+
+    Verification is row-local: ``levenshtein(a, b, k)`` — the
+    threshold form, a JVM-side banded DP that early-exits at k+1, so
+    verify cost is O(k·|key|) per candidate, not O(|key|²).
+
+    At 100 TB: both signature sides are a constant number of rows per
+    document (k+1 chunks; <= (k+1)(2k+1)² probes), so the candidate
+    equi-join shuffles O(rows) regardless of corpus size, and — unlike
+    gram-value prefixes — the join key is a (length/(k+1))-char
+    substring, selective even on low-alphabet text.  The verify
+    touches candidates only, exactly like the MinHash chain.
+    """
+    n_chunks = k + 1
+    lb = F.length("key")
+    chunk_side = _chunk_rows(keys, k)
+    probe_side = _probe_rows(keys, k)
+
     cands = (
-        a.join(b, "gr")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        chunk_side.join(probe_side, ["i", "sig"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
-    # degenerate block: keys with < prefix-length distinct grams (incl.
-    # gram-less keys shorter than q, which never reach `grams`).  Both
-    # sides small → the lemma's overlap bound is vacuous → compare them
-    # all, under a loud cap.
-    small = (
-        keys.join(nd, "doc_id", "left")
-        .filter(F.coalesce("nd", F.lit(0)) < prefix_len)
-        .select("doc_id")
-    )
+
+    # degenerate block: keys too short to cut into k+1 chunks.  A pair
+    # is missed above only when BOTH sides are tiny — compare those
+    # all-pairs, under a loud cap.
+    small = keys.filter(lb < n_chunks).select("doc_id")
     n_small = small.count()
     if n_small > EDJOIN_SMALL_MAX_DOCS:
         raise ValueError(
-            f"edit_distance_pairs: {n_small} documents have fewer than "
-            f"{prefix_len} distinct {EDJOIN_Q}-grams in their first "
-            f"{EDJOIN_KEY_CHARS} chars (cap {EDJOIN_SMALL_MAX_DOCS}); the "
+            f"edit_distance_pairs: {n_small} documents have keys shorter "
+            f"than {n_chunks} chars (cap {EDJOIN_SMALL_MAX_DOCS}); the "
             "degenerate all-pairs block would dominate — raise the cap "
-            "deliberately or widen EDJOIN_KEY_CHARS."
+            "deliberately or reconsider the key definition."
         )
     if n_small:
         sa = small.select(F.col("doc_id").alias("doc_a"))
@@ -276,6 +259,7 @@ def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
             F.broadcast(sa).crossJoin(sb).filter(F.col("doc_a") < F.col("doc_b"))
         )
         cands = cands.unionByName(small_pairs).distinct()
+
     ka = keys.select(F.col("doc_id").alias("doc_a"), F.col("key").alias("key_a"))
     kb = keys.select(F.col("doc_id").alias("doc_b"), F.col("key").alias("key_b"))
     ed = F.levenshtein("key_a", "key_b", k)
@@ -286,4 +270,92 @@ def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
         # threshold form returns -1 when distance exceeds the bound
         .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )
+
+
+def _chunk_rows(keys: DataFrame, k: int) -> DataFrame:
+    """(doc_a, i, sig): the k+1 chunks of every chunkable key —
+    exactly k+1 rows per document of length >= k+1."""
+    n_chunks = k + 1
+    lb = F.length("key")
+    return (
+        keys.filter(lb >= n_chunks)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("key").alias("key_a"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+            (lb / n_chunks).cast("int").alias("base"),
+            (lb % n_chunks).alias("rem"),
+        )
+        .select(
+            "doc_a",
+            "i",
+            F.expr(
+                "substring(key_a, i * base + least(i, rem) + 1,"
+                " base + if(i < rem, 1, 0))"
+            ).alias("sig"),
+        )
+    )
+
+
+def _probe_rows(keys: DataFrame, k: int) -> DataFrame:
+    """(doc_b, i, sig): for every key, the substrings any chunk of a
+    within-distance-k partner could land on — (i, La, p) triple
+    explode, all windows bounded by k (<= (k+1)(2k+1)² rows per doc
+    before dedup).  The CASE guards keep sequence() from running
+    descending when a window is empty near the string edges."""
+    n_chunks = k + 1
+    return (
+        keys.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("key").alias("key_b"),
+            F.length("key").alias("lb"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .select(
+            "doc_b",
+            "key_b",
+            "lb",
+            "i",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN greatest(lb - {k}, {n_chunks})"
+                    f"       <= least(lb + {k}, {EDJOIN_KEY_CHARS})"
+                    f" THEN sequence(greatest(lb - {k}, {n_chunks}),"
+                    f"               least(lb + {k}, {EDJOIN_KEY_CHARS}))"
+                    " ELSE array() END"
+                )
+            ).alias("la"),
+        )
+        .select(
+            "doc_b",
+            "key_b",
+            "i",
+            F.expr(f"la div {n_chunks} + if(i < la % {n_chunks}, 1, 0)").alias("clen"),
+            F.expr(
+                f"i * (la div {n_chunks}) + least(i, la % {n_chunks}) + 1"
+            ).alias("cstart"),
+            "lb",
+        )
+        .select(
+            "doc_b",
+            "key_b",
+            "i",
+            "clen",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN greatest(cstart - {k}, 1)"
+                    f"       <= least(cstart + {k}, lb - clen + 1)"
+                    f" THEN sequence(greatest(cstart - {k}, 1),"
+                    f"               least(cstart + {k}, lb - clen + 1))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_b",
+            "i",
+            F.expr("substring(key_b, p, clen)").alias("sig"),
+        )
+        .distinct()
     )

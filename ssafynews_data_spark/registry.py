@@ -176,10 +176,12 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: banded surfaces' subset + recall-floor guarantees restated as
 #: oracle-bearing contracts after the reseed findings (their pair-list
 #: queries are rows-only by design); plus edit_distance_pairs
-#: (setjoin.py — Ed-Join, exact-complete vs its quadratic levenshtein
-#: oracle by the q-gram prefix lemma; the degenerate small-gram block
-#: is property-tested on adversarial corpora).  They head the round-9
-#: promotion list.
+#: (setjoin.py — Pass-Join chunk signatures, exact-complete vs its
+#: quadratic levenshtein oracle by the chunk pigeonhole; the
+#: degenerate tiny-key block is property-tested on adversarial
+#: corpora, and the scale sweep drove the algorithm choice: the first
+#: Ed-Join gram-prefix cut read alpha 1.52 on low-entropy text and was
+#: replaced the same session).  They head the round-9 promotion list.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the

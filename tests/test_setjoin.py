@@ -159,17 +159,17 @@ def test_edjoin_small_block_cap_raises(spark, monkeypatch):
         setjoin.edjoin_pairs(df).collect()
 
 
-def test_edjoin_prefix_economy(spark, sf_dir):
-    """Candidate-side economy: each doc exposes at most q·k+1 gram rows
-    to the join — constant per row, the whole scale argument."""
+def test_edjoin_signature_economy(spark, sf_dir):
+    """Candidate-side economy — the whole scale argument: both
+    signature sides are a CONSTANT number of rows per document
+    (chunks: exactly k+1; probes: <= (k+1)(2k+1)² before dedup),
+    so the candidate join shuffles O(rows) at any corpus size."""
+    k = setjoin.EDIT_DISTANCE_MAX
     keys = setjoin._edjoin_keys(spark, sf_dir)
     n_docs = keys.count()
-    # reconstruct the prefix rows the operator builds
-    pos = F.posexplode(
-        F.expr(
-            f"transform(sequence(1, greatest(length(key) - {setjoin.EDJOIN_Q - 1}, 0)),"
-            f" i -> substring(key, i, {setjoin.EDJOIN_Q}))"
-        )
-    )
-    grams = keys.select("doc_id", pos.alias("p", "gr")).select("doc_id", "gr").distinct()
-    assert grams.count() > n_docs * setjoin.EDJOIN_PREFIX  # pruning is real
+    chunks = setjoin._chunk_rows(keys, k)
+    per_doc = {r.doc_a: r.n for r in chunks.groupBy("doc_a").agg(
+        F.count("*").alias("n")).collect()}
+    assert all(n == k + 1 for n in per_doc.values())
+    probes = setjoin._probe_rows(keys, k)
+    assert probes.count() <= n_docs * (k + 1) * (2 * k + 1) ** 2

@@ -70,11 +70,10 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     "ivfpq_index_topk": 2,
     "snapshot_diff_orders": 4,
     "bpe_training_contract": 0,
-    # round-8: gram df agg + vocab rank window + per-doc prefix window +
-    # candidate equi-join + distinct + two verify joins + small-block
-    # count — all key-partitioned except the vocab-sized rank (see
-    # setjoin.py scale notes)
-    "edit_distance_pairs": 8,
+    # round-8 (Pass-Join): candidate signature equi-join + pair
+    # distinct; the probe-side distinct and both verify joins ride the
+    # same two exchanges under AQE
+    "edit_distance_pairs": 2,
 }
 
 
