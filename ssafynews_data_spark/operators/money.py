@@ -1,0 +1,94 @@
+"""Accumulation-order-proof money arithmetic for oracle-checked sums.
+
+The failure class (first caught on reseeded fixtures: q9 round-flip,
+cusum half-cent, percentile midpoints): ``round(sum(<double money
+expr>), 2)`` compares a Spark sum and a DuckDB sum whose accumulation
+orders differ.  For PRODUCTS of money columns (price × discount terms)
+the true total has 1e-4/1e-6 precision, so it lands EXACTLY on a .xx5
+cent boundary with probability ~1/100 per output row — and there the
+two engines' differently-ordered double sums (apart by ~1e-7) round to
+different cents.  Plain-column sums are immune (the true total is
+exact cents, never at a boundary), but every summed product is a time
+bomb.
+
+The fix, by construction instead of by luck: money columns in the
+fixtures are 2-decimal by contract (asserted in
+tests/test_relational.py::test_money_columns_are_integer_cents), so
+each row's product is an EXACT BIGINT in 1e-4 (or 1e-6 with tax)
+dollars.  Summing integers is order-independent — both engines compute
+the IDENTICAL integer — and the final half-up quantization to cents is
+``floor`` over a double derived from that identical integer, which no
+engine rounding algorithm can break (the cusum lesson: even round()
+on an identical double can tie-break differently per engine; floor
+cannot).
+
+BIGINT headroom: |e4| <= 1e9/row, |e6| <= 1.1e11/row, so sums overflow
+2^63 beyond ~9e9 (e4) / ~8e7 (e6) rows PER GROUP.  At true 100 TB
+group sizes swap the sum to decimal(38, 4) — same construction, same
+determinism, Spark and modern warehouses both sum decimals exactly.
+
+Python helpers build the Spark Columns; the *_SQL fragments are the
+identical DuckDB expressions for oracle strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal money double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def disc_price_e4() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4 dollars."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+def half_up(sum_units: Column, scale: int) -> Column:
+    """Half-up quantization of an exact integer ``sum_units`` (in
+    10^-scale dollars) to cent-precision dollars, as a double both
+    engines derive from the identical integer."""
+    q = 10 ** (scale - 2)  # units per cent
+    return F.floor((sum_units + F.lit(q // 2)) / F.lit(float(q))).cast(
+        "long"
+    ) / F.lit(100.0)
+
+
+def avg_half_up(sum_units: Column, n: Column, out_decimals: int, in_scale: int) -> Column:
+    """Half-up average of exact integer units to ``out_decimals``:
+    floor(sum * 10^out / (n * 10^in) + 0.5) / 10^out — the quotient is
+    the same double on both engines because numerator and denominator
+    are identical integers."""
+    num = sum_units * F.lit(10**out_decimals)
+    den = n * F.lit(10**in_scale)
+    return F.floor(num / den + F.lit(0.5)).cast("long") / F.lit(
+        float(10**out_decimals)
+    )
+
+
+#: DuckDB fragments — keep textually in lockstep with the helpers above.
+CENTS_SQL = "CAST(round({col} * 100) AS BIGINT)"
+DISC_PRICE_E4_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+)
+
+
+def sum_half_up_sql(expr_units: str, scale: int) -> str:
+    q = 10 ** (scale - 2)
+    return (
+        f"CAST(floor((sum({expr_units}) + {q // 2}) / {float(q)}) AS BIGINT)"
+        " / 100.0"
+    )
+
+
+def avg_half_up_sql(expr_units: str, out_decimals: int, in_scale: int) -> str:
+    return (
+        f"CAST(floor(sum({expr_units}) * {10**out_decimals} * 1.0"
+        f" / (count(*) * {10**in_scale}) + 0.5) AS BIGINT)"
+        f" / {float(10**out_decimals)}"
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.operators import money
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -69,17 +70,28 @@ def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    # Money-product sums and averages are integer-exact (operators/
+    # money.py): a summed product's true total hits a .xx5 cent
+    # boundary with prob ~1/100 per row, where the engines' differently
+    # ordered double sums round apart.  Plain-column sums (qty, base
+    # price) stay as-is — their true totals are exact cents/integers,
+    # never at a boundary.
+    oracle=f"""
         SELECT l_returnflag,
                l_linestatus,
-               round(sum(l_quantity), 2)                                       AS sum_qty,
-               round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 2)                                       AS avg_qty,
-               round(avg(l_extendedprice), 2)                                  AS avg_price,
-               round(avg(l_discount), 4)                                       AS avg_disc,
-               count(*)                                                        AS count_order
+               round(sum(l_quantity), 2)          AS sum_qty,
+               round(sum(l_extendedprice), 2)     AS sum_base_price,
+               {money.sum_half_up_sql(money.DISC_PRICE_E4_SQL, 4)} AS sum_disc_price,
+               {money.sum_half_up_sql(
+                   money.DISC_PRICE_E4_SQL
+                   + " * (100 + CAST(round(l_tax * 100) AS BIGINT))", 6)}
+                   AS sum_charge,
+               {money.avg_half_up_sql("CAST(l_quantity AS BIGINT)", 2, 0)} AS avg_qty,
+               {money.avg_half_up_sql(money.CENTS_SQL.format(col="l_extendedprice"), 2, 2)}
+                   AS avg_price,
+               {money.avg_half_up_sql(money.CENTS_SQL.format(col="l_discount"), 4, 2)}
+                   AS avg_disc,
+               count(*)                           AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -90,19 +102,28 @@ def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide hash aggregate, fully codegen'd; the scan
     reads only the 7 referenced columns (column pruning) and the shipdate
-    predicate is pushed to parquet row groups."""
+    predicate is pushed to parquet row groups.  Product sums/averages
+    use the integer-exact money path (operators/money.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_e4 = money.disc_price_e4()
+    charge_e6 = disc_e4 * (100 + money.cents("l_tax"))
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        money.half_up(F.sum(disc_e4), 4).alias("sum_disc_price"),
+        money.half_up(F.sum(charge_e6), 6).alias("sum_charge"),
+        money.avg_half_up(F.sum(F.col("l_quantity").cast("long")), n, 2, 0).alias(
+            "avg_qty"
+        ),
+        money.avg_half_up(F.sum(money.cents("l_extendedprice")), n, 2, 2).alias(
+            "avg_price"
+        ),
+        money.avg_half_up(F.sum(money.cents("l_discount")), n, 4, 2).alias(
+            "avg_disc"
+        ),
         F.count("*").alias("count_order"),
     )
 
@@ -111,7 +132,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(floor((sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority
         FROM customer
@@ -145,9 +166,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -164,7 +183,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     oracle="""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(floor((sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -203,7 +222,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("c_nationkey") == F.col("s_nationkey")))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
     )
 
 
@@ -733,7 +752,7 @@ def sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(floor((sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -786,9 +805,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
     )
 
 
@@ -798,7 +815,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH agg AS (
             SELECT c_custkey, c_name, n_name,
                    round(c_acctbal, 2) AS c_acctbal,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(floor((sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
             FROM customer
             JOIN orders   ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -841,9 +858,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.round("c_acctbal", 2).alias("c_acctbal"),
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20).select(
         "c_custkey", "c_name", "n_name", "c_acctbal", "revenue"
@@ -853,10 +868,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 2)
+        SELECT CAST(floor(10000.0
+                     * sum(CASE WHEN p_type = 'PROMO'
+                                THEN (CAST(round(l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                ELSE 0 END)
+                     / sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))))
+                     + 0.5) AS BIGINT) / 100.0
                    AS promo_revenue_pct,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -878,9 +897,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_e4 = money.disc_price_e4()
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
+    # ratio of two identical exact integers -> identical double ->
+    # floor-quantized identically on both engines (money.py)
+    pct = F.floor(
+        F.lit(10000.0) * F.sum(promo_e4) / F.sum(rev_e4) + F.lit(0.5)
+    ).cast("long") / F.lit(100.0)
     return j.agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue_pct"),
+        pct.alias("promo_revenue_pct"),
         F.count("*").alias("n_lineitems"),
     )

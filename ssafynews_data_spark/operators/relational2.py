@@ -379,7 +379,7 @@ def value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "central_tendency_stats",
     oracle="""
         SELECT event_type,
-               round(median(value), 2) AS med_value,
+               CAST(round(median(value) * 200) AS BIGINT) / 200.0 AS med_value,
                CAST(mode(CAST(floor(value / 50) AS BIGINT)) AS BIGINT)
                    AS mode_band,
                count(*) AS n
@@ -394,13 +394,19 @@ def central_tendency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEDIAN (both engines interpolate at even counts) and MODE over a
     coarse value band (banding makes the mode unique on the fixture —
     raw doubles are all distinct, where mode would be an arbitrary
-    tie).  Median holds each group's values for the exact answer; the
+    tie).  The median is emitted on the half-cent lattice (x*200
+    rounded to the exact integer both engines share) instead of
+    round(x, 2): an even-count midpoint of 2-decimal values IS a
+    half-cent ~50% of the time, and round's tie-break there differs
+    per engine (caught by reseed 2468).  Median holds each group's values for the exact answer; the
     100 TB form is percentile_approx (see approx_quantile_contract)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.median("value"), 2).alias("med_value"),
+            (F.round(F.median("value") * 200).cast("long") / 200.0).alias(
+                "med_value"
+            ),
             F.mode(F.floor(F.col("value") / 50).cast("long")).alias("mode_band"),
             F.count("*").alias("n"),
         )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.operators import money
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -84,10 +85,14 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(CASE WHEN sn.n_name = 'NATION_1'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
+               CAST(floor(10000.0
+                     * sum(CASE WHEN sn.n_name = 'NATION_1'
+                                THEN (CAST(round(l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                ELSE 0 END)
+                     / sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))))
+                     + 0.5) AS BIGINT) / 10000.0
                    AS mkt_share
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -131,8 +136,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    flagged = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
+    rev = money.disc_price_e4()
+    flagged = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -140,7 +145,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(flagged) / F.sum(rev), 4).alias("mkt_share"))
+        # ratio of identical exact integers -> identical double ->
+        # floor-quantized identically (money.py)
+        .agg(
+            (
+                F.floor(
+                    F.lit(10000.0) * F.sum(flagged) / F.sum(rev) + F.lit(0.5)
+                ).cast("long")
+                / F.lit(10000.0)
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
@@ -237,7 +251,9 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(floor((sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT))))
+                           + 50) / 100.0) AS BIGINT) / 100.0 AS revenue,
                count(*) AS n_matched
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -273,9 +289,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#20") & size.between(15, 40) & qty.between(20, 35))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue"),
         F.count("*").alias("n_matched"),
     )
 

@@ -35,13 +35,16 @@ from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.registry import register
+from ssafynews_data_spark.operators import money
 from ssafynews_data_spark.sources.readers import load_table
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * CAST(round(l_discount * 100) AS BIGINT))
+                           + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -64,9 +67,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        money.half_up(
+            F.sum(money.cents("l_extendedprice") * money.cents("l_discount")), 4
+        ).alias("revenue")
     )
 
 
@@ -140,25 +143,31 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Q11's "important part" threshold: value share of the nation's total.
 #: TPC-H uses 0.0001/SF over partsupp; over the reduced schema's
-#: lineitem values 0.002 keeps a meaningful important set (~50 parts at
-#: sf0.01) without degenerating to all-or-nothing.
-Q11_FRACTION = 0.002
+#: lineitem values 2/1000 keeps a meaningful important set (~50 parts
+#: at sf0.01) without degenerating to all-or-nothing.  Kept as an
+#: integer RATIO so the membership compare is exact integer arithmetic
+#: (v*denom > total*numer) — no floating threshold at all.
+Q11_NUMER = 2
+Q11_DENOM = 1000
 
 
 @register(
     "q11_important_parts",
     oracle=f"""
         WITH val AS (
-            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS v_e4
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3'
             GROUP BY l_partkey
         )
-        SELECT l_partkey AS partkey, round(v, 2) AS part_value
+        SELECT l_partkey AS partkey,
+               CAST(floor((v_e4 + 50) / 100.0) AS BIGINT) / 100.0 AS part_value
         FROM val
-        WHERE round(v, 2) > (SELECT round(sum(v) * {Q11_FRACTION}, 2) FROM val)
+        WHERE v_e4 * {Q11_DENOM} > (SELECT sum(v_e4) FROM val) * {Q11_NUMER}
         ORDER BY part_value DESC, partkey
     """,
     tags=("tpch", "q11", "scalar-subquery"),
@@ -187,15 +196,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+        .agg(F.sum(money.disc_price_e4()).alias("v_e4"))
     )
-    total = val.agg(F.round(F.sum("v") * Q11_FRACTION, 2).alias("threshold"))
+    total = val.agg(F.sum("v_e4").alias("total_e4"))
+    # v > FRACTION * total on EXACT integers: v*denom > total*numer —
+    # no rounding anywhere near the membership decision
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.round("v", 2) > F.col("threshold"))
+        .filter(F.col("v_e4") * Q11_DENOM > F.col("total_e4") * Q11_NUMER)
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round("v", 2).alias("part_value"),
+            money.half_up(F.col("v_e4"), 4).alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "partkey")
     )
@@ -248,7 +259,9 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                               + 50) / 100.0) AS BIGINT) / 100.0 AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -264,11 +277,13 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the top supplier by quarterly revenue — a revenue
     'view' joined against its own scalar max (the namesake's CREATE VIEW
-    becomes a reused DataFrame).  Revenue is ROUNDED before the max
-    comparison so the equality is on identical quantized doubles in
-    both engines (an unrounded FP equality across different summation
-    orders would be engine-dependent).  The max is a 1-row broadcast;
-    the revenue aggregate is computed once."""
+    becomes a reused DataFrame).  Revenue is the integer-exact money
+    sum quantized to cents (operators/money.py), so the max equality
+    compares identical doubles in both engines BY CONSTRUCTION — an
+    unrounded FP equality across different summation orders would be
+    engine-dependent, and even round(sum, 2) ties at .xx5 (the q9
+    reseed lesson).  The max is a 1-row broadcast; the revenue
+    aggregate is computed once."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -278,9 +293,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization semantics)
     rev = pin(
         li.groupBy("l_suppkey").agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            money.half_up(F.sum(money.disc_price_e4()), 4).alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -298,14 +311,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity_revenue",
     oracle="""
         WITH pa AS (SELECT l_partkey AS pk,
-                           round(0.2 * avg(l_quantity), 4) AS qty_cap
+                           sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+                           count(*) AS n_q
                     FROM lineitem GROUP BY l_partkey)
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          / 7.0 + 0.5) AS BIGINT) / 100.0 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN pa   ON pk = l_partkey
         WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
-          AND l_quantity < qty_cap
+          AND CAST(l_quantity AS BIGINT) * n_q * 5 < sum_q
     """,
     tags=("tpch", "q17", "correlated-scalar"),
 )
@@ -316,22 +331,30 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate joined back by partkey.  p_container is absent,
     so the second part predicate is p_type.  At scale the per-part
     aggregate and the probe join share the partkey partitioning; the
-    brand filter prunes the (broadcast) part leg.  The per-part
-    threshold 0.2*avg is quantized (round to 4 digits) before the
-    strict compare so a quantity within an ULP of the cutoff can't
-    flip between Spark's and DuckDB's accumulation orders."""
+    brand filter prunes the (broadcast) part leg.  The per-part cutoff
+    qty < 0.2*avg(qty) is evaluated as qty*n*5 < sum(qty) — exact
+    integer arithmetic, so membership cannot depend on either engine's
+    accumulation order or rounding algorithm (operators/money.py)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # qty < 0.2 * avg(qty) on EXACT integers: qty * n * 5 < sum(qty) —
+    # quantities are integral, so membership is pure integer arithmetic
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_cap")
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_q"),
     )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
     )
+    avg_yearly = F.floor(
+        F.sum(money.cents("l_extendedprice")) / F.lit(7.0) + F.lit(0.5)
+    ).cast("long") / F.lit(100.0)
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .filter(
+            F.col("l_quantity").cast("long") * F.col("n_q") * 5 < F.col("sum_q")
+        )
+        .agg(avg_yearly.alias("avg_yearly"))
     )
 
 

@@ -904,9 +904,17 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ones.  (VERDICT r4 "What's missing" #3.)
 # ---------------------------------------------------------------------------
 
-#: aggregate-recall floors, identical to tests/test_similarity.py
+#: aggregate-recall floors, identical to tests/test_similarity.py.
+#: The IVF floor must hold across EMBEDDING DRAWS, not just seed 42:
+#: with nprobe=2 of 8 cells on near-random unit vectors, per-neighbor
+#: cell-hit probability is ~0.5, so 50-row recall is binomial with
+#: sd ~7 points — a seven-seed survey (42/777/1234/555/31337/99/2468)
+#: measured 36-60%.  30 sits ~3 sd under the mean (a fixture draw
+#: cannot sink it) while a real probe regression reads ~0-12%.  The
+#: earlier 40 was set on the seed-42 draw alone and seed 99 (36%)
+#: legitimately broke it — the same lesson as the minhash chain floor.
 LSH_RECALL_MIN_PCT = 60
-IVF_RECALL_MIN_PCT = 40
+IVF_RECALL_MIN_PCT = 30
 
 _EXACT_TOPK_CTE = f"""
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -1498,10 +1506,12 @@ def pq_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 0.52 / 0.60 (deterministic: seeded KMeans + seeded sampled
 #: codebooks) — 100% / 97% of the cap, i.e. quantization loss is gone
 #: and what remains is pure probe coverage (raw-vector encoding left
-#: sf0.1 at 0.54 = 87% of cap).  The floor was raised 40 → 45 on the
-#: residual measurement and keeps a 7-point margin under the lowest SF
-#: for fixture regeneration.
-IVFPQ_RECALL_MIN_PCT = 45
+#: sf0.1 at 0.54 = 87% of cap).  The floor matches IVF_RECALL_MIN_PCT:
+#: residual encoding closed the gap to the probe-coverage cap, so the
+#: binding constraint is the same cell-hit binomial as flat IVF — the
+#: seven-seed survey (36-60%, sd ~7 points) applies verbatim, and the
+#: seed-42-calibrated 45 broke on seed 99's draw exactly like IVF's 40.
+IVFPQ_RECALL_MIN_PCT = 30
 
 
 def _pq_codebooks_residual(assigned: DataFrame, centers: "np.ndarray") -> list:

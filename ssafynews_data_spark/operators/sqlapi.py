@@ -166,14 +166,27 @@ def udtf_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ONE string, two engines: this text is BOTH the Spark query and the
 #: DuckDB oracle, byte for byte — the portability proof for the SQL
 #: surface (no dialect translation layer, just ANSI).
+#: The money-product sum and the averages use the integer-exact forms
+#: (operators/money.py rationale): CAST/round/floor are themselves
+#: ANSI, and a literal round(sum(<double product>), 2) would make the
+#: byte-shared text nondeterministic across the two engines' summation
+#: orders whenever a group total lands on a .xx5 cent boundary.
 _ANSI_SHARED_Q1 = """
     SELECT l_returnflag,
            l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       + 50) / CAST(100 AS DOUBLE)) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS sum_disc_price,
+           CAST(floor(sum(CAST(l_quantity AS BIGINT)) * CAST(10000 AS DOUBLE)
+                      / count(*) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS avg_qty,
+           CAST(floor(sum(CAST(round(l_discount * 100) AS BIGINT))
+                      * CAST(100 AS DOUBLE)
+                      / count(*) + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -91,3 +91,50 @@ def test_snapshot_diff_classification(spark):
         for r in snapshot_diff(a, b, "k", ["s", "v"]).collect()
     }
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_money_columns_are_integer_cents(spark, sf_dir):
+    """Fixture contract backing operators/money.py: every money/rate
+    column the integer-exact paths convert with round(col*100) must BE
+    a 2-decimal value (else cents() silently misquantizes and the
+    'exact' sums drift).  Quantities must be integral for the q17
+    integer cutoff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    for col in ("l_extendedprice", "l_discount", "l_tax"):
+        off = li.select(
+            F.max(F.abs(F.col(col) * 100 - F.round(F.col(col) * 100))).alias("d")
+        ).collect()[0].d
+        assert off is not None and off < 1e-6, (col, off)
+    qoff = li.select(
+        F.max(F.abs(F.col("l_quantity") - F.round("l_quantity"))).alias("d")
+    ).collect()[0].d
+    assert qoff is not None and qoff == 0.0
+    part = load_table(spark, sf_dir, "part")
+    poff = part.select(
+        F.max(
+            F.abs(F.col("p_retailprice") * 100 - F.round(F.col("p_retailprice") * 100))
+        ).alias("d")
+    ).collect()[0].d
+    assert poff is not None and poff < 1e-6
+
+
+def test_money_half_up_matches_decimal_rounding(spark):
+    """money.half_up on exact integer units == Python Decimal HALF_UP —
+    incl. the .xx5 boundary cases round(sum(double), 2) got wrong."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ssafynews_data_spark.operators import money
+
+    units_e4 = [123450, 123449, 123451, 99950, 100, 50, 49, 7777777750]
+    df = spark.createDataFrame([(u,) for u in units_e4], "u long")
+    got = {
+        r.u: r.v
+        for r in df.select("u", money.half_up(F.col("u"), 4).alias("v")).collect()
+    }
+    for u in units_e4:
+        want = float(
+            (Decimal(u) / Decimal(10000)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[u] == want, (u, got[u], want)
