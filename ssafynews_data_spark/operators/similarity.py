@@ -1804,24 +1804,76 @@ def ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_frame(spark, _corpus(spark, sf_dir), _ivfpq_path(sf_dir))
 
 
+#: residual-encoding retention: IVF-PQ must keep at least this share
+#: of flat-IVF's hits ON THE SAME probes.  Unlike an absolute recall
+#: floor (cell-hit binomial, varies 36-60% across embedding draws —
+#: see IVF_RECALL_MIN_PCT), the RATIO isolates quantization loss from
+#: probe coverage and is draw-independent: residual codes measured
+#: 100% retention on all seven survey seeds, raw-vector codes ~87%.
+#: This is the draw-robust form of the r7 directive "raise the floor
+#: to the measured residual recall" — an absolute floor high enough to
+#: certify residual encoding (45) is sunk by a legitimate draw
+#: (seed 99: 36%), so the certification moved into the ratio.
+IVFPQ_RETENTION_MIN_PCT = 95
+
+_IVFPQ_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
+        SELECT count(DISTINCT query_id) AS n_queries,
+               count(*) AS n_exact_rows,
+               round(sum(sim), 3) AS exact_sim_sum,
+               TRUE AS recall_ok,
+               TRUE AS retention_ok
+        FROM topk
+    """
+
+
 @register(
     "ivfpq_recall_contract",
-    oracle=_ANN_CONTRACT_ORACLE,
+    oracle=_IVFPQ_CONTRACT_ORACLE,
     tags=("similarity", "ivf", "pq", "contract"),
 )
 def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable contract for ``ivfpq_index_topk`` (same frame as
-    the LSH/IVF/PQ contracts): DuckDB recomputes the exact top-k facts,
-    Spark asserts IVF-PQ aggregate recall >= IVFPQ_RECALL_MIN_PCT.  The
-    floor is the lowest of the ladder — cell pruning (nprobe=2 of 8)
-    bounds attainable recall; residual encoding (r8) removed the
-    quantization loss on top of it, which is what let the floor rise
-    40 → 45."""
-    return _ann_recall_contract(
-        spark,
-        sf_dir,
-        lambda: ivfpq_index_topk(spark, sf_dir),
-        IVFPQ_RECALL_MIN_PCT,
+    """Driver-checkable contract for ``ivfpq_index_topk``: DuckDB
+    recomputes the exact top-k facts; Spark asserts (a) aggregate
+    recall >= IVFPQ_RECALL_MIN_PCT (the probe-coverage floor shared
+    with flat IVF) and (b) the residual-encoding guarantee — IVF-PQ
+    retains >= IVFPQ_RETENTION_MIN_PCT of flat IVF's hits on the same
+    nprobe/IVF_K probes, so quantization loss is certified ~zero
+    independent of the embedding draw (see the constant's ladder)."""
+    if _corpus(spark, sf_dir).isEmpty():
+        return spark.createDataFrame(
+            [(0, 0, None, True, True)],
+            "n_queries long, n_exact_rows long, exact_sim_sum double,"
+            " recall_ok boolean, retention_ok boolean",
+        )
+    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
+    pq_hits = (
+        ivfpq_index_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    )
+    ivf_hits = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    )
+    e = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_rows"),
+        F.round(F.sum("sim"), 3).alias("exact_sim_sum"),
+    )
+    h = pq_hits.agg(F.count("*").alias("n_pq_hits")).crossJoin(
+        ivf_hits.agg(F.count("*").alias("n_ivf_hits"))
+    )
+    return e.crossJoin(h).select(
+        "n_queries",
+        "n_exact_rows",
+        "exact_sim_sum",
+        (F.col("n_pq_hits") * 100 >= F.col("n_exact_rows") * IVFPQ_RECALL_MIN_PCT).alias(
+            "recall_ok"
+        ),
+        (
+            F.col("n_pq_hits") * 100 >= F.col("n_ivf_hits") * IVFPQ_RETENTION_MIN_PCT
+        ).alias("retention_ok"),
     )
 
 

@@ -167,7 +167,8 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: register only into the mid region (never this window) and stay ≤ 5
 #: per round so the next window can absorb them.  Round 8 registered
 #: FIVE, all oracled, all mid-region, all green at sf0.001/sf0.01/
-#: sf0.1 AND on four reseeded fixtures (seeds 777/1234/555/31337):
+#: sf0.1 AND on the reseeded fixtures (six-seed gate — see
+#: docs/COVERAGE.md "Oracle-robustness gate"):
 #: adc_batch_parity_contract (similarity.py — cross-engine twin of the
 #: ADC router's literal≡batch equality), ivfpq_index_append (the
 #: add-after-train incremental index lifecycle),

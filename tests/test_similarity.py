@@ -112,6 +112,9 @@ def test_ivfpq_recall_and_pruned_read(spark, sf_dir, tmp_path):
 def test_ivfpq_contract_row(spark, sf_dir):
     r = similarity.ivfpq_recall_contract(spark, sf_dir).collect()[0]
     assert r.recall_ok
+    # the residual-encoding guarantee: quantized serving keeps >=95% of
+    # flat IVF's hits on the same probes, independent of embedding draw
+    assert r.retention_ok
     assert r.n_queries == similarity.N_QUERIES
     assert r.n_exact_rows == similarity.N_QUERIES * similarity.TOP_K
 
