@@ -127,7 +127,11 @@ def timeseries_gapfill_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE bounds AS (
             SELECT CAST(min(ts) AS DATE) AS d_lo, CAST(max(ts) AS DATE) AS d_hi
             FROM events_ts_gapfill
-        ), spine(d, d_hi) AS (
+        ), spine(d, d_hi) MAX RECURSION LEVEL 4000 AS (
+            -- depth = day span; the default 100 died on a reseeded
+            -- fixture spanning 300 days.  4000 covers a decade of
+            -- days; recursion depth = spine length is exactly why the
+            -- docstring calls sequence() the scale path.
             SELECT d_lo, d_hi FROM bounds
             UNION ALL
             SELECT date_add(d, 1), d_hi FROM spine WHERE d < d_hi
@@ -234,6 +238,14 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_count_anomalies",
+    # The z-score is derived from EXACT INTEGER window moments (count
+    # sums s1, square-sums s2, window width w): each engine's
+    # stddev_samp uses a different accumulation algorithm (Welford vs
+    # two-pass), and when the true z lands exactly on a .xx5 boundary
+    # (it can: sd is rational whenever w*s2-s1^2 is a perfect-square
+    # multiple — caught on a reseeded fixture at -0.375) the two
+    # algorithms' last-ulp disagreement flips round().  Built from
+    # identical integers, sqrt/div/floor are IEEE-identical per engine.
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
@@ -241,19 +253,27 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT event_type, d, n,
-                   avg(n)         OVER w AS mu,
-                   stddev_samp(n) OVER w AS sd
+                   sum(n)     OVER w AS s1,
+                   sum(n * n) OVER w AS s2,
+                   count(*)   OVER w AS w_cnt
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d
                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT event_type, d, n,
+                   (n * w_cnt - s1) * sqrt(w_cnt - 1)
+                       / sqrt(CAST(w_cnt AS DOUBLE))
+                       / sqrt(CAST(w_cnt * s2 - s1 * s1 AS DOUBLE)) AS zval
+            FROM scored
+            WHERE w_cnt >= 2 AND w_cnt * s2 - s1 * s1 > 0
         )
         SELECT event_type,
                strftime(d, '%Y-%m-%d') AS day,
                n,
-               round((n - mu) / sd, 2) AS zscore,
-               (abs((n - mu) / sd) > 3.0) AS is_anomaly
-        FROM scored
-        WHERE sd IS NOT NULL AND sd > 0
+               CAST(floor(zval * 100 + 0.5) AS BIGINT) / 100.0 AS zscore,
+               (abs(zval) > 3.0) AS is_anomaly
+        FROM z
         ORDER BY event_type, day
     """,
     tags=("timeseries", "monitoring", "anomaly"),
@@ -274,17 +294,32 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(-7, -1)
     )
-    scored = daily.withColumn("mu", F.avg("n").over(w)).withColumn(
-        "sd", F.stddev_samp("n").over(w)
+    scored = (
+        daily.withColumn("s1", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("w_cnt", F.count("n").over(w))
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    # z from exact integer moments — see the oracle comment: both
+    # engines derive the identical doubles, so the floor quantization
+    # and the |z| > 3 flag cannot diverge
+    z = (
+        (F.col("n") * F.col("w_cnt") - F.col("s1"))
+        * F.sqrt(F.col("w_cnt") - 1)
+        / F.sqrt(F.col("w_cnt").cast("double"))
+        / F.sqrt((F.col("w_cnt") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    )
     return (
-        scored.filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        scored.filter(
+            (F.col("w_cnt") >= 2)
+            & (F.col("w_cnt") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             "n",
-            F.round(z, 2).alias("zscore"),
+            (F.floor(z * 100 + F.lit(0.5)).cast("long") / F.lit(100.0)).alias(
+                "zscore"
+            ),
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
         .orderBy("event_type", "day")

@@ -183,6 +183,23 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: corpora, and the scale sweep drove the algorithm choice: the first
 #: Ed-Join gram-prefix cut read alpha 1.52 on low-entropy text and was
 #: replaced the same session).  They head the round-9 promotion list.
+#:
+#: ROUND-9 WINDOW RECIPE (freeze this list first, then register):
+#: keep the 10 sentinels; promote the 5 round-8 registrations above
+#: for their first driver rows; then fill the remaining 35 slots from
+#: the re-certification queue, oldest driver row first — the six
+#: r1-era names surface-covered in r8 (sessionization,
+#: daily_event_counts, doc_fingerprints, token_counts, sequential_ids,
+#: time_rollup_events), then the r3-certified set (word_freq_topk,
+#: lang_id, quality_scores, tfidf_top_terms, token_block_layout,
+#: redact_pii, gopher_quality_filter, exact_dedup_groups,
+#: dedup_documents, mock_enrich_documents, media_metadata), then the
+#: oldest r4/r5 rows.  Queries whose oracles were REWRITTEN in round 8
+#: (the money-exact TPC-H set q1/q3/q5/q6/q7/q8/q10/q11/q14/q15/q17/
+#: q19, ansi_q1_shared_text, central_tendency_stats,
+#: approx_quantile_contract, minhash_chain_recall_contract,
+#: ivfpq_recall_contract, q9_product_profit) deserve priority within
+#: that fill: their last driver rows predate the rewrite.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the

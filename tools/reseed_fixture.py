@@ -65,7 +65,15 @@ def generate(out_dir: str, seed: int, sf: float = 0.01) -> None:
     scale = sf / 0.01  # measured counts below are the sf0.01 fixture's
     n_cust, n_supp, n_part = int(1500 * scale), int(100 * scale), int(2000 * scale)
     n_ord, n_li = int(15000 * scale), int(60000 * scale)
-    n_ev, n_doc, n_emb = int(10000 * scale), int(500 * scale), int(500 * scale)
+    # events/docs scale linearly; embeddings scale SUBLINEARLY in the
+    # driver's generator (500 at sf0.001 AND sf0.01, 2000 at sf0.1) —
+    # the first --sf=0.1 reseed run used 500*scale=5000 and immediately
+    # broke three fixture-count assumptions (near-dup router exact
+    # branch, IVF-PQ retention at rerank depth, recursive-spine depth
+    # via the events window below), so the counts now mirror the
+    # measured driver fixtures exactly.
+    n_ev, n_doc = int(10000 * scale), int(500 * scale)
+    n_emb = 500 if scale <= 1 else int(500 * scale * 0.4)
 
     _write(out_dir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
@@ -131,7 +139,10 @@ def generate(out_dir: str, seed: int, sf: float = 0.01) -> None:
     }))
 
     # events: dense distinct event_id, ~30 days of exponential arrivals
-    gaps_us = rng.exponential(259e6, n_ev).astype("int64")
+    # AT EVERY SF (the driver fixture keeps the window fixed and packs
+    # more events into it; a fixed per-event gap stretched --sf=0.1 to
+    # 300 days and overflowed the recursive date spine's default depth)
+    gaps_us = rng.exponential(259e6 / max(scale, 1e-9), n_ev).astype("int64")
     ts = np.datetime64("2024-01-01T00:00:00", "us") + np.cumsum(gaps_us) * np.timedelta64(1, "us")
     _write(out_dir, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
