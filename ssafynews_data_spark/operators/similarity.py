@@ -1168,7 +1168,7 @@ def near_dup_containment_contract(spark: SparkSession, sf_dir: str) -> DataFrame
 #: (4 bytes vs 256 for raw float64x8... the 64:1 compression PQ exists
 #: for).  The fixture blobs are near-random unit vectors (max pairwise
 #: cos ~0.48), the hardest PQ regime — quantization noise is comparable
-#: to the similarity signal — so the re-rank list is deep (100) and the
+#: to the similarity signal — so the re-rank list is deep (PQ_RERANK) and the
 #: recall floor deliberately modest; on real embedding corpora
 #: (neighbors at cos >= 0.8) the same codebooks separate sharply.
 #: Measured fixture recall@5 (sampled-fit codebooks, r7): 0.90 at
