@@ -227,8 +227,15 @@ def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
     """
     n_chunks = k + 1
     lb = F.length("key")
+    # Probe-side length enumeration must reach the LONGEST key actually
+    # present, not the registered query's EDJOIN_KEY_CHARS constant —
+    # a caller passing 70-char keys would otherwise silently lose pairs
+    # whose chunked side is longer than the constant (two identical
+    # 70-char keys share no probe row capped at 64).  One vocab-sized
+    # aggregate, paid once per call.
+    max_len = keys.agg(F.max(F.length("key")).alias("m")).collect()[0].m or 0
     chunk_side = _chunk_rows(keys, k)
-    probe_side = _probe_rows(keys, k)
+    probe_side = _probe_rows(keys, k, max_len)
 
     cands = (
         chunk_side.join(probe_side, ["i", "sig"])
@@ -298,12 +305,15 @@ def _chunk_rows(keys: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _probe_rows(keys: DataFrame, k: int) -> DataFrame:
+def _probe_rows(keys: DataFrame, k: int, max_len: int) -> DataFrame:
     """(doc_b, i, sig): for every key, the substrings any chunk of a
     within-distance-k partner could land on — (i, La, p) triple
     explode, all windows bounded by k (<= (k+1)(2k+1)² rows per doc
-    before dedup).  The CASE guards keep sequence() from running
-    descending when a window is empty near the string edges."""
+    before dedup).  ``max_len`` is the frame's true longest key: the
+    La enumeration upper bound (completeness requires reaching every
+    chunkable partner length that exists).  The CASE guards keep
+    sequence() from running descending when a window is empty near the
+    string edges."""
     n_chunks = k + 1
     return (
         keys.select(
@@ -320,9 +330,9 @@ def _probe_rows(keys: DataFrame, k: int) -> DataFrame:
             F.explode(
                 F.expr(
                     f"CASE WHEN greatest(lb - {k}, {n_chunks})"
-                    f"       <= least(lb + {k}, {EDJOIN_KEY_CHARS})"
+                    f"       <= least(lb + {k}, {max_len})"
                     f" THEN sequence(greatest(lb - {k}, {n_chunks}),"
-                    f"               least(lb + {k}, {EDJOIN_KEY_CHARS}))"
+                    f"               least(lb + {k}, {max_len}))"
                     " ELSE array() END"
                 )
             ).alias("la"),

@@ -1350,7 +1350,9 @@ def _adc_lut_row(
 
 
 #: columns the ADC machinery injects; never part of the caller's carry
-_ADC_HELPER_COLS = frozenset({"codes", "_adc_lut", "_adc_qids", "_adc_qn"})
+_ADC_HELPER_COLS = frozenset(
+    {"codes", "_adc_lut", "_adc_qids", "_adc_qn", "_adc_qc", "_adc_ccn2", "_adc_cross"}
+)
 
 
 def _adc_explode(
@@ -1957,6 +1959,8 @@ def _assign_centroids(centers: "np.ndarray"):
 
     @F.pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="int32")
         X = np.stack(emb.to_numpy())
         return pd.Series(
             np.argmax(X @ centers.T - (centers * centers).sum(1) / 2.0, axis=1).astype(

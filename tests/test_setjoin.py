@@ -171,5 +171,30 @@ def test_edjoin_signature_economy(spark, sf_dir):
     per_doc = {r.doc_a: r.n for r in chunks.groupBy("doc_a").agg(
         F.count("*").alias("n")).collect()}
     assert all(n == k + 1 for n in per_doc.values())
-    probes = setjoin._probe_rows(keys, k)
+    probes = setjoin._probe_rows(keys, k, setjoin.EDJOIN_KEY_CHARS)
     assert probes.count() <= n_docs * (k + 1) * (2 * k + 1) ** 2
+
+
+def test_edjoin_keys_longer_than_module_cap(spark):
+    """Completeness must not depend on EDJOIN_KEY_CHARS: the public
+    helper accepts any (doc_id, key) frame, so the probe-side length
+    enumeration has to reach the frame's true max key length.  Before
+    the fix, two identical 70-char keys were silently missed (the La
+    window [66, 74] ∩ [5, 64] is empty)."""
+    long_key = "the quick brown fox jumps over the lazy dog and keeps on running!"
+    assert len(long_key) > setjoin.EDJOIN_KEY_CHARS
+    corpus = {
+        1: long_key,
+        2: long_key,                      # ed 0, both sides > module cap
+        3: long_key[:-1] + "?",           # ed 1 from 1/2
+        4: "something entirely different that also exceeds the module cap!!!!!",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, key string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in setjoin.edjoin_pairs(df).collect()
+    }
+    assert got == _brute(corpus, setjoin.EDIT_DISTANCE_MAX)
+    assert (1, 2, 0) in got and (1, 3, 1) in got
