@@ -22,10 +22,19 @@ engine rounding algorithm can break (the cusum lesson: even round()
 on an identical double can tie-break differently per engine; floor
 cannot).
 
-BIGINT headroom: |e4| <= 1e9/row, |e6| <= 1.1e11/row, so sums overflow
-2^63 beyond ~9e9 (e4) / ~8e7 (e6) rows PER GROUP.  At true 100 TB
-group sizes swap the sum to decimal(38, 4) — same construction, same
-determinism, Spark and modern warehouses both sum decimals exactly.
+BIGINT headroom: |e4| <= 1e9/row, |e6| <= 1.1e11/row, so an int64 sum
+would overflow 2^63 beyond ~9e9 (e4) / ~8e7 (e6) rows PER GROUP —
+reachable at the 100 TB north star (q1 groups by two flags), and Spark
+wraps long sums SILENTLY in non-ANSI mode while DuckDB widens BIGINT
+sums to HUGEINT.  Enforcement (round 9): every registered money sum
+goes through ``sum_units`` — decimal(38, 0) accumulation, exact to
+1e38 (~1e27 rows per group at e6) and raising on overflow rather than
+wrapping — and the quantization helpers convert the identical integer
+to double only at the final floor, so values are bit-identical to the
+int64 path wherever both are exact
+(tests/test_relational5.py::test_sum_units_decimal_matches_int64_path
+proves equality on the fixture AND shows the int64 wrap the decimal
+path removes).
 
 Python helpers build the Spark Columns; the *_SQL fragments are the
 identical DuckDB expressions for oracle strings.
@@ -48,23 +57,33 @@ def disc_price_e4() -> Column:
     return cents("l_extendedprice") * (100 - cents("l_discount"))
 
 
+def sum_units(units: Column) -> Column:
+    """Overflow-proof exact sum of integer money units (the module
+    docstring's headroom enforcement): decimal(38, 0) accumulation —
+    exact at any realistic group size, errors loudly instead of
+    wrapping, and both engines still derive downstream doubles from
+    the identical integer (DuckDB's BIGINT sum is already HUGEINT)."""
+    return F.sum(units.cast("decimal(38,0)"))
+
+
 def half_up(sum_units: Column, scale: int) -> Column:
     """Half-up quantization of an exact integer ``sum_units`` (in
-    10^-scale dollars) to cent-precision dollars, as a double both
-    engines derive from the identical integer."""
+    10^-scale dollars; long or decimal) to cent-precision dollars, as
+    a double both engines derive from the identical integer."""
     q = 10 ** (scale - 2)  # units per cent
-    return F.floor((sum_units + F.lit(q // 2)) / F.lit(float(q))).cast(
-        "long"
-    ) / F.lit(100.0)
+    return F.floor(
+        (sum_units + F.lit(q // 2)).cast("double") / F.lit(float(q))
+    ).cast("long") / F.lit(100.0)
 
 
 def avg_half_up(sum_units: Column, n: Column, out_decimals: int, in_scale: int) -> Column:
     """Half-up average of exact integer units to ``out_decimals``:
     floor(sum * 10^out / (n * 10^in) + 0.5) / 10^out — the quotient is
     the same double on both engines because numerator and denominator
-    are identical integers."""
-    num = sum_units * F.lit(10**out_decimals)
-    den = n * F.lit(10**in_scale)
+    are identical integers (multiplied exactly — long or decimal —
+    then cast to double for the one division)."""
+    num = (sum_units * F.lit(10**out_decimals)).cast("double")
+    den = (n * F.lit(10**in_scale)).cast("double")
     return F.floor(num / den + F.lit(0.5)).cast("long") / F.lit(
         float(10**out_decimals)
     )

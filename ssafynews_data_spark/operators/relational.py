@@ -113,15 +113,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        money.half_up(F.sum(disc_e4), 4).alias("sum_disc_price"),
-        money.half_up(F.sum(charge_e6), 6).alias("sum_charge"),
-        money.avg_half_up(F.sum(F.col("l_quantity").cast("long")), n, 2, 0).alias(
+        money.half_up(money.sum_units(disc_e4), 4).alias("sum_disc_price"),
+        money.half_up(money.sum_units(charge_e6), 6).alias("sum_charge"),
+        money.avg_half_up(money.sum_units(F.col("l_quantity").cast("long")), n, 2, 0).alias(
             "avg_qty"
         ),
-        money.avg_half_up(F.sum(money.cents("l_extendedprice")), n, 2, 2).alias(
+        money.avg_half_up(money.sum_units(money.cents("l_extendedprice")), n, 2, 2).alias(
             "avg_price"
         ),
-        money.avg_half_up(F.sum(money.cents("l_discount")), n, 4, 2).alias(
+        money.avg_half_up(money.sum_units(money.cents("l_discount")), n, 4, 2).alias(
             "avg_disc"
         ),
         F.count("*").alias("count_order"),
@@ -166,7 +166,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
+            money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -222,7 +222,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("c_nationkey") == F.col("s_nationkey")))
     )
     return joined.groupBy("n_name").agg(
-        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
+        money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("revenue")
     )
 
 
@@ -805,7 +805,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
-        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
+        money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("revenue")
     )
 
 
@@ -858,7 +858,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.round("c_acctbal", 2).alias("c_acctbal"),
     ).agg(
-        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue")
+        money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20).select(
         "c_custkey", "c_name", "n_name", "c_acctbal", "revenue"

@@ -289,7 +289,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#20") & size.between(15, 40) & qty.between(20, 35))
     )
     return j.filter(cond).agg(
-        money.half_up(F.sum(money.disc_price_e4()), 4).alias("revenue"),
+        money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("revenue"),
         F.count("*").alias("n_matched"),
     )
 

@@ -68,7 +68,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         money.half_up(
-            F.sum(money.cents("l_extendedprice") * money.cents("l_discount")), 4
+            money.sum_units(money.cents("l_extendedprice") * money.cents("l_discount")), 4
         ).alias("revenue")
     )
 
@@ -196,7 +196,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(money.disc_price_e4()).alias("v_e4"))
+        .agg(money.sum_units(money.disc_price_e4()).alias("v_e4"))
     )
     total = val.agg(F.sum("v_e4").alias("total_e4"))
     # v > FRACTION * total on EXACT integers: v*denom > total*numer —
@@ -293,7 +293,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization semantics)
     rev = pin(
         li.groupBy("l_suppkey").agg(
-            money.half_up(F.sum(money.disc_price_e4()), 4).alias("total_revenue")
+            money.half_up(money.sum_units(money.disc_price_e4()), 4).alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -346,7 +346,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
     )
     avg_yearly = F.floor(
-        F.sum(money.cents("l_extendedprice")) / F.lit(7.0) + F.lit(0.5)
+        money.sum_units(money.cents("l_extendedprice")).cast("double") / F.lit(7.0) + F.lit(0.5)
     ).cast("long") / F.lit(100.0)
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))

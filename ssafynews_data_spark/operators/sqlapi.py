@@ -171,19 +171,25 @@ def udtf_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ANSI, and a literal round(sum(<double product>), 2) would make the
 #: byte-shared text nondeterministic across the two engines' summation
 #: orders whenever a group total lands on a .xx5 cent boundary.
+#: Accumulation is DECIMAL(38, 0) — the overflow-proof headroom form
+#: (money.sum_units rationale: int64 sums wrap silently in Spark
+#: non-ANSI mode beyond ~8e7 money rows per group) — itself portable
+#: ANSI: per-row arithmetic stays BIGINT-exact, only the SUM widens.
 _ANSI_SHARED_Q1 = """
     SELECT l_returnflag,
            l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           CAST(floor((sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS DECIMAL(38, 0)))
                        + 50) / CAST(100 AS DOUBLE)) AS BIGINT)
                / CAST(100 AS DOUBLE) AS sum_disc_price,
-           CAST(floor(sum(CAST(l_quantity AS BIGINT)) * CAST(10000 AS DOUBLE)
+           CAST(floor(sum(CAST(l_quantity AS DECIMAL(38, 0)))
+                      * CAST(10000 AS DOUBLE)
                       / count(*) + 0.5) AS BIGINT)
                / CAST(10000 AS DOUBLE) AS avg_qty,
-           CAST(floor(sum(CAST(round(l_discount * 100) AS BIGINT))
+           CAST(floor(sum(CAST(round(l_discount * 100) AS DECIMAL(38, 0)))
                       * CAST(100 AS DOUBLE)
                       / count(*) + 0.5) AS BIGINT)
                / CAST(10000 AS DOUBLE) AS avg_disc,

@@ -57,3 +57,37 @@ def test_q15_argmax_is_exact_tie_safe(spark, sf_dir):
     rows = relational5.q15_top_supplier(spark, sf_dir).collect()
     assert rows
     assert len({r.total_revenue for r in rows}) == 1
+
+
+def test_sum_units_decimal_matches_int64_path(spark, sf_dir):
+    """money.sum_units (decimal(38,0) accumulation — the BIGINT-headroom
+    enforcement) must be value-identical to the int64 sum wherever both
+    are exact, and must stay exact where the int64 sum silently wraps
+    (ansi off, the engine session default)."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators import money
+    from ssafynews_data_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    row_dec, row_i64 = (
+        li.agg(
+            money.half_up(s(money.disc_price_e4()), 4).alias("rev"),
+            money.avg_half_up(s(money.cents("l_extendedprice")), n, 2, 2).alias(
+                "avg_price"
+            ),
+        ).collect()[0]
+        for s in (money.sum_units, F.sum)
+    )
+    assert row_dec.rev == row_i64.rev
+    assert row_dec.avg_price == row_i64.avg_price
+
+    # the wrap the decimal path removes: 4 rows of 2^62 e6-units sum to
+    # 2^64 — int64 wraps to 0 under ansi=false, decimal is exact.
+    big = spark.createDataFrame([(2**62,)] * 4, "u long")
+    exact = big.agg(money.sum_units(F.col("u")).alias("s")).collect()[0].s
+    assert int(exact) == 4 * 2**62
+    if spark.conf.get("spark.sql.ansi.enabled") == "false":
+        wrapped = big.agg(F.sum("u").alias("s")).collect()[0].s
+        assert wrapped != 4 * 2**62  # silent corruption, now unreachable

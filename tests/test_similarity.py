@@ -314,6 +314,73 @@ def test_adc_router_switches_on_query_count(spark, sf_dir, monkeypatch):
     assert "_adc_lut" in p_batch and "Broadcast" in p_batch
 
 
+def test_residual_adc_literal_and_batch_paths_identical(spark, sf_dir, monkeypatch):
+    """The residual router's two forms — literal maps (incl. the
+    centroid-keyed qc/cn2/cross terms) vs the one broadcast lut row —
+    must produce IDENTICAL (query_id, neighbor_id, adc_sim) rows, and
+    the router must switch on ADC_LITERAL_MAX_QUERIES exactly like the
+    flat path (ivfpq_serve is the bulk-batch serving half, so its plan
+    size must not grow with the query count)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = similarity.pin(similarity._corpus(spark, sf_dir).limit(300))
+    vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
+    model = KMeans(
+        k=similarity.IVF_K, seed=42, featuresCol="vec", predictionCol="centroid"
+    ).fit(vecs)
+    centers = np.stack([np.asarray(c, dtype=float) for c in model.clusterCenters()])
+    assigned = similarity.pin(
+        model.transform(vecs).select("vec_id", "emb", "centroid")
+    )
+    books = similarity._pq_codebooks_residual(assigned, centers)
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    qnorm = np.sqrt((Q * Q).sum(1))
+    coded = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid",
+        similarity._pq_encode_residual(books, centers)(
+            F.col("emb"), F.col("centroid")
+        ).alias("codes"),
+    )
+
+    def rows(use_literal):
+        out = similarity._adc_explode_residual(
+            coded, books, Q, qids, qnorm, centers, use_literal=use_literal
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, r.centroid, r.adc_sim) for r in out.collect()
+        )
+
+    lit_rows, batch_rows = rows(True), rows(False)
+    assert lit_rows == batch_rows  # bit-identical, not approx
+    assert len(lit_rows) > 0
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default at contract scale (10 queries <= 64): literal — no join
+    p_default = plan(
+        similarity._adc_explode_residual(coded, books, Q, qids, qnorm, centers)
+    )
+    assert "_adc_cross" not in p_default
+
+    # force the threshold below |Q|: the broadcast lut row must appear
+    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 0)
+    p_batch = plan(
+        similarity._adc_explode_residual(coded, books, Q, qids, qnorm, centers)
+    )
+    assert "_adc_cross" in p_batch and "Broadcast" in p_batch
+
+
 def test_residual_adc_matches_numpy_reconstruction(spark, sf_dir, tmp_path):
     """Residual-ADC is exact over the RECONSTRUCTION: for every scored
     (query, neighbor) row, adc_sim must equal the numpy cosine between
