@@ -475,3 +475,21 @@ def test_ivfpq_append_visible_to_serve(spark, sf_dir, tmp_path):
     got = {r.neighbor_id: r.rank for r in out}
     # the twin is ~cos 1.0 with the query: it must be the top neighbor
     assert got.get(9_000_000) == 1, got
+
+
+def test_ivfpq_meta_roundtrips_serving_state(spark, sf_dir, tmp_path):
+    """The persisted quantizer meta (ivfpq_build_index's third file)
+    must reload to numerically IDENTICAL codebooks and centroids —
+    the cold-start requirement ivfpq_serve_contract certifies
+    end-to-end at the serve level."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    corpus = similarity.pin(similarity._corpus(spark, sf_dir).limit(300))
+    path = str(tmp_path / "ivfpq_meta_rt")
+    books, centers = similarity.ivfpq_build_index(spark, corpus, path)
+    books2, centers2 = similarity.ivfpq_load_meta(spark, path)
+    assert np.array_equal(centers, centers2)
+    assert len(books) == len(books2)
+    for b, b2 in zip(books, books2):
+        assert np.array_equal(b, b2)

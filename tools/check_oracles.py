@@ -41,19 +41,24 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--plain"]
-    plain = "--plain" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-
+def run_checks(
+    sf_dir: str,
+    only: set[str] | frozenset[str] = frozenset(),
+    plain: bool = False,
+    spark=None,
+    oracled_only: bool = False,
+) -> list[str]:
+    """The mirror as an importable function (the pytest reseed gate
+    calls it — tests/test_reseed_gate.py); returns the failure list.
+    ``spark=None`` builds the engine session (or a bare driver-faithful
+    one with ``plain``); pass an existing session to reuse it."""
     qs = registry.load_all()
-    unknown = only - set(qs)
+    unknown = set(only) - set(qs)
     if unknown:
         # a typo'd name must not read as "0 failures" — fail loudly
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
-        return 2
-    if plain:
+        return sorted(unknown)
+    if spark is None and plain:
         # driver-faithful: a bare session with NONE of the engine configs
         # (the grading driver builds its own) — every query must self-heal
         # via _ensure_session_conf
@@ -67,7 +72,7 @@ def main() -> int:
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
-    else:
+    elif spark is None:
         spark = get_session(app_name="check_oracles")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -76,6 +81,8 @@ def main() -> int:
     failures = []
     for name, q in sorted(qs.items()):
         if only and name not in only:
+            continue
+        if oracled_only and q.oracle is None:
             continue
         t0 = time.time()
         try:
@@ -111,7 +118,14 @@ def main() -> int:
         print(f"PASS  {name} ({len(sdf)} rows, {dt:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    return 1 if run_checks(sf_dir, only=set(args[1:]), plain=plain) else 0
 
 
 if __name__ == "__main__":
