@@ -2323,3 +2323,68 @@ def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_queries long, state_roundtrip_ok boolean, serve_complete boolean",
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+        WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                   FROM embeddings),
+             sims AS (
+                 SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(a.emb, c.emb) AS sim
+                 FROM a JOIN c
+                   ON a.vec_id <> c.vec_id AND a.label <> c.label
+             )
+        SELECT anchor_id, neighbor_id, round(sim, 4) AS sim,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims)
+        WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "contrastive", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR / SimCSE
+    data-prep step, public): for each anchor vector, the TOP_K most
+    similar vectors whose LABEL DIFFERS — the negatives that sit
+    closest to the decision boundary and therefore carry the gradient
+    signal in-batch random negatives lack.
+
+    Scale shape (the cosine_topk pattern, label-aware): anchors
+    broadcast with their labels, the corpus streams through ONCE, and
+    the label-mismatch predicate lives in the join condition so
+    same-label rows are dropped before any scoring or shuffle; the
+    per-anchor top-k is the only exchange.  At 100 TB with a large
+    anchor set, swap the broadcast for the IVF-PQ index route
+    (``ivfpq_serve``) and post-filter probed candidates by label —
+    same contract, sub-linear scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+    )
+    anchors = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    sims = corpus.join(
+        F.broadcast(anchors),
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("a_label")),
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("a_emb"), F.col("emb")).alias("sim"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "anchor_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
+        )
+    )

@@ -74,6 +74,14 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # distinct; the probe-side distinct and both verify joins ride the
     # same two exchanges under AQE
     "edit_distance_pairs": 2,
+    # round-9 (serving lifecycle): the heavy lifting (build + two
+    # serves) happens inside the contract body; the returned row is a
+    # literal frame — the pin guards against someone moving real work
+    # into the returned plan
+    "ivfpq_serve_contract": 0,
+    # round-9: broadcast-anchor scoring, the only exchange is the
+    # per-anchor top-k window (the cosine_topk shape, label-aware)
+    "hard_negative_mining": 1,
 }
 
 

@@ -493,3 +493,26 @@ def test_ivfpq_meta_roundtrips_serving_state(spark, sf_dir, tmp_path):
     assert len(books) == len(books2)
     for b, b2 in zip(books, books2):
         assert np.array_equal(b, b2)
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
+    """Every mined negative has a label different from its anchor's,
+    each anchor gets exactly TOP_K rows, and no skipped same-label row
+    outranks a kept negative (the 'hard' in hard negative)."""
+    from pyspark.sql import functions as F
+
+    out = similarity.hard_negative_mining(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in similarity.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        assert labels[r.neighbor_id] != labels[r.anchor_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a, rs in by_anchor.items():
+        assert len(rs) == similarity.TOP_K
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
