@@ -103,6 +103,12 @@ HEADLINERS = (
     # verify) stay work-linear as the corpus replicates; a regression
     # to an unfiltered gram self-join would read as quadratic here.
     "edit_distance_pairs",
+    # round 9: hard-negative mining is the cosine_topk broadcast-scan
+    # shape with a label predicate in the join condition; the sweep
+    # guards that scoring stays one linear pass (a regression that
+    # drops the broadcast or scores same-label rows reads super-linear
+    # here, and output is constant |anchors|*k so WORK ~ input).
+    "hard_negative_mining",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -285,6 +291,7 @@ def main() -> int:
         "ivfpq_index_topk": "emb",
         "ivfpq_serve": "emb",
         "edit_distance_pairs": "docs",
+        "hard_negative_mining": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
