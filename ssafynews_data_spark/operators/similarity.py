@@ -938,7 +938,7 @@ _EXACT_TOPK_CTE = f"""
 
 
 _ANN_CONTRACT_SCHEMA = (
-    "n_queries LONG, n_exact_rows LONG, exact_sim_sum DOUBLE, recall_ok BOOLEAN"
+    "n_queries LONG, n_exact_rows LONG, exact_sim_sum_q4 LONG, recall_ok BOOLEAN"
 )
 
 
@@ -961,13 +961,20 @@ def _ann_recall_contract(
     e = exact.agg(
         F.count_distinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact_rows"),
-        F.round(F.sum("sim"), 3).alias("exact_sim_sum"),
+        # per-row sims are 4-decimal-rounded doubles (bit-identical
+        # cross-engine); quantize EACH to an integer and sum integers —
+        # round(sum(<rounded doubles>), 3) lands on a half-thousandth
+        # tie ~1/10 draws (caught by the pytest reseed gate, seed
+        # 8675309: 16.181 vs 16.18) and tie-breaks per engine
+        F.sum(F.round(F.col("sim") * 10000).cast("long")).alias(
+            "exact_sim_sum_q4"
+        ),
     )
     h = hits.agg(F.count("*").alias("n_hits"))
     return e.crossJoin(h).select(
         "n_queries",
         "n_exact_rows",
-        "exact_sim_sum",
+        "exact_sim_sum_q4",
         (F.col("n_hits") * 100 >= F.col("n_exact_rows") * min_pct).alias("recall_ok"),
     )
 
@@ -979,7 +986,7 @@ def _ann_recall_contract(
 _ANN_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
-               round(sum(sim), 3) AS exact_sim_sum,
+               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
                TRUE AS recall_ok
         FROM topk
     """
@@ -2009,7 +2016,7 @@ IVFPQ_RETENTION_MIN_PCT = 90
 _IVFPQ_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
-               round(sum(sim), 3) AS exact_sim_sum,
+               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
                TRUE AS recall_ok,
                TRUE AS retention_ok
         FROM topk
@@ -2032,7 +2039,7 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _corpus(spark, sf_dir).isEmpty():
         return spark.createDataFrame(
             [(0, 0, None, True, True)],
-            "n_queries long, n_exact_rows long, exact_sim_sum double,"
+            "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
             " recall_ok boolean, retention_ok boolean",
         )
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
@@ -2049,7 +2056,10 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = exact.agg(
         F.count_distinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact_rows"),
-        F.round(F.sum("sim"), 3).alias("exact_sim_sum"),
+        # integer q4 sum — see _ann_recall_contract for the tie class
+        F.sum(F.round(F.col("sim") * 10000).cast("long")).alias(
+            "exact_sim_sum_q4"
+        ),
     )
     h = pq_hits.agg(F.count("*").alias("n_pq_hits")).crossJoin(
         ivf_hits.agg(F.count("*").alias("n_ivf_hits"))
@@ -2057,7 +2067,7 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(h).select(
         "n_queries",
         "n_exact_rows",
-        "exact_sim_sum",
+        "exact_sim_sum_q4",
         (F.col("n_pq_hits") * 100 >= F.col("n_exact_rows") * IVFPQ_RECALL_MIN_PCT).alias(
             "recall_ok"
         ),
