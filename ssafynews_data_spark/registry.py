@@ -156,17 +156,31 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: families register only into the mid region (never this window) and
 #: stay ≤ 5 per round so the next window can absorb them.
 #:
+#: Round 9 registered TWO (of the ≤5 budget), both oracled, both
+#: mid-region, both green at sf0.001/sf0.01/sf0.1 AND on reseeds
+#: 777/1234/555 + the sf0.1-scale reseed 662 + the pytest gate's
+#: virgin seed 8675309: ivfpq_serve_contract (similarity.py — the
+#: serving lifecycle: persisted quantizer meta, cold-start reload,
+#: bit-identical serve + exact coverage; VERDICT r8 item 6) and
+#: hard_negative_mining (similarity.py — contrastive-training
+#: negatives: per-anchor top-k nearest CROSS-LABEL vectors, the
+#: cosine_topk broadcast shape with the label predicate in the join
+#: condition).
+#:
 #: ROUND-10 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the round-9 registrations (see the round-9
-#: rotation note at the end of DEMOTE_LAST) for their first driver
-#: rows; then fill the remaining slots oldest-driver-row first — the
-#: r4-era names not re-certified in r9 (bm25_topk, char_stats_quality,
-#: cogroup_user_funnel, dq_constraint_checks, embedding_norm_stats,
-#: inverted_postings_index, nfc_normalize_docs, repeated_span_groups,
-#: repetition_scores, robust_value_stats, token_chunk_windows,
-#: variant_props_stats, plus the rows-only ANN/ML originals if slots
-#: remain), then the r5-era set (ann_*_recall_contract,
-#: block_sequential_ids, boilerplate_block_removal, …).
+#: sentinels; promote the two round-9 registrations above for their
+#: first driver rows; then fill the remaining slots oldest-driver-row
+#: first — the r4-era names not re-certified in r9 (bm25_topk,
+#: char_stats_quality, cogroup_user_funnel, dq_constraint_checks,
+#: embedding_norm_stats, inverted_postings_index, nfc_normalize_docs,
+#: repeated_span_groups, repetition_scores, robust_value_stats,
+#: token_chunk_windows, variant_props_stats, plus the rows-only ANN/ML
+#: originals if slots remain), then the r5-era set — within it,
+#: prioritize the contracts whose oracle text was REWRITTEN in r9
+#: (ann_lsh_recall_contract, ann_ivf_recall_contract,
+#: pq_ann_recall_contract: exact_sim_sum_q4 integer quantization;
+#: their r5/r6/r7 driver rows predate the rewrite — and
+#: ivfpq_recall_contract/ivfpq_index_append whose r8 rows do too).
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
