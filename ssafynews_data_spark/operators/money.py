@@ -62,7 +62,18 @@ def sum_units(units: Column) -> Column:
     docstring's headroom enforcement): decimal(38, 0) accumulation —
     exact at any realistic group size, errors loudly instead of
     wrapping, and both engines still derive downstream doubles from
-    the identical integer (DuckDB's BIGINT sum is already HUGEINT)."""
+    the identical integer (DuckDB's BIGINT sum is already HUGEINT).
+
+    Measured cost (sf0.1 solo A/B, docs/SCALE.md round 9): Q1's seven
+    aggregates over 600k rows read 0.57s long vs 0.77s decimal — ~35%
+    on the heaviest money consumer, a flat per-row decimal-accumulate
+    tax that does NOT change the plan shape (same partial aggregation,
+    same single exchange).  If that tax ever matters at cluster scale,
+    the documented alternative is a two-level sum — long partials per
+    (group, partition) then decimal over partials — which keeps row
+    arithmetic in long at the cost of a partition-size assumption
+    (<8e7 money rows of one group per partition); correctness comes
+    first here, so the simple decimal form is what ships."""
     return F.sum(units.cast("decimal(38,0)"))
 
 
