@@ -231,8 +231,9 @@ def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
     # present, not the registered query's EDJOIN_KEY_CHARS constant —
     # a caller passing 70-char keys would otherwise silently lose pairs
     # whose chunked side is longer than the constant (two identical
-    # 70-char keys share no probe row capped at 64).  One vocab-sized
-    # aggregate, paid once per call.
+    # 70-char keys share no probe row capped at 64).  One max() pass
+    # over the keys (map-side partial, 1-row result), paid once per
+    # call.
     max_len = keys.agg(F.max(F.length("key")).alias("m")).collect()[0].m or 0
     chunk_side = _chunk_rows(keys, k)
     probe_side = _probe_rows(keys, k, max_len)
