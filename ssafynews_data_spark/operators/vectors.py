@@ -443,3 +443,94 @@ def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: embedding dimensionality of the fixture corpus (TESTDATA.md); the
+#: Gramian is EMB_DIM x EMB_DIM = a KB-sized matrix at any corpus size.
+EMB_DIM = 64
+
+
+@register(
+    "embedding_isotropy_stats",
+    # The Gramian G = X^T X recomputed relationally: unnest each vector
+    # with ordinality, self-join on vec_id, sum per (i, j).  trace(G) =
+    # sum of squared norms; participation ratio = trace(G)^2 /
+    # ||G||_F^2 = (sum of eigenvalues)^2 / (sum of squared eigenvalues)
+    # — the standard effective-dimension / isotropy statistic, computed
+    # WITHOUT an eigendecomposition (Frobenius^2 = sum of squared
+    # entries = sum of squared eigenvalues for symmetric G).
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ),
+        g AS (
+            SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS gij
+            FROM e a JOIN e b USING (vec_id)
+            GROUP BY 1, 2
+        )
+        SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+               round(sum(CASE WHEN i = j THEN gij ELSE 0 END), 2) AS trace_g,
+               round(pow(sum(CASE WHEN i = j THEN gij ELSE 0 END), 2)
+                     / sum(gij * gij), 4) AS participation_ratio
+        FROM g
+    """,
+    tags=("vectors", "embedding-quality", "training-data"),
+)
+def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit: the participation ratio
+    (sum λ_i)² / (sum λ_i²) of the uncentered covariance — the
+    effective number of dimensions the embedding space actually uses
+    (d for perfectly isotropic vectors, ~1 for a collapsed space).
+    Anisotropy/collapse is the standard failure mode monitored in
+    representation-learning pipelines (Ethayarajh 2019; Mu & Viswanath
+    2018 "All-but-the-Top", both public).
+
+    Spark-first shape — distributed partial Gramians, the classic
+    X^T·X map-reduce: each Arrow batch contributes one d×d numpy GEMM
+    (mapInPandas, zero Python per-row work), the flattened partials
+    posexplode into (idx, val) and ONE hash-aggregate sums them —
+    shuffle volume is (#batches · d²) KB-rows, independent of corpus
+    size, and no d²-per-row blowup ever exists.  trace and ||G||_F²
+    then reduce the 4096-row Gramian without an eigensolve, so the
+    whole statistic needs one pass and one tiny shuffle at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb")
+    )
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            G = X.T @ X
+            yield pd.DataFrame(
+                {"g": [G.reshape(-1).tolist()], "n": [len(X)]}
+            )
+
+    # pinned: the partials feed BOTH the Gramian aggregate and the
+    # vector count — without the pin the corpus GEMM pass runs twice
+    partials = pin(
+        corpus.mapInPandas(gram_partials, "g array<double>, n long")
+    )
+    cells = partials.select(
+        "n", F.posexplode("g").alias("idx", "val")
+    )
+    gram = cells.groupBy("idx").agg(F.sum("val").alias("gij"))
+    n_vec = partials.agg(F.sum("n").alias("n_vectors"))
+    diag = F.when(F.col("idx") % (EMB_DIM + 1) == 0, F.col("gij")).otherwise(0.0)
+    stats = gram.agg(
+        F.round(F.sum(diag), 2).alias("trace_g"),
+        F.round(
+            F.pow(F.sum(diag), 2) / F.sum(F.col("gij") * F.col("gij")), 4
+        ).alias("participation_ratio"),
+    )
+    return n_vec.crossJoin(stats).select(
+        "n_vectors", "trace_g", "participation_ratio"
+    )

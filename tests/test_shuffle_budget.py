@@ -82,6 +82,10 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-9: broadcast-anchor scoring, the only exchange is the
     # per-anchor top-k window (the cosine_topk shape, label-aware)
     "hard_negative_mining": 1,
+    # round-9: partial Gramians (one per Arrow batch) -> one hash-agg
+    # by cell index; the pinned partials frame is read by both the
+    # Gramian and the count branch (textual count sees the build once)
+    "embedding_isotropy_stats": 1,
 }
 
 

@@ -516,3 +516,15 @@ def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
         assert len(rs) == similarity.TOP_K
         sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_isotropy_participation_ratio_bounds(spark, sf_dir):
+    """1 <= participation ratio <= d always; the fixture's near-random
+    unit vectors should use most of the space (PR well above d/2), and
+    trace(G) must equal the vector count (unit norms)."""
+    from ssafynews_data_spark.operators import vectors
+
+    r = vectors.embedding_isotropy_stats(spark, sf_dir).collect()[0]
+    assert 1.0 <= r.participation_ratio <= vectors.EMB_DIM
+    assert r.participation_ratio > vectors.EMB_DIM / 2
+    assert abs(r.trace_g - r.n_vectors) < 0.01 * r.n_vectors
