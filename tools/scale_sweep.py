@@ -109,6 +109,10 @@ HEADLINERS = (
     # drops the broadcast or scores same-label rows reads super-linear
     # here, and output is constant |anchors|*k so WORK ~ input).
     "hard_negative_mining",
+    # round 9: the partial-Gramian pass — per-batch GEMM partials, one
+    # d²-row hash-agg; expected ~linear in corpus rows with a constant
+    # shuffle (a regression to a per-row d² explode reads super-linear)
+    "embedding_isotropy_stats",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -292,6 +296,7 @@ def main() -> int:
         "ivfpq_serve": "emb",
         "edit_distance_pairs": "docs",
         "hard_negative_mining": "emb",
+        "embedding_isotropy_stats": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
