@@ -1166,3 +1166,102 @@ def script_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_other"),
         dominant.alias("dominant_script"),
     )
+
+
+#: greedy no-split packing capacity (tokens per training sequence) —
+#: kept equal to token_block_layout's 512 so the two layouts compare.
+GREEDY_PACK_CAPACITY = 512
+#: stream shards for greedy packing: packing a stream is inherently
+#: sequential, so the parallelism axis is the SHARD COUNT, not rows —
+#: 8 matches token_block_layout's buckets at fixture scale; a 100 TB
+#: run raises it to O(cluster cores) (each shard packs independently).
+GREEDY_PACK_BUCKETS = 8
+
+
+@register(
+    "greedy_pack_layout",
+    # the greedy recurrence replayed exactly in SQL: one recursive-CTE
+    # step per document RANK (all buckets advance together per
+    # iteration, so depth = max docs per bucket, not total docs) —
+    # pure integer arithmetic on both engines, no rounding anywhere.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   doc_id % {GREEDY_PACK_BUCKETS} AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {GREEDY_PACK_BUCKETS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket, n_tokens, block_id, block_pos FROM pack
+    """,
+    tags=("packing", "training-data", "north-star"),
+)
+def greedy_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT sequence packing — the SFT-style layout where a
+    document never straddles two training sequences: stream docs in
+    doc_id order per shard, append while the sequence has room, start
+    a new sequence otherwise (an over-long doc gets its own sequence).
+    Completes the packing ladder next to ``token_block_layout``'s
+    concat-then-chunk (the pretraining layout, where docs DO straddle).
+
+    Spark-first shape: greedy packing of one stream is inherently
+    sequential (each placement depends on the previous), so the engine
+    parallelizes across GREEDY_PACK_BUCKETS independent shards via
+    ``applyInPandas`` — the grouped-map pattern, one Arrow batch per
+    shard, a tight integer loop over DOCS (not tokens) inside.  At
+    100 TB the shard count is the knob: packing quality is per-shard
+    and unaffected, wall-clock divides by shards, and the shuffle is
+    the single hash exchange on bucket.  (A window/cumsum CANNOT
+    express the reset-on-overflow recurrence — that is precisely why
+    concat-then-chunk exists as the window-expressible twin.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % GREEDY_PACK_BUCKETS).alias("bucket"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy()
+        block = np.zeros(len(pdf), dtype=np.int64)
+        pos = np.zeros(len(pdf), dtype=np.int64)
+        b = 0
+        used = -1  # sentinel: no open sequence yet
+        for i, n in enumerate(toks):
+            if used < 0:
+                b, p, used = 0, 0, int(n)
+            elif used + n <= GREEDY_PACK_CAPACITY:
+                p = used
+                used += int(n)
+            else:
+                b += 1
+                p = 0
+                used = int(n)
+            block[i] = b
+            pos[i] = p
+        return pdf.assign(block_id=block, block_pos=pos)
+
+    return t.groupBy("bucket").applyInPandas(
+        pack,
+        "doc_id long, bucket long, n_tokens long, block_id long, block_pos long",
+    )

@@ -86,6 +86,9 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # by cell index; the pinned partials frame is read by both the
     # Gramian and the count branch (textual count sees the build once)
     "embedding_isotropy_stats": 1,
+    # round-9: one hash exchange on the shard key feeds the grouped-map
+    # packer; everything else is row-local token counting
+    "greedy_pack_layout": 1,
 }
 
 

@@ -360,3 +360,41 @@ def test_novelty_curve_invariants(spark, sf_dir):
     )
     assert rows[-1].cum_distinct == grams.distinct().count()
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_greedy_pack_layout_invariants(spark, sf_dir):
+    """No sequence exceeds capacity unless it holds exactly one
+    oversized doc; every doc appears once; block ids are contiguous
+    from 0 per bucket; packing is greedy (a doc that STARTS a new
+    block must not have fit in the previous one)."""
+    from collections import defaultdict
+
+    from ssafynews_data_spark.operators import text as T
+
+    rows = sorted(
+        T.greedy_pack_layout(spark, sf_dir).collect(),
+        key=lambda r: (r.bucket, r.doc_id),
+    )
+    n_docs = T.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    blocks = defaultdict(list)
+    for r in rows:
+        blocks[(r.bucket, r.block_id)].append(r)
+        assert r.block_pos >= 0
+    for (bucket, bid), members in blocks.items():
+        total = sum(r.n_tokens for r in members)
+        if total > T.GREEDY_PACK_CAPACITY:
+            assert len(members) == 1  # a single oversized doc
+    for (bucket, bid) in blocks:
+        if bid > 0:
+            assert (bucket, bid - 1) in blocks  # contiguous ids
+    # greediness: the first doc of block b+1 must overflow block b
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r.bucket].append(r)
+    for bucket, rs in per_bucket.items():
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.block_id == prev.block_id + 1:
+                used = prev.block_pos + prev.n_tokens
+                assert used + cur.n_tokens > T.GREEDY_PACK_CAPACITY
