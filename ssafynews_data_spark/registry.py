@@ -156,22 +156,26 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: families register only into the mid region (never this window) and
 #: stay ≤ 5 per round so the next window can absorb them.
 #:
-#: Round 9 registered THREE (of the ≤5 budget), all oracled, all
-#: mid-region, all green at sf0.001/sf0.01/sf0.1 AND on reseeds
-#: 777/1234/555 + the sf0.1-scale reseed 662 + the pytest gate's
-#: virgin seed 8675309: ivfpq_serve_contract (similarity.py — the
-#: serving lifecycle: persisted quantizer meta, cold-start reload,
-#: bit-identical serve + exact coverage; VERDICT r8 item 6),
-#: hard_negative_mining (similarity.py — contrastive-training
-#: negatives: per-anchor top-k nearest CROSS-LABEL vectors, the
-#: cosine_topk broadcast shape with the label predicate in the join
-#: condition), and embedding_isotropy_stats (vectors.py —
-#: participation-ratio isotropy from distributed partial Gramians,
-#: the X^T·X map-reduce: per-batch GEMM partials, one d²-row
-#: hash-agg, no eigensolve).
+#: Round 9 registered FOUR (of the ≤5 budget), all oracled, all
+#: mid-region, all green at sf0.001/sf0.01/sf0.1, on reseeds
+#: 777/1234/555, on the sf0.1-scale reseed 662, on TWO further virgin
+#: seeds (13579, 97531 — full-mirror clean), in a --plain bare
+#: session, and under the pytest gate's pinned seed 8675309:
+#: ivfpq_serve_contract (similarity.py — the serving lifecycle:
+#: persisted quantizer meta, cold-start reload, bit-identical serve +
+#: exact coverage; VERDICT r8 item 6), hard_negative_mining
+#: (similarity.py — contrastive-training negatives: per-anchor top-k
+#: nearest CROSS-LABEL vectors, the cosine_topk broadcast shape with
+#: the label predicate in the join condition),
+#: embedding_isotropy_stats (vectors.py — participation-ratio
+#: isotropy from distributed partial Gramians, the X^T·X map-reduce:
+#: per-batch GEMM partials, one d²-row hash-agg, no eigensolve), and
+#: greedy_pack_layout (text.py — greedy NO-SPLIT sequence packing,
+#: the SFT layout, applyInPandas over independent shards with a
+#: recursive-CTE oracle replaying the recurrence in pure integers).
 #:
 #: ROUND-10 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the three round-9 registrations above for their
+#: sentinels; promote the four round-9 registrations above for their
 #: first driver rows; then fill the remaining slots oldest-driver-row
 #: first — the r4-era names not re-certified in r9 (bm25_topk,
 #: char_stats_quality, cogroup_user_funnel, dq_constraint_checks,

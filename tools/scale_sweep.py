@@ -113,6 +113,10 @@ HEADLINERS = (
     # d²-row hash-agg; expected ~linear in corpus rows with a constant
     # shuffle (a regression to a per-row d² explode reads super-linear)
     "embedding_isotropy_stats",
+    # round 9: greedy packing — one exchange on the shard key, then a
+    # per-shard integer loop over docs; linear by construction, and the
+    # sweep guards the grouped-map stays doc-loop (not token-loop)
+    "greedy_pack_layout",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -297,6 +301,7 @@ def main() -> int:
         "edit_distance_pairs": "docs",
         "hard_negative_mining": "emb",
         "embedding_isotropy_stats": "emb",
+        "greedy_pack_layout": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
