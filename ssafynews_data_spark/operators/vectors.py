@@ -509,6 +509,13 @@ def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["emb"].to_numpy())
+            if X.shape[1] != EMB_DIM:
+                # the diagonal mask downstream is idx % (EMB_DIM+1) ==
+                # 0 — a dim mismatch would silently miscompute, so die
+                # loudly instead
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != EMB_DIM {EMB_DIM}"
+                )
             G = X.T @ X
             yield pd.DataFrame(
                 {"g": [G.reshape(-1).tolist()], "n": [len(X)]}
