@@ -60,9 +60,17 @@ def disc_price_e4() -> Column:
 def sum_units(units: Column) -> Column:
     """Overflow-proof exact sum of integer money units (the module
     docstring's headroom enforcement): decimal(38, 0) accumulation —
-    exact at any realistic group size, errors loudly instead of
-    wrapping, and both engines still derive downstream doubles from
-    the identical integer (DuckDB's BIGINT sum is already HUGEINT).
+    exact at any realistic group size (38 digits ≈ 1e19× the headroom
+    of long at e6-unit rows), and both engines derive downstream
+    doubles from the identical integer (DuckDB's BIGINT sum is already
+    HUGEINT).  Failure mode if 38 digits were EVER exceeded: with
+    spark.sql.ansi.enabled=false (the driver's session default) Spark
+    returns NULL for an overflowing decimal aggregate — it does NOT
+    raise — so the guarantee is "never a silently WRAPPED wrong
+    number": an overflow would surface as a NULL revenue, which the
+    DuckDB oracle mirror (HUGEINT, non-null) flags as a value
+    mismatch.  Sessions that need a hard error instead can set
+    spark.sql.ansi.enabled=true; the plan is unchanged.
 
     Measured cost (sf0.1 solo A/B, docs/SCALE.md round 9): Q1's seven
     aggregates over 600k rows read 0.57s long vs 0.77s decimal — ~35%

@@ -185,10 +185,16 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings instead, so bucket depth tracks true near-duplicates
     rather than alphabet entropy.
     """
-    return edjoin_pairs(pin(_edjoin_keys(spark, sf_dir)))
+    # keys are substring(text, 1, EDJOIN_KEY_CHARS), so the probe-length
+    # cap is known statically — pass it to skip the max() discovery job
+    return edjoin_pairs(
+        pin(_edjoin_keys(spark, sf_dir)), max_len=EDJOIN_KEY_CHARS
+    )
 
 
-def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
+def edjoin_pairs(
+    keys: DataFrame, k: int = EDIT_DISTANCE_MAX, max_len: int | None = None
+) -> DataFrame:
     """Core Pass-Join over a ``(doc_id, key)`` frame.
 
     Losslessness (this is what lets the quadratic oracle hash-match by
@@ -231,10 +237,15 @@ def edjoin_pairs(keys: DataFrame, k: int = EDIT_DISTANCE_MAX) -> DataFrame:
     # present, not the registered query's EDJOIN_KEY_CHARS constant —
     # a caller passing 70-char keys would otherwise silently lose pairs
     # whose chunked side is longer than the constant (two identical
-    # 70-char keys share no probe row capped at 64).  One max() pass
-    # over the keys (map-side partial, 1-row result), paid once per
-    # call.
-    max_len = keys.agg(F.max(F.length("key")).alias("m")).collect()[0].m or 0
+    # 70-char keys share no probe row capped at 64).  Callers with a
+    # KNOWN upper bound (e.g. keys built by substring(_, 1, cap)) pass
+    # ``max_len`` and this builder stays lazy; an over-estimate is safe
+    # (extra probe rows join to nothing).  Otherwise one eager max()
+    # pass over the keys (map-side partial, 1-row result) discovers it
+    # — callers should cache/pin the keys frame first so the pass does
+    # not recompute the lineage (the registered query does, via pin()).
+    if max_len is None:
+        max_len = keys.agg(F.max(F.length("key")).alias("m")).collect()[0].m or 0
     chunk_side = _chunk_rows(keys, k)
     probe_side = _probe_rows(keys, k, max_len)
 

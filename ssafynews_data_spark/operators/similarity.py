@@ -2348,7 +2348,8 @@ def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM a JOIN c
                    ON a.vec_id <> c.vec_id AND a.label <> c.label
              )
-        SELECT anchor_id, neighbor_id, round(sim, 4) AS sim,
+        SELECT anchor_id, neighbor_id,
+               CAST(round(sim * 10000) AS BIGINT) AS sim_q4,
                CAST(rank AS INT) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
                                            ORDER BY sim DESC, neighbor_id) AS rank
@@ -2394,7 +2395,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        # emit the similarity on the q4 INTEGER lattice (VERDICT r9
+        # item 3): round(double, 4) emits a decimal-lattice double and
+        # that whole class half-tie-breaks per engine (finding 13);
+        # round(sim*10000) as BIGINT is tie-free — ordering still uses
+        # the raw double, bit-identical cross-engine
         .select(
-            "anchor_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
+            "anchor_id",
+            "neighbor_id",
+            F.round(F.col("sim") * 10000).cast("long").alias("sim_q4"),
+            "rank",
         )
     )

@@ -13,9 +13,12 @@ CI-style invocations instead of by hand:
 
 Slow by design (every oracled query, twice the engines), so it is
 selected only via the marker — plain ``pytest tests/`` records it as
-an explicit skip.  The pinned seed is fresh (never part of the manual
-r8 survey set 777/1234/555/31337/99/2468/7/424242), so each round this
-runs it is also one more virgin-draw data point.
+an explicit skip.  The pinned seed ROTATES each round (VERDICT r9
+item 5): the gate's value is virgin draws, and after its first run a
+pinned seed is no longer virgin.  Each round pins a fresh
+never-surveyed seed and records the retired one in docs/COVERAGE.md's
+tally (retired: 8675309 after r9 — its run caught the half-thousandth
+rounding-tie bug, finding 13).
 """
 
 from __future__ import annotations
@@ -25,8 +28,10 @@ import pytest
 from tools.check_oracles import run_checks
 from tools.reseed_fixture import generate
 
-#: pinned, non-42, outside the manually-surveyed seed set
-RESEED_GATE_SEED = 8675309
+#: pinned, non-42, outside every previously-surveyed seed set
+#: (42/777/1234/555/31337/99/2468/7/424242/8675309/13579/97531/
+#: 5551212/246813/31415/27182/112358/778899 and sf0.1 seeds 662/883)
+RESEED_GATE_SEED = 161803
 
 
 @pytest.mark.reseed

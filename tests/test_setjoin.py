@@ -198,3 +198,36 @@ def test_edjoin_keys_longer_than_module_cap(spark):
     }
     assert got == _brute(corpus, setjoin.EDIT_DISTANCE_MAX)
     assert (1, 2, 0) in got and (1, 3, 1) in got
+
+
+def test_edjoin_explicit_max_len_skips_discovery_job(spark):
+    """ADVICE r9: callers with a known key-length cap pass ``max_len``
+    and the builder skips the eager max(length) discovery job (the
+    degenerate-block count guard remains — blessed as shipped); an
+    over-estimated cap is safe (extra probe rows join to nothing)."""
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cog",  # ed 1
+        3: "completely unrelated sentence about spark plans",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, key string")
+
+    tracker = spark.sparkContext.statusTracker()
+
+    n0 = len(tracker.getJobIdsForGroup(None))
+    plan_explicit = setjoin.edjoin_pairs(df, max_len=128)  # over-estimate
+    explicit_jobs = len(tracker.getJobIdsForGroup(None)) - n0
+
+    n1 = len(tracker.getJobIdsForGroup(None))
+    plan_discovery = setjoin.edjoin_pairs(df)  # runs the max() pass
+    discovery_jobs = len(tracker.getJobIdsForGroup(None)) - n1
+
+    assert explicit_jobs < discovery_jobs, (
+        f"explicit max_len must skip the discovery job "
+        f"({explicit_jobs} vs {discovery_jobs})"
+    )
+
+    expected = _brute(corpus, setjoin.EDIT_DISTANCE_MAX)
+    for plan in (plan_explicit, plan_discovery):
+        got = {(r.doc_a, r.doc_b, r.edit_dist) for r in plan.collect()}
+        assert got == expected

@@ -514,8 +514,12 @@ def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
         by_anchor.setdefault(r.anchor_id, []).append(r)
     for a, rs in by_anchor.items():
         assert len(rs) == similarity.TOP_K
-        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        # sim_q4 = round(sim*10000) as integer (the q4 lattice, tie-free
+        # cross-engine); rank order is by the raw double, so quantized
+        # values are non-increasing (ties possible on the lattice)
+        sims = [r.sim_q4 for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+        assert all(isinstance(s, int) for s in sims)
 
 
 def test_isotropy_participation_ratio_bounds(spark, sf_dir):

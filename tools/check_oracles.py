@@ -55,9 +55,10 @@ def run_checks(
     qs = registry.load_all()
     unknown = set(only) - set(qs)
     if unknown:
-        # a typo'd name must not read as "0 failures" — fail loudly
-        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
-        return sorted(unknown)
+        # a typo'd name must not read as "0 failures", and must not read
+        # as a REAL oracle failure either (the reseed gate would report
+        # "oracles overfit" for a misspelling) — it is a usage error
+        raise ValueError(f"unknown query name(s): {sorted(unknown)}")
     if spark is None and plain:
         # driver-faithful: a bare session with NONE of the engine configs
         # (the grading driver builds its own) — every query must self-heal
@@ -125,7 +126,12 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    return 1 if run_checks(sf_dir, only=set(args[1:]), plain=plain) else 0
+    try:
+        failures = run_checks(sf_dir, only=set(args[1:]), plain=plain)
+    except ValueError as e:
+        print(f"ERROR: {e}")
+        return 2  # usage error, distinct from exit 1 = oracle failures
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
