@@ -1265,3 +1265,338 @@ def greedy_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "doc_id long, bucket long, n_tokens long, block_id long, block_pos long",
     )
+
+
+@register(
+    "pack_efficiency_audit",
+    # both layouts' waste in PURE integers: the greedy recurrence is
+    # replayed by the same recursive CTE as greedy_pack_layout, then
+    # per-(bucket, block) fills and pads are plain integer sums — no
+    # doubles, no rounding, nothing draw-sensitive anywhere.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   doc_id % {GREEDY_PACK_BUCKETS} AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {GREEDY_PACK_BUCKETS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        ),
+        blocks AS (
+            SELECT bucket, block_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+            FROM pack GROUP BY bucket, block_id
+        ),
+        greedy AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS greedy_n_seqs,
+                   CAST(sum(greatest(0, {GREEDY_PACK_CAPACITY} - fill))
+                        AS BIGINT) AS greedy_pad_tokens
+            FROM blocks GROUP BY bucket
+        ),
+        base AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN n_tokens > {GREEDY_PACK_CAPACITY}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlong_docs
+            FROM t GROUP BY bucket
+        )
+        SELECT b.bucket, b.n_docs, b.total_tokens, b.n_overlong_docs,
+               g.greedy_n_seqs, g.greedy_pad_tokens,
+               CAST(CASE WHEN b.total_tokens = 0 THEN 0
+                         ELSE (b.total_tokens + {GREEDY_PACK_CAPACITY} - 1)
+                              // {GREEDY_PACK_CAPACITY} END AS BIGINT)
+                   AS chunk_n_blocks,
+               CAST(CASE WHEN b.total_tokens = 0 THEN 0
+                         ELSE ((b.total_tokens + {GREEDY_PACK_CAPACITY} - 1)
+                               // {GREEDY_PACK_CAPACITY})
+                              * {GREEDY_PACK_CAPACITY} - b.total_tokens END
+                    AS BIGINT) AS chunk_tail_pad
+        FROM base b JOIN greedy g USING (bucket)
+    """,
+    tags=("packing", "training-data", "audit", "north-star"),
+)
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (VERDICT r9 item 4's named candidate):
+    per shard, the fill/waste arithmetic of BOTH sequence layouts —
+    greedy no-split (``greedy_pack_layout``: a doc never straddles, so
+    every non-final placement leaves tail padding) vs concat-then-chunk
+    (``token_block_layout``: docs straddle, so the only padding is each
+    shard's final partial block).  This is the number a data engineer
+    reads before picking an SFT layout: how many padded tokens the
+    no-split guarantee costs at this capacity.
+
+    Emitted per bucket, all BIGINT: doc/token totals, overlong-doc
+    count (n_tokens > capacity — each rides alone in an over-full
+    sequence contributing zero padding), greedy sequence count and
+    padding-token sum, and the chunk layout's block count and tail
+    padding.  Fill RATES are left to the reader (a ratio would be a
+    double; the integers hash exactly).
+
+    Scale shape: reuses greedy_pack_layout's applyInPandas shards,
+    then BOTH aggregation levels ride that single bucket exchange —
+    (bucket, block) and (bucket) are supersets of the grouped-map's
+    hash partitioning key, so Spark plans them exchange-free (doc
+    stats fold into block-level partials, block stats fold into the
+    bucket row; one chain, no join, no second branch over the packed
+    subtree).  The chunk-side numbers need no window at all: block
+    count and tail pad are pure functions of each bucket's token
+    total."""
+    packed = greedy_pack_layout(spark, sf_dir)
+    blocks = packed.groupBy("bucket", "block_id").agg(
+        F.count("*").alias("blk_docs"),
+        F.sum("n_tokens").alias("fill"),
+        F.sum((F.col("n_tokens") > GREEDY_PACK_CAPACITY).cast("long")).alias(
+            "blk_overlong"
+        ),
+    )
+    per_bucket = blocks.groupBy("bucket").agg(
+        F.sum("blk_docs").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.sum("blk_overlong").alias("n_overlong_docs"),
+        F.count("*").alias("greedy_n_seqs"),
+        F.sum(
+            F.greatest(
+                F.lit(0).cast("long"), F.lit(GREEDY_PACK_CAPACITY) - F.col("fill")
+            )
+        ).alias("greedy_pad_tokens"),
+    )
+    cap = GREEDY_PACK_CAPACITY
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        "n_overlong_docs",
+        "greedy_n_seqs",
+        "greedy_pad_tokens",
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"(total_tokens + {cap} - 1) div {cap}"))
+        .alias("chunk_n_blocks"),
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"((total_tokens + {cap} - 1) div {cap}) * {cap} - total_tokens")
+        )
+        .alias("chunk_tail_pad"),
+    )
+
+
+#: deterministic SFT prompt/completion split for the mask layout:
+#: the first third of a doc's tokens are "prompt" (loss-masked), the
+#: rest are "completion" (loss-bearing).  Integer div — no rounding.
+#: Real pipelines read the boundary from data; the fixture documents
+#: carry no turn structure, so the audit uses the deterministic rule
+#: and the MACHINERY (span arithmetic over the packed layout) is what
+#: the contract certifies.
+SFT_PROMPT_DIV = 3
+
+
+@register(
+    "pack_mask_spans",
+    # the greedy layout replayed by the same recursive CTE, then the
+    # mask spans are pure integer arithmetic per doc — a completion
+    # span [block_pos + prompt_len, block_pos + n_tokens) inside the
+    # doc's packed sequence, plus the boundary flags a collator needs.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   doc_id % {GREEDY_PACK_BUCKETS} AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {GREEDY_PACK_BUCKETS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket, block_id,
+               CAST(n_tokens // {SFT_PROMPT_DIV} AS BIGINT) AS prompt_len,
+               CAST(n_tokens - n_tokens // {SFT_PROMPT_DIV} AS BIGINT)
+                   AS n_loss_tokens,
+               CAST(block_pos + n_tokens // {SFT_PROMPT_DIV} AS BIGINT)
+                   AS loss_start,
+               CAST(block_pos + n_tokens AS BIGINT) AS loss_end,
+               block_pos = 0 AS starts_sequence
+        FROM pack
+    """,
+    tags=("packing", "training-data", "sft", "north-star"),
+)
+def pack_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask span layout over the greedy no-split packing: for
+    every document, WHERE inside its packed training sequence the
+    loss-bearing (completion) tokens sit.  This is the collator-facing
+    artifact of packed SFT — the trainer needs, per sequence, the span
+    list on which cross-entropy is computed (prompt tokens and padding
+    are masked out); emitting it from the same layout pass means the
+    mask can never drift from the packing.
+
+    Per doc (all integers): prompt_len = n_tokens div SFT_PROMPT_DIV,
+    the completion span [loss_start, loss_end) in sequence-local token
+    coordinates, n_loss_tokens, and the starts_sequence flag (the
+    attention-reset boundary for block-causal packed attention).
+
+    Scale shape: one applyInPandas pass shared with
+    ``greedy_pack_layout`` (the bucket hash exchange), then the span
+    arithmetic is row-local projection — zero additional shuffles; the
+    oracle replays the identical recurrence in pure integers."""
+    packed = greedy_pack_layout(spark, sf_dir)
+    prompt = F.expr(f"n_tokens div {SFT_PROMPT_DIV}")
+    return packed.select(
+        "doc_id",
+        "bucket",
+        "block_id",
+        prompt.cast("long").alias("prompt_len"),
+        (F.col("n_tokens") - prompt).cast("long").alias("n_loss_tokens"),
+        (F.col("block_pos") + prompt).cast("long").alias("loss_start"),
+        (F.col("block_pos") + F.col("n_tokens")).cast("long").alias("loss_end"),
+        (F.col("block_pos") == 0).alias("starts_sequence"),
+    )
+
+
+#: global token budget apportioned across sources (Hamilton /
+#: largest-remainder method — the classic exact apportionment, used
+#: here the way data-mixture schedulers use it: "this corpus snapshot
+#: gets B tokens; how many from each source, proportional to supply,
+#: summing to EXACTLY B with no fractional tokens").
+TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "token_budget_allocation",
+    # pure integers end-to-end: quotas are floor divisions, remainders
+    # are exact products (B·tokens − quota·total, the mod without mod),
+    # the top-R rank is deterministic with a named tie-break — nothing
+    # draw-sensitive, nothing rounded.
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+            FROM per_src
+        ),
+        quo AS (
+            SELECT *,
+                   CAST(CASE WHEN total_tokens = 0 THEN 0
+                             ELSE ({TOKEN_BUDGET} * n_tokens) // total_tokens
+                        END AS BIGINT) AS quota_base,
+                   CAST(CASE WHEN total_tokens = 0 THEN 0
+                             ELSE {TOKEN_BUDGET} * n_tokens
+                                  - (({TOKEN_BUDGET} * n_tokens) // total_tokens)
+                                    * total_tokens
+                        END AS BIGINT) AS remainder_units
+            FROM tot
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY remainder_units DESC, source)
+                       AS rem_rank,
+                   CAST({TOKEN_BUDGET} - sum(quota_base) OVER () AS BIGINT)
+                       AS leftover
+            FROM quo
+        )
+        SELECT source, n_docs, n_tokens, quota_base,
+               CAST(CASE WHEN total_tokens = 0 THEN 0
+                         WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS extra_token,
+               CAST(quota_base + CASE WHEN total_tokens = 0 THEN 0
+                                      WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS allocation
+        FROM ranked
+    """,
+    tags=("sampling", "mixture", "training-data", "north-star"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global token
+    budget across sources — the exact integer form of "sample each
+    source proportional to supply": quota = floor(B·tokens_s / total),
+    then the B − Σquota leftover tokens go one each to the largest
+    fractional remainders (tie-break: source name).  Allocations are
+    non-negative integers summing to EXACTLY B — the property mixture
+    weights expressed as doubles (doremi_mixture_weights,
+    domain_mix_sample) cannot give a downstream sampler that needs a
+    hard token count per source.
+
+    Scale shape: ONE hash aggregation over the corpus (map-side
+    partial) reduces 100 TB to |sources| rows; every window after that
+    — the total, the leftover, the remainder rank — runs over the
+    |sources|-row frame (single-partition window over group-count
+    rows, the deliberate exception to the no-global-window rule; at
+    even a million sources this is one executor's work).  Remainders
+    compare as exact products B·tokens − quota·total, so there is no
+    fraction, no double, and no mod-semantics divergence anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    w_all = W.partitionBy()
+    B = TOKEN_BUDGET
+    tot = per_src.withColumn(
+        "total_tokens", F.sum("n_tokens").over(w_all).cast("long")
+    )
+    quo = tot.select(
+        "*",
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({B} * n_tokens) div total_tokens"))
+        .alias("quota_base"),
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"{B} * n_tokens - (({B} * n_tokens) div total_tokens) * total_tokens"
+            )
+        )
+        .alias("remainder_units"),
+    )
+    ranked = quo.select(
+        "*",
+        F.row_number()
+        .over(w_all.orderBy(F.desc("remainder_units"), "source"))
+        .alias("rem_rank"),
+        (F.lit(B) - F.sum("quota_base").over(w_all)).cast("long").alias("leftover"),
+    )
+    extra = (
+        F.when(F.col("total_tokens") == 0, F.lit(0))
+        .when(F.col("rem_rank") <= F.col("leftover"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "quota_base",
+        extra.alias("extra_token"),
+        (F.col("quota_base") + extra).cast("long").alias("allocation"),
+    )

@@ -89,6 +89,21 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-9: one hash exchange on the shard key feeds the grouped-map
     # packer; everything else is row-local token counting
     "greedy_pack_layout": 1,
+    # round-10 (OPQ): fit is driver-side on the bounded sample; the
+    # corpus audit is one Arrow pass into a global aggregate — the
+    # only exchange is the 1-row final-agg single partition (not hash)
+    "opq_rotation_contract": 0,
+    # round-10: the packer's bucket exchange + two tiny aggregation
+    # exchanges (FlatMapGroupsInPandas does not advertise its output
+    # partitioning, so the (bucket, block) and (bucket) rollups each
+    # re-exchange — but map-side partials mean they move O(blocks) and
+    # O(buckets) rows respectively, independent of corpus size)
+    "pack_efficiency_audit": 3,
+    # round-10: the packer's bucket exchange; span math is row-local
+    "pack_mask_spans": 1,
+    # round-10: ONE corpus-reducing hash agg on source; the windows
+    # after it run over |sources| rows (single-partition by design)
+    "token_budget_allocation": 1,
 }
 
 

@@ -398,3 +398,97 @@ def test_greedy_pack_layout_invariants(spark, sf_dir):
             if cur.block_id == prev.block_id + 1:
                 used = prev.block_pos + prev.n_tokens
                 assert used + cur.n_tokens > T.GREEDY_PACK_CAPACITY
+
+
+def test_pack_efficiency_audit_reconciles_with_layout(spark, sf_dir):
+    """The audit's integers must reconcile exactly with the layout it
+    audits: per bucket, sequences = max block_id + 1, padding = sum of
+    per-block max(0, capacity - fill), chunk numbers = pure functions
+    of the token total; allocation identity capacity*seqs =
+    tokens + pad - overflow(overlong blocks)."""
+    from collections import defaultdict
+
+    from ssafynews_data_spark.operators import text as T
+
+    layout = T.greedy_pack_layout(spark, sf_dir).collect()
+    audit = {r.bucket: r for r in T.pack_efficiency_audit(spark, sf_dir).collect()}
+    cap = T.GREEDY_PACK_CAPACITY
+
+    fills: dict[tuple, int] = defaultdict(int)
+    per_bucket_docs: dict[int, int] = defaultdict(int)
+    per_bucket_tokens: dict[int, int] = defaultdict(int)
+    per_bucket_overlong: dict[int, int] = defaultdict(int)
+    for r in layout:
+        fills[(r.bucket, r.block_id)] += r.n_tokens
+        per_bucket_docs[r.bucket] += 1
+        per_bucket_tokens[r.bucket] += r.n_tokens
+        per_bucket_overlong[r.bucket] += int(r.n_tokens > cap)
+
+    assert set(audit) == set(per_bucket_docs)
+    for b, row in audit.items():
+        blocks = {blk: f for (bk, blk), f in fills.items() if bk == b}
+        assert row.n_docs == per_bucket_docs[b]
+        assert row.total_tokens == per_bucket_tokens[b]
+        assert row.n_overlong_docs == per_bucket_overlong[b]
+        assert row.greedy_n_seqs == len(blocks) == max(blocks) + 1
+        assert row.greedy_pad_tokens == sum(max(0, cap - f) for f in blocks.values())
+        assert row.chunk_n_blocks == -(-row.total_tokens // cap)
+        assert row.chunk_tail_pad == row.chunk_n_blocks * cap - row.total_tokens
+        # no-split costs at least as much padding as concat-then-chunk
+        assert row.greedy_pad_tokens >= row.chunk_tail_pad or row.n_overlong_docs
+
+
+def test_pack_mask_spans_within_capacity_and_cover_completions(spark, sf_dir):
+    """Spans stay inside their sequence (except overlong solo docs),
+    never overlap within a sequence, and n_loss_tokens + prompt_len
+    reconstructs the doc's token count."""
+    from collections import defaultdict
+
+    from ssafynews_data_spark.operators import text as T
+
+    layout = {r.doc_id: r for r in T.greedy_pack_layout(spark, sf_dir).collect()}
+    spans = T.pack_mask_spans(spark, sf_dir).collect()
+    cap = T.GREEDY_PACK_CAPACITY
+    assert len(spans) == len(layout)
+
+    by_seq = defaultdict(list)
+    for s in spans:
+        lay = layout[s.doc_id]
+        n = lay.n_tokens
+        assert s.prompt_len == n // T.SFT_PROMPT_DIV
+        assert s.n_loss_tokens == n - s.prompt_len
+        assert s.loss_start == lay.block_pos + s.prompt_len
+        assert s.loss_end == lay.block_pos + n
+        assert s.starts_sequence == (lay.block_pos == 0)
+        if n <= cap:
+            assert s.loss_end <= cap
+        by_seq[(s.bucket, s.block_id)].append(s)
+    for (b, blk), ss in by_seq.items():
+        ss = sorted(ss, key=lambda s: s.loss_start)
+        for prev, cur in zip(ss, ss[1:]):
+            assert prev.loss_end <= cur.loss_start + cur.prompt_len  # doc regions disjoint
+        assert sum(s.starts_sequence for s in ss) == 1
+
+
+def test_token_budget_allocation_exact_apportionment(spark, sf_dir):
+    """Hamilton's method invariants: allocations are non-negative
+    integers summing to EXACTLY the budget, each within 1 of its real
+    quota (no source gains more than one leftover token), and extras
+    go to the largest remainders first."""
+    from ssafynews_data_spark.operators import text as T
+
+    rows = T.token_budget_allocation(spark, sf_dir).collect()
+    assert rows
+    B = T.TOKEN_BUDGET
+    total = sum(r.n_tokens for r in rows)
+    assert sum(r.allocation for r in rows) == B
+    for r in rows:
+        assert r.extra_token in (0, 1)
+        assert r.allocation == r.quota_base + r.extra_token
+        assert r.quota_base == (B * r.n_tokens) // total
+    # largest-remainder priority: every source that got an extra token
+    # has remainder >= every source that did not (ties broken by name)
+    got = [(B * r.n_tokens) % total for r in rows if r.extra_token]
+    not_got = [(B * r.n_tokens) % total for r in rows if not r.extra_token]
+    if got and not_got:
+        assert min(got) >= max(not_got) - 0  # strict by construction up to ties

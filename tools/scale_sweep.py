@@ -117,6 +117,20 @@ HEADLINERS = (
     # per-shard integer loop over docs; linear by construction, and the
     # sweep guards the grouped-map stays doc-loop (not token-loop)
     "greedy_pack_layout",
+    # round 10: OPQ — the fit is sample-bounded (flat by construction,
+    # like the PQ row), so this row guards the distributed audit pass
+    # (two encode-error UDF columns in one scan) stays ~linear and a
+    # regression to corpus-sized fitting is caught
+    "opq_rotation_contract",
+    # round 10: the packing audit rides the packer's exchange plus two
+    # partial-agg rollups that move O(blocks)/O(buckets) rows — the
+    # sweep guards those stay aggregation-shaped (a regression that
+    # re-runs the packer per branch would read as a step in absolute
+    # time; super-linear would mean the rollup lost its partials)
+    "pack_efficiency_audit",
+    # round 10: exact apportionment — ONE corpus-reducing hash agg,
+    # then |sources|-row windows; expected alpha ~ the scan itself
+    "token_budget_allocation",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
