@@ -158,12 +158,26 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: families register only into the mid region (never this window) and
 #: stay ≤ 5 per round so the next window can absorb them.
 #:
+#: Round 10 registered FOUR (of the ≤5 budget), all oracled, all
+#: mid-region (registered AFTER the window above was frozen), all
+#: green at sf0.001/sf0.01/sf0.1 and on reseeds 777 + virgin 314159:
+#: opq_rotation_contract (similarity.py — OPQ, Ge et al. 2013:
+#: alternating Procrustes/Lloyd's on the bounded sample, exact
+#: train-SSE inequality by best-so-far, distributed one-pass corpus
+#: audit), pack_efficiency_audit (text.py — integer fill/waste of
+#: greedy no-split vs concat-then-chunk per shard),
+#: pack_mask_spans (text.py — SFT loss-mask spans over the packed
+#: layout, row-local, recursive-CTE oracle), and
+#: token_budget_allocation (text.py — Hamilton largest-remainder
+#: apportionment, integer-exact, sums to exactly the budget).
+#:
 #: ROUND-11 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the round-10 registrations for their first
-#: driver rows; then the 13 r5-era leftovers above; then r6-era rows
-#: oldest-first (bigram_lm_perplexity, unigram_kl_source_divergence,
-#: zipf_fit_stats, k_anonymity_profile, zorder_box_query,
-#: dpp_top_days_report, timeseries_* …) until the 50 slots fill.
+#: sentinels; promote the four round-10 registrations above for their
+#: first driver rows; then the 13 r5-era leftovers above; then r6-era
+#: rows oldest-first (bigram_lm_perplexity,
+#: unigram_kl_source_divergence, zipf_fit_stats, k_anonymity_profile,
+#: zorder_box_query, dpp_top_days_report, timeseries_* …) until the
+#: 50 slots fill.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the

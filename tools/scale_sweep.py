@@ -316,6 +316,9 @@ def main() -> int:
         "hard_negative_mining": "emb",
         "embedding_isotropy_stats": "emb",
         "greedy_pack_layout": "docs",
+        "opq_rotation_contract": "emb",
+        "pack_efficiency_audit": "docs",
+        "token_budget_allocation": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
