@@ -2589,3 +2589,138 @@ def opq_rotation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _rotate_embeddings(R: "np.ndarray"):
+    """Arrow UDF: embedding -> embedding · R (one GEMM per batch; R is
+    a d×d closure broadcast — 32 KB at dim 64).  The OPQ pre-transform
+    applied corpus-wide, the faiss ``OPQMatrix`` chain position."""
+
+    @F.pandas_udf("array<double>")
+    def rot(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy())
+        return pd.Series(list(X @ R))
+
+    return rot
+
+
+def _exact_topk_frame(corpus: DataFrame) -> DataFrame:
+    """Brute-force cosine top-k over an arbitrary (vec_id, emb) frame —
+    the cosine_topk shape (broadcast queries, one corpus pass, one
+    per-query window), reusable for transformed corpora."""
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    sims = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "opq_ivfpq_serve_contract",
+    oracle=f"""{_EXACT_TOPK_CTE}
+        SELECT count(DISTINCT query_id) AS n_queries,
+               count(*) AS n_exact_rows,
+               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
+               TRUE AS rotation_preserves_exact_topk,
+               TRUE AS recall_ok
+        FROM topk
+    """,
+    tags=("similarity", "ivf", "pq", "opq", "contract"),
+)
+def opq_ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ composed with IVF-PQ serving — the faiss ``OPQ<M>,IVF<K>,
+    PQ<M>`` index-factory chain (public): learn the Procrustes rotation
+    on the bounded sample, rotate the corpus (one Arrow GEMM pass),
+    build the residual IVF-PQ index IN ROTATED SPACE, and serve the
+    rotated queries against it.  DuckDB recomputes the exact top-k
+    facts in ORIGINAL space; Spark asserts
+
+    - ``rotation_preserves_exact_topk``: the exact top-k SETS in
+      rotated space equal the original-space sets per query — the
+      orthogonality guarantee AT THE SERVING LAYER (R preserves every
+      inner product up to last-ulp float noise; the fixture's top-k
+      margins are ~1e-3, nine orders above it).  A mangled rotation
+      (non-orthogonal, wrong transpose) fails this exactly.
+    - ``recall_ok``: the OPQ-IVFPQ chain's served hits clear the same
+      IVFPQ_RECALL_MIN_PCT floor as the unrotated index — rotation
+      re-mixes the draw but the cell-hit binomial is distributionally
+      identical (the multi-seed survey behind the floor applies
+      verbatim).
+
+    100 TB shape: identical to ``ivfpq_index_topk`` plus one flat
+    rotate pass at build and a d×d GEMM per query batch at serve; the
+    rotation changes NO cost term (same pruned probe reads, same ADC,
+    same bounded re-rank).  The exact passes here are contract
+    apparatus, not the serving path."""
+    corpus = _corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        return spark.createDataFrame(
+            [(0, 0, None, True, True)],
+            "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
+            " rotation_preserves_exact_topk boolean, recall_ok boolean",
+        )
+    sample = (
+        corpus.select(
+            F.col("emb").alias("e"), F.md5(F.col("vec_id").cast("string")).alias("o")
+        )
+        .sort("o")
+        .limit(PQ_FIT_SAMPLE)
+        .select("e")
+        .collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=float) for r in sample])
+    R = _opq_fit(X)[0]
+    rotated = pin(corpus.select("vec_id", _rotate_embeddings(R)(F.col("emb")).alias("emb")))
+
+    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
+    exact_rot = _exact_topk_frame(rotated)
+    # set equality per query == symmetric difference is empty (both
+    # sides are exactly N_QUERIES * TOP_K rows by construction).  Side
+    # markers, NOT null key columns: a USING-style full outer join
+    # coalesces the join keys, so key-null filtering would never fire.
+    mismatches = (
+        exact.select("query_id", "neighbor_id")
+        .withColumn("in_orig", F.lit(1))
+        .join(
+            exact_rot.withColumn("in_rot", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .filter(F.col("in_orig").isNull() | F.col("in_rot").isNull())
+    )
+    served = ivfpq_topk_frame(
+        spark, rotated, _ivfpq_path(sf_dir) + "_opq"
+    ).select("query_id", "neighbor_id")
+    hits = served.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    e = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_rows"),
+        F.sum(F.round(F.col("sim") * 10000).cast("long")).alias("exact_sim_sum_q4"),
+    )
+    checks = mismatches.agg(F.count("*").alias("n_mismatch")).crossJoin(
+        hits.agg(F.count("*").alias("n_hits"))
+    )
+    return e.crossJoin(checks).select(
+        "n_queries",
+        "n_exact_rows",
+        "exact_sim_sum_q4",
+        (F.col("n_mismatch") == 0).alias("rotation_preserves_exact_topk"),
+        (
+            F.col("n_hits") * 100 >= F.col("n_exact_rows") * IVFPQ_RECALL_MIN_PCT
+        ).alias("recall_ok"),
+    )

@@ -158,18 +158,23 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: families register only into the mid region (never this window) and
 #: stay ≤ 5 per round so the next window can absorb them.
 #:
-#: Round 10 registered FOUR (of the ≤5 budget), all oracled, all
+#: Round 10 registered FIVE (the full ≤5 budget), all oracled, all
 #: mid-region (registered AFTER the window above was frozen), all
-#: green at sf0.001/sf0.01/sf0.1 and on reseeds 777 + virgin 314159:
+#: green at sf0.001/sf0.01/sf0.1, on reseeds 777 + virgin 314159, on
+#: the sf0.1-SCALE reseed 904, and in a --plain bare session:
 #: opq_rotation_contract (similarity.py — OPQ, Ge et al. 2013:
 #: alternating Procrustes/Lloyd's on the bounded sample, exact
 #: train-SSE inequality by best-so-far, distributed one-pass corpus
 #: audit), pack_efficiency_audit (text.py — integer fill/waste of
 #: greedy no-split vs concat-then-chunk per shard),
 #: pack_mask_spans (text.py — SFT loss-mask spans over the packed
-#: layout, row-local, recursive-CTE oracle), and
-#: token_budget_allocation (text.py — Hamilton largest-remainder
-#: apportionment, integer-exact, sums to exactly the budget).
+#: layout, row-local, recursive-CTE oracle), token_budget_allocation
+#: (text.py — Hamilton largest-remainder apportionment, integer-exact,
+#: sums to exactly the budget), and opq_ivfpq_serve_contract
+#: (similarity.py — the faiss OPQ∘IVF∘PQ chain: rotate corpus-wide,
+#: build the residual index in rotated space, serve rotated queries;
+#: exact-topk-set preservation asserted via side-marked symmetric
+#: difference, recall on the shared IVFPQ floor).
 #:
 #: ROUND-11 WINDOW RECIPE (freeze first, then register): keep the 10
 #: sentinels; promote the four round-10 registrations above for their

@@ -104,6 +104,12 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-10: ONE corpus-reducing hash agg on source; the windows
     # after it run over |sources| rows (single-partition by design)
     "token_budget_allocation": 1,
+    # round-10 (OPQ∘IVF-PQ): the returned plan composes the CONTRACT
+    # APPARATUS — two exact top-k windows (original + rotated space),
+    # the served-hits join, the symmetric-difference full-outer join,
+    # and their aggregates; the serving path itself stays the pruned
+    # ivfpq shape (its own rows above).  Not a serving-cost pin.
+    "opq_ivfpq_serve_contract": 11,
 }
 
 

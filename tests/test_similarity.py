@@ -557,3 +557,34 @@ def test_opq_fit_invariants(spark, sf_dir):
     assert row.opq_train_sse_le_plain
     assert row.opq_corpus_sse_ok
     assert row.n_vectors == corpus.count()
+
+
+def test_opq_ivfpq_contract_and_mismatch_detector_fires(spark, sf_dir, tmp_path):
+    """The composed OPQ→IVF-PQ contract holds on the fixture, and the
+    rotation-preservation detector is NOT vacuous: a deliberately
+    non-orthogonal 'rotation' (a projection that zeroes half the
+    dimensions) must change the exact top-k sets and be caught."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    row = similarity.opq_ivfpq_serve_contract(spark, sf_dir).collect()[0]
+    assert row.rotation_preserves_exact_topk
+    assert row.recall_ok
+    assert row.n_queries == similarity.N_QUERIES
+    assert row.n_exact_rows == similarity.N_QUERIES * similarity.TOP_K
+
+    corpus = similarity._corpus(spark, sf_dir)
+    d = len(corpus.first().emb)
+    bad = np.eye(d)
+    bad[d // 2 :, d // 2 :] = 0.0  # rank-deficient: kills half the space
+    broken = corpus.select(
+        "vec_id", similarity._rotate_embeddings(bad)(F.col("emb")).alias("emb")
+    )
+    orig = similarity._exact_topk_frame(corpus).withColumn("in_a", F.lit(1))
+    rot = similarity._exact_topk_frame(broken).withColumn("in_b", F.lit(1))
+    n_mismatch = (
+        orig.join(rot, ["query_id", "neighbor_id"], "full_outer")
+        .filter(F.col("in_a").isNull() | F.col("in_b").isNull())
+        .count()
+    )
+    assert n_mismatch > 0, "projection must perturb exact top-k sets"
