@@ -265,8 +265,9 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(class_size) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
                     AS BIGINT) AS rows_below_k10,
-               round(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
-                     * 100.0 / sum(class_size), 2) AS pct_below_k10
+               floor(CAST(sum(CASE WHEN class_size < 10 THEN class_size
+                                   ELSE 0 END) * 10000 AS DOUBLE)
+                     / sum(class_size) + 0.5) / 100 AS pct_below_k10
         FROM classes
         GROUP BY event_type
         ORDER BY event_type
@@ -296,9 +297,17 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("class_size").cast("long").alias("min_class_size"),
             F.sum("class_size").cast("long").alias("n_rows"),
             F.sum(small).cast("long").alias("rows_below_k10"),
-            F.round(F.sum(small) * 100.0 / F.sum("class_size"), 2).alias(
-                "pct_below_k10"
-            ),
+            # avg_half_up construction, not round(): percentage of two
+            # integer sums is an integer quotient — it lands on the
+            # .xx5 lattice with real probability and round() tie-breaks
+            # per engine (the fertility-stats class, virgin seed 577215)
+            (
+                F.floor(
+                    (F.sum(small) * 10000).cast("double") / F.sum("class_size")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(100.0)
+            ).alias("pct_below_k10"),
         )
         .orderBy("event_type")
     )

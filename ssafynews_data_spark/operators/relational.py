@@ -605,7 +605,8 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment,
                count(*) AS n_customers,
                count(DISTINCT c_nationkey) AS n_nations,
-               round(avg(c_acctbal), 2) AS avg_bal
+               floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 100 AS avg_bal
         FROM customer
         GROUP BY c_mktsegment
     """,
@@ -613,12 +614,23 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-agg (expand + two-phase in Spark). At 100 TB prefer
-    approx_count_distinct (HLL, single pass) — exposed separately."""
+    approx_count_distinct (HLL, single pass) — exposed separately.
+
+    avg_bal is the avg_half_up construction over exact integer cents:
+    round(avg(money), 2) is a cents/count integer quotient that lands
+    on the half-cent lattice with real probability and round()
+    tie-breaks per engine (the fertility-stats class, caught by virgin
+    seed 577215 this round)."""
     cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return cust.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        (
+            F.floor(F.sum(cents).cast("double") / F.count("*") + F.lit(0.5))
+            .cast("long")
+            / F.lit(100.0)
+        ).alias("avg_bal"),
     )
 
 

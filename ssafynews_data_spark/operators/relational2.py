@@ -19,7 +19,8 @@ from ssafynews_data_spark.sources.readers import load_table
         SELECT event_type,
                count(*) AS n,
                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-               round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
+               floor(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 100
+                          AS DOUBLE) / count(*) + 0.5) / 100 AS avg_k
         FROM events
         GROUP BY event_type
     """,
@@ -38,7 +39,14 @@ def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("total_k"),
-            F.round(F.avg("k"), 2).alias("avg_k"),
+            # avg_half_up over exact integers, not round(avg): the
+            # integer-quotient tie class (virgin seed 577215, r10)
+            (
+                F.floor(
+                    (F.sum("k") * 100).cast("double") / F.count("*") + F.lit(0.5)
+                ).cast("long")
+                / F.lit(100.0)
+            ).alias("avg_k"),
         )
     )
 

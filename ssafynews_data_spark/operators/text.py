@@ -737,8 +737,10 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                CAST(sum(b) AS BIGINT) AS total_bytes,
                CAST(sum(nt) AS BIGINT) AS total_tokens,
-               round(CAST(sum(b) AS DOUBLE) / nullif(sum(nt), 0), 4) AS bytes_per_token,
-               round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS tokens_per_doc
+               floor(CAST(sum(b) * 10000 AS DOUBLE)
+                     / nullif(sum(nt), 0) + 0.5) / 10000 AS bytes_per_token,
+               floor(CAST(sum(nt) * 10000 AS DOUBLE)
+                     / count(*) + 0.5) / 10000 AS tokens_per_doc
         FROM t GROUP BY source, lang
     """,
     tags=("tokens", "fertility", "corpus-sizing"),
@@ -749,7 +751,18 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (training-budget planning, tokenizer comparison, shard
     layout).  Single tokenize, row-local byte/len math, ONE hash
     aggregate on a low-cardinality key; the division happens after the
-    integer sums so both engines quantize identical integers."""
+    integer sums so both engines quantize identical integers.
+
+    The ratios quantize via the avg_half_up construction (money.py):
+    floor(int·10⁴ / int + 0.5) / 10⁴ — numerator and denominator are
+    exactly-representable integers, so the one IEEE division is the
+    same double on both engines and floor is tie-free.  round(q, 4)
+    on the raw quotient was NOT: virgin seed 577215 drew a group with
+    total_bytes/total_tokens = 4341/800 = 5.42625 exactly, and
+    Spark's shortest-decimal HALF_UP said 5.4263 while DuckDB's
+    scaled-multiply said 5.4262 — the r9 finding-13 class, reachable
+    by any integer-quotient emission because small denominators land
+    on the half-lattice with real probability."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "source",
@@ -763,11 +776,19 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("long").alias("total_tokens"),
         # nullif on BOTH engines: an all-empty (source, lang) group yields
         # NULL bytes_per_token rather than Spark-NULL vs DuckDB-inf drift.
-        F.round(
-            F.sum("b").cast("double") / F.nullif(F.sum("nt"), F.lit(0)), 4
+        (
+            F.floor(
+                (F.sum("b") * 10000).cast("double")
+                / F.nullif(F.sum("nt"), F.lit(0)).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(10000.0)
         ).alias("bytes_per_token"),
-        F.round(
-            F.sum("nt").cast("double") / F.count("*"), 4
+        (
+            F.floor(
+                (F.sum("nt") * 10000).cast("double") / F.count("*") + F.lit(0.5)
+            ).cast("long")
+            / F.lit(10000.0)
         ).alias("tokens_per_doc"),
     )
 

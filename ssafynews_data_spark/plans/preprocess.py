@@ -41,7 +41,9 @@ def clean_articles(raw: DataFrame, reporter_token: str = "기자") -> DataFrame:
 @register(
     "preprocess_source_counts",
     oracle="""
-        SELECT source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+        SELECT source, count(*) AS n,
+               floor(CAST(sum(n_chars) * 100 AS DOUBLE) / count(*) + 0.5)
+                   / 100 AS avg_chars
         FROM documents
         WHERE text IS NOT NULL AND length(text) > 100
         GROUP BY source
@@ -50,10 +52,27 @@ def clean_articles(raw: DataFrame, reporter_token: str = "기자") -> DataFrame:
 )
 def preprocess_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The preprocess chain's filter backbone (dropna + length predicate)
-    applied to the documents fixture, summarized per source."""
+    applied to the documents fixture, summarized per source.
+
+    avg_chars quantizes via the avg_half_up construction (money.py):
+    round(avg(int), 2) is an INTEGER-QUOTIENT emission — sum/count
+    lands exactly on the half-cent lattice whenever the denominator
+    divides cleanly (the class virgin seed 577215 caught in
+    tokenizer_fertility_stats: 4341/800 = 5.42625, Spark 5.4263 vs
+    DuckDB 5.4262) — floor over the one IEEE division of
+    exactly-representable integers is tie-free on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.filter(F.col("text").isNotNull() & (F.length("text") > 100))
         .groupBy("source")
-        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.floor(
+                    (F.sum("n_chars") * 100).cast("double") / F.count("*")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(100.0)
+            ).alias("avg_chars"),
+        )
     )
