@@ -177,12 +177,16 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: difference, recall on the shared IVFPQ floor).
 #:
 #: ROUND-11 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the four round-10 registrations above for their
-#: first driver rows; then the 13 r5-era leftovers above; then r6-era
-#: rows oldest-first (bigram_lm_perplexity,
-#: unigram_kl_source_divergence, zipf_fit_stats, k_anonymity_profile,
-#: zorder_box_query, dpp_top_days_report, timeseries_* …) until the
-#: 50 slots fill.
+#: sentinels; promote the FIVE round-10 registrations above for their
+#: first driver rows; then the REWRITTEN-ORACLE set whose last driver
+#: rows predate the round-10 integer-quotient fix (finding 15, virgin
+#: seed 577215): tokenizer_fertility_stats, preprocess_source_counts,
+#: segment_distinct_aggs, parse_event_props, k_anonymity_profile —
+#: all five emit the avg_half_up construction now and their r1-r6
+#: rows certify the OLD round() text; then the remaining r5-era
+#: leftovers; then r6-era rows oldest-first (bigram_lm_perplexity,
+#: unigram_kl_source_divergence, zipf_fit_stats, zorder_box_query,
+#: dpp_top_days_report, timeseries_* …) until the 50 slots fill.
 
 #: Names pushed LAST: all driver-green in round 1 (CORRECTNESS_r01.json)
 #: and API-variant coverage of surfaces already verified elsewhere in the
