@@ -986,7 +986,7 @@ def _ann_recall_contract(
 _ANN_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
-               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
+               CAST(sum(CAST(round(sim * 10000) AS BIGINT)) AS BIGINT) AS exact_sim_sum_q4,
                TRUE AS recall_ok
         FROM topk
     """
@@ -2016,7 +2016,7 @@ IVFPQ_RETENTION_MIN_PCT = 90
 _IVFPQ_CONTRACT_ORACLE = f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
-               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
+               CAST(sum(CAST(round(sim * 10000) AS BIGINT)) AS BIGINT) AS exact_sim_sum_q4,
                TRUE AS recall_ok,
                TRUE AS retention_ok
         FROM topk
@@ -2633,7 +2633,7 @@ def _exact_topk_frame(corpus: DataFrame) -> DataFrame:
     oracle=f"""{_EXACT_TOPK_CTE}
         SELECT count(DISTINCT query_id) AS n_queries,
                count(*) AS n_exact_rows,
-               sum(CAST(round(sim * 10000) AS BIGINT)) AS exact_sim_sum_q4,
+               CAST(sum(CAST(round(sim * 10000) AS BIGINT)) AS BIGINT) AS exact_sim_sum_q4,
                TRUE AS rotation_preserves_exact_topk,
                TRUE AS recall_ok
         FROM topk

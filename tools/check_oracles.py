@@ -25,6 +25,35 @@ from ssafynews_data_spark import get_session, registry
 from ssafynews_data_spark.sources.readers import TESTDATA_TABLES
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict[str, str]:
+    """Map each column to a canonical dtype KIND (int/float/bool/
+    datetime/object).  The driver's value-hash is type-sensitive
+    (161810 != 161810.0) while Python ``==`` is not, so the mirror
+    must compare kinds explicitly — round 10's four driver FAILs were
+    DuckDB HUGEINT (-> pandas float64) vs Spark LONG (int64), invisible
+    to ``canon()`` value comparison alone."""
+    kinds = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[c] = {"u": "i"}.get(k, k)  # unsigned counts as int
+    return kinds
+
+
+def kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict[str, tuple[str, str]]:
+    """Columns whose dtype KINDS diverge between engine and oracle.
+    An all-NULL column degrades to object/float arbitrarily on either
+    side, so those are excluded — everything else is a divergence the
+    driver's type-sensitive hash would fail."""
+    sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+    return {
+        c: (sk[c], ok[c])
+        for c in sk
+        if c in ok
+        and sk[c] != ok[c]
+        and not (sdf[c].isna().all() or odf[c].isna().all())
+    }
+
+
 def canon(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -109,6 +138,11 @@ def run_checks(
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"FAIL  {name}: rowcount {len(sdf)} vs {len(odf)}")
+            continue
+        kind_bad = kind_mismatches(sdf, odf)
+        if kind_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: TYPE-MISMATCH (spark_kind, oracle_kind): {kind_bad}")
             continue
         a, b = canon(sdf), canon(odf)
         if a != b:
