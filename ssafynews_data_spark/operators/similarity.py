@@ -2462,7 +2462,11 @@ def _opq_fit(X: "np.ndarray") -> tuple:
         ]
 
     def reconstruct(Xr, books):
-        recon = np.empty_like(Xr)
+        # copy, not empty_like: if d were ever not divisible by PQ_M,
+        # the tail columns beyond PQ_M*sub must reconstruct as identity
+        # (zero residual), not uninitialized memory feeding the SSE and
+        # the Procrustes SVD (ADVICE r10)
+        recon = Xr.copy()
         for m, C in enumerate(books):
             Xm = Xr[:, m * sub : (m + 1) * sub]
             codes = np.argmax(Xm @ C.T - (C * C).sum(1) / 2.0, axis=1)
@@ -2624,7 +2628,43 @@ def _exact_topk_frame(corpus: DataFrame) -> DataFrame:
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+#: Benign boundary band for rotation-preservation checks: an orthogonal
+#: rotation preserves inner products only up to float round-off
+#: (~1e-15/term, d=64 → well under 1e-12 per cosine), so a rank-K/K+1
+#: pair whose margin falls below round-off may legitimately swap sides.
+#: 1e-9 is three orders above worst-case noise yet six below any real
+#: fixture margin (~1e-3); a mangled rotation perturbs sims at O(1) and
+#: still fires the detector (pytest-proven on a rank-deficient fake).
+ROTATION_TIE_EPS = 1e-9
+
+
+def _rotation_mismatches(exact: DataFrame, exact_rot: DataFrame) -> DataFrame:
+    """Symmetric difference of two exact top-k sets, excluding pairs
+    within ROTATION_TIE_EPS of the per-query rank-K sim (draw-dependent
+    degenerate margins must not flip the contract — ADVICE r10).  Side
+    markers, NOT null key columns: a USING-style full outer join
+    coalesces the join keys, so key-null filtering would never fire."""
+    kth = exact.groupBy("query_id").agg(F.min("sim").alias("kth_sim"))
+    return (
+        exact.select("query_id", "neighbor_id", F.col("sim").alias("sim_orig"))
+        .withColumn("in_orig", F.lit(1))
+        .join(
+            exact_rot.select(
+                "query_id", "neighbor_id", F.col("sim").alias("sim_rot")
+            ).withColumn("in_rot", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .filter(F.col("in_orig").isNull() | F.col("in_rot").isNull())
+        .join(kth, "query_id")
+        .filter(
+            F.abs(F.coalesce("sim_orig", "sim_rot") - F.col("kth_sim"))
+            > ROTATION_TIE_EPS
+        )
     )
 
 
@@ -2688,19 +2728,9 @@ def opq_ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     exact_rot = _exact_topk_frame(rotated)
     # set equality per query == symmetric difference is empty (both
-    # sides are exactly N_QUERIES * TOP_K rows by construction).  Side
-    # markers, NOT null key columns: a USING-style full outer join
-    # coalesces the join keys, so key-null filtering would never fire.
-    mismatches = (
-        exact.select("query_id", "neighbor_id")
-        .withColumn("in_orig", F.lit(1))
-        .join(
-            exact_rot.withColumn("in_rot", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "full_outer",
-        )
-        .filter(F.col("in_orig").isNull() | F.col("in_rot").isNull())
-    )
+    # sides are exactly N_QUERIES * TOP_K rows by construction), with
+    # sub-round-off boundary pairs excluded (see _rotation_mismatches).
+    mismatches = _rotation_mismatches(exact, exact_rot)
     served = ivfpq_topk_frame(
         spark, rotated, _ivfpq_path(sf_dir) + "_opq"
     ).select("query_id", "neighbor_id")

@@ -580,11 +580,12 @@ def test_opq_ivfpq_contract_and_mismatch_detector_fires(spark, sf_dir, tmp_path)
     broken = corpus.select(
         "vec_id", similarity._rotate_embeddings(bad)(F.col("emb")).alias("emb")
     )
-    orig = similarity._exact_topk_frame(corpus).withColumn("in_a", F.lit(1))
-    rot = similarity._exact_topk_frame(broken).withColumn("in_b", F.lit(1))
-    n_mismatch = (
-        orig.join(rot, ["query_id", "neighbor_id"], "full_outer")
-        .filter(F.col("in_a").isNull() | F.col("in_b").isNull())
-        .count()
-    )
+    orig = similarity._exact_topk_frame(corpus)
+    rot = similarity._exact_topk_frame(broken)
+    # the PRODUCTION detector (boundary-banded symmetric difference)
+    # must fire — a broken rotation perturbs sims at O(1), far beyond
+    # the ROTATION_TIE_EPS exclusion band
+    n_mismatch = similarity._rotation_mismatches(orig, rot).count()
     assert n_mismatch > 0, "projection must perturb exact top-k sets"
+    # and the band must be a no-op on the identity "rotation"
+    assert similarity._rotation_mismatches(orig, orig).count() == 0

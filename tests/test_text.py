@@ -466,7 +466,12 @@ def test_pack_mask_spans_within_capacity_and_cover_completions(spark, sf_dir):
     for (b, blk), ss in by_seq.items():
         ss = sorted(ss, key=lambda s: s.loss_start)
         for prev, cur in zip(ss, ss[1:]):
-            assert prev.loss_end <= cur.loss_start + cur.prompt_len  # doc regions disjoint
+            # cur's DOC starts at loss_start - prompt_len; the previous
+            # doc must end at or before that (equality for adjacent
+            # docs under the greedy recurrence) — ADVICE r10 tightened
+            # this from `+ prompt_len`, which tolerated 2*prompt_len of
+            # overlap
+            assert prev.loss_end <= cur.loss_start - cur.prompt_len
         assert sum(s.starts_sequence for s in ss) == 1
 
 
