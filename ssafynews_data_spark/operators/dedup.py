@@ -81,13 +81,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h long): xxhash64 per distinct shingle, hashed straight
-    off the token-array slice — no intermediate shingle strings.  The
-    minhash path only ever consumes hashes, so skipping concat_ws saves
-    a string allocation per shingle (the exact-Jaccard oracle keeps the
-    string form for DuckDB parity)."""
-    toks = _doc_tokens(spark, sf_dir)
+def shingle_hashes_from_toks(toks: DataFrame) -> DataFrame:
+    """(doc_id, h long) from a (doc_id, toks) frame — the frame-level
+    core of ``_doc_shingle_hashes``, factored out so the streaming
+    ingest path (incremental_index.streaming_index_ingest_contract)
+    computes batch signatures with EXACTLY the batch path's
+    expressions (any drift would silently break index parity)."""
     n = F.size(F.col("toks"))
     seq = F.sequence(F.lit(1), n - (SHINGLE_W - 1))
     hashes = F.transform(seq, lambda i: F.xxhash64(F.slice(F.col("toks"), i, SHINGLE_W)))
@@ -95,6 +94,15 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<bigint>")
     )
     return toks.select("doc_id", F.explode(guarded).alias("h"))
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h long): xxhash64 per distinct shingle, hashed straight
+    off the token-array slice — no intermediate shingle strings.  The
+    minhash path only ever consumes hashes, so skipping concat_ws saves
+    a string allocation per shingle (the exact-Jaccard oracle keeps the
+    string form for DuckDB parity)."""
+    return shingle_hashes_from_toks(_doc_tokens(spark, sf_dir))
 
 
 #: DuckDB mirror of ``shingles_col`` (1-based inclusive list slicing).
