@@ -1529,3 +1529,71 @@ def minhash_chain_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_exact_pairs long, n_confident_pairs long,"
         " chain_subset_of_exact boolean, recall_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact accounting (round 11) — the corpus-planning report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_token_accounting",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g'),
+                            ' ')) AS fp,
+                   len({_DUCK_TOKENS}) AS n_toks
+            FROM documents
+        ),
+        k AS (SELECT fp, min(doc_id) AS keeper_id FROM t GROUP BY fp)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_docs,
+               CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN doc_id <> keeper_id THEN n_toks ELSE 0 END)
+                    AS BIGINT) AS tokens_removed
+        FROM t JOIN k USING (fp)
+        GROUP BY source
+    """,
+    tags=("dedup", "D1", "accounting", "training-data"),
+)
+def dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of what exact dedup costs and saves — the
+    report every training-data pipeline publishes before committing a
+    dedup pass: docs and TOKENS removed per source under the engine's
+    exact keep-first policy (normalized-text md5, keeper = min doc_id,
+    identical to ``exact_dedup_groups``/``dedup_documents``).  A
+    removed duplicate's tokens bill to ITS OWN source even when the
+    keeper lives elsewhere, so the per-source rows sum to the corpus
+    totals exactly.  All emissions are exact integers (counts and
+    integer token sums — no quotient or rounded-double class).
+
+    Plan shape: token counting is row-local codegen; ONE fingerprint
+    hash-agg (map-side combined, one row per distinct fp out) and one
+    fp-keyed join back, then the per-source agg rides the same
+    exchange budget as dedup_documents.  At 100 TB nothing here is
+    quadratic and no driver state exists.  Reference scope: the
+    reference dedups by link only (consumer.py:137-150) and keeps no
+    accounting of the decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.size(tokens_col(F.col("text"))).alias("n_toks"),
+    )
+    k = t.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    dup = F.col("doc_id") != F.col("keeper_id")
+    return (
+        t.join(k, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_docs"),
+            F.sum("n_toks").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).alias("tokens_removed"),
+        )
+    )

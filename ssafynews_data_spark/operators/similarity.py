@@ -2907,6 +2907,38 @@ def sq8_serve(
     )
 
 
+def _sq8_recon_ok(
+    codes: DataFrame, corpus: DataFrame, vmin: "np.ndarray", vmax: "np.ndarray"
+) -> bool:
+    """Round-to-nearest reconstruction bound, checked corpus-wide in
+    ONE codegen'd pass: per dim, |x − dequant(code)| ≤ step/2 with
+    step = range/SQ_LEVELS (+1 ulp headroom).  Exact by construction
+    for a correct codec trained on this corpus; a truncating or
+    mis-scaled codec fails it (pytest-proven to fire)."""
+    step = _sq8_lit((vmax - vmin) / SQ_LEVELS)
+    return bool(
+        codes.join(corpus, "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        F.col("emb"),
+                        _sq8_dequant(vmin, vmax),
+                        lambda x, xh: F.abs(x - xh),
+                    ),
+                    step,
+                    lambda e, s: e <= s / 2.0 * (1.0 + 1e-9) + 1e-15,
+                ),
+                F.lit(True),
+                lambda acc, ok: acc & ok,
+            ).alias("row_ok")
+        )
+        .agg(F.min("row_ok").alias("ok"))
+        .collect()[0]
+        .ok
+    )
+
+
 @register(
     "sq8_serve_contract",
     oracle=f"""{_EXACT_TOPK_CTE}
@@ -2973,31 +3005,7 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         and loaded.join(built, cols, "left_anti").count() == 0
     )
 
-    # round-to-nearest reconstruction bound, checked corpus-wide in one
-    # codegen'd pass: err_i <= step_i/2 with step_i = range_i/SQ_LEVELS
-    step = _sq8_lit((vmax - vmin) / SQ_LEVELS)
-    recon = (
-        spark.read.parquet(path)
-        .join(corpus, "vec_id")
-        .select(
-            F.aggregate(
-                F.zip_with(
-                    F.zip_with(
-                        F.col("emb"),
-                        _sq8_dequant(vmin, vmax),
-                        lambda x, xh: F.abs(x - xh),
-                    ),
-                    step,
-                    lambda e, s: e <= s / 2.0 * (1.0 + 1e-9) + 1e-15,
-                ),
-                F.lit(True),
-                lambda acc, ok: acc & ok,
-            ).alias("row_ok")
-        )
-        .agg(F.min("row_ok").alias("recon_err_bounded"))
-        .collect()[0]
-        .recon_err_bounded
-    )
+    recon = _sq8_recon_ok(spark.read.parquet(path), corpus, vmin, vmax)
 
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     n_hits = loaded.select("query_id", "neighbor_id").join(
@@ -3022,4 +3030,110 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
         " state_roundtrip_ok boolean, recon_err_bounded boolean,"
         " recall_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Contrastive triplet mining (round 11) — the training-data
+#     complement of hard_negative_mining: (anchor, positive, negative)
+#     triplets with integer-lattice margins, the input shape for
+#     triplet/InfoNCE losses (public: FaceNet Schroff et al. 2015;
+#     SBERT hard-triplet batching).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contrastive_triplet_mining",
+    oracle=f"""
+        WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                   FROM embeddings),
+             sims AS (
+                 SELECT a.vec_id AS anchor_id, c.vec_id AS other_id,
+                        a.label = c.label AS same_label,
+                        list_cosine_similarity(a.emb, c.emb) AS sim
+                 FROM a JOIN c ON a.vec_id <> c.vec_id
+             ),
+             ranked AS (
+                 SELECT *, row_number() OVER (
+                            PARTITION BY anchor_id, same_label
+                            ORDER BY sim DESC, other_id) AS r
+                 FROM sims
+             ),
+             pos AS (
+                 SELECT anchor_id, other_id AS positive_id,
+                        CAST(round(sim * 10000) AS BIGINT) AS pos_sim_q4
+                 FROM ranked WHERE same_label AND r = 1
+             ),
+             neg AS (
+                 SELECT anchor_id, other_id AS negative_id,
+                        CAST(round(sim * 10000) AS BIGINT) AS neg_sim_q4,
+                        CAST(r AS INT) AS neg_rank
+                 FROM ranked WHERE NOT same_label AND r <= {TOP_K}
+             )
+        SELECT p.anchor_id, positive_id, negative_id,
+               pos_sim_q4, neg_sim_q4,
+               pos_sim_q4 - neg_sim_q4 AS margin_q4,
+               neg_rank
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    """,
+    tags=("similarity", "contrastive", "training-data"),
+)
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    per anchor, the top-1 SAME-label neighbor (the positive) crossed
+    with the TOP_K hardest DIFFERENT-label neighbors (the negatives of
+    ``hard_negative_mining``), with similarities and the pos−neg margin
+    on the tie-free q4 integer lattice (ordering still uses the raw
+    double; the margin is an exact integer difference of already-
+    quantized values, so no new rounding class is introduced).
+
+    Plan shape: ONE corpus pass (anchors broadcast into the scan), ONE
+    window shuffle keyed (anchor_id, same_label) — both rankings come
+    from the same exchange — and a broadcast-sized pos⋈neg join.  At
+    100 TB the corpus streams once; everything downstream of the window
+    is |anchors|-sized.  Anchors with no same-label sibling drop out of
+    the inner join identically in both engines.  Reference scope: the
+    reference stores raw pgvector embeddings (ollama_consumer.py:234)
+    with no training-pair mining at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+    )
+    anchors = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    sims = corpus.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("other_id"),
+        (F.col("label") == F.col("a_label")).alias("same_label"),
+        cosine(F.col("a_emb"), F.col("emb")).alias("sim"),
+    )
+    w = W.partitionBy("anchor_id", "same_label").orderBy(F.desc("sim"), "other_id")
+    ranked = sims.withColumn("r", F.row_number().over(w))
+    q4 = F.round(F.col("sim") * 10000).cast("long")
+    pos = ranked.filter(F.col("same_label") & (F.col("r") == 1)).select(
+        "anchor_id",
+        F.col("other_id").alias("positive_id"),
+        q4.alias("pos_sim_q4"),
+    )
+    neg = ranked.filter(~F.col("same_label") & (F.col("r") <= TOP_K)).select(
+        "anchor_id",
+        F.col("other_id").alias("negative_id"),
+        q4.alias("neg_sim_q4"),
+        F.col("r").cast("int").alias("neg_rank"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_sim_q4",
+        "neg_sim_q4",
+        (F.col("pos_sim_q4") - F.col("neg_sim_q4")).alias("margin_q4"),
+        "neg_rank",
     )

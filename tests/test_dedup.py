@@ -432,3 +432,27 @@ def test_substring_span_removal_packing_bounds_raise(spark, tmp_path):
     docs.write.parquet(os.path.join(d, "documents.parquet"))
     with pytest.raises(Exception, match="packing bounds"):
         substring_span_removal(spark, d).collect()
+
+
+def test_dedup_token_accounting_sums_to_corpus(spark, sf_dir):
+    """Per-source rows sum to the corpus totals: total dup docs equal
+    n_docs - distinct fingerprints, removed tokens never exceed the
+    source's total, and every emission is a non-negative integer."""
+    from pyspark.sql import functions as F
+
+    from ssafynews_data_spark.operators.dedup import dedup_token_accounting
+    from ssafynews_data_spark.sources.readers import load_table
+
+    rows = dedup_token_accounting(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    if n_docs == 0:
+        assert rows == []
+        return
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    n_fps = docs.select(F.md5(norm.cast("binary"))).distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_dup_docs for r in rows) == n_docs - n_fps
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.tokens_removed <= r.tokens_total

@@ -39,3 +39,17 @@ def test_delta_run_is_deterministic(spark, sf_dir):
         assert dd % II.DELTA_MOD == 0
         assert db % II.DELTA_MOD != 0
         assert q4 >= 5000  # threshold 0.5, quantized x1e4
+
+
+def test_streaming_index_ingest_contract_row(spark, sf_dir):
+    """The streamed index equals the batch build, ingest ran in >= 2
+    micro-batches, and full redelivery left it unchanged."""
+    from ssafynews_data_spark.operators.incremental_index import (
+        streaming_index_ingest_contract,
+    )
+
+    row = streaming_index_ingest_contract(spark, sf_dir).collect()[0]
+    assert row.multi_batch_ingest
+    assert row.index_matches_batch_build
+    assert row.redelivery_idempotent
+    assert row.n_delta_docs > 0

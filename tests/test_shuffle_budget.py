@@ -109,7 +109,25 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # the served-hits join, the symmetric-difference full-outer join,
     # and their aggregates; the serving path itself stays the pruned
     # ivfpq shape (its own rows above).  Not a serving-cost pin.
-    "opq_ivfpq_serve_contract": 11,
+    # r11: +3 for the boundary-band apparatus in _rotation_mismatches
+    # (per-query kth-sim aggregate + its join into the symmetric
+    # difference — ADVICE r10's degenerate-margin tolerance); all three
+    # move |queries|-sized rows only.  Still contract apparatus, not
+    # the serving path.
+    "opq_ivfpq_serve_contract": 14,
+    # round-11 (SQ8 lifecycle): build + both serves run inside the
+    # contract body; the returned row is a literal frame
+    "sq8_serve_contract": 0,
+    # round-11 (streaming ingest): the stream, the replay and the
+    # parity anti-joins all run inside the body; literal row out
+    "streaming_index_ingest_contract": 0,
+    # round-11: one window exchange on (anchor_id, same_label) per
+    # branch (pos and neg re-derive the ranked frame) plus the
+    # |anchors|-sized pos⋈neg join's exchanges under AQE
+    "contrastive_triplet_mining": 4,
+    # round-11: fingerprint hash-agg + join-back exchange; the
+    # per-source rollup rides the same exchanges (map-side combined)
+    "dedup_token_accounting": 2,
 }
 
 

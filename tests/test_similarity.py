@@ -589,3 +589,89 @@ def test_opq_ivfpq_contract_and_mismatch_detector_fires(spark, sf_dir, tmp_path)
     assert n_mismatch > 0, "projection must perturb exact top-k sets"
     # and the band must be a no-op on the identity "rotation"
     assert similarity._rotation_mismatches(orig, orig).count() == 0
+
+
+def test_sq8_codec_roundtrip_and_detector_fires(spark, sf_dir, tmp_path):
+    """The SQ8 round-to-nearest bound holds for the real codec and the
+    corpus-wide bound check is NOT vacuous: a truncating encoder
+    (floor instead of round) must violate step/2 and be caught."""
+    from pyspark.sql import functions as F
+
+    corpus = similarity._corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        pytest.skip("empty corpus")
+    path = str(tmp_path / "sq8")
+    vmin, vmax = similarity.sq8_build_index(spark, corpus, path)
+    codes = spark.read.parquet(path)
+    assert similarity._sq8_recon_ok(codes, corpus, vmin, vmax)
+
+    # truncating codec: codes systematically one level low for ~half
+    # the entries -> reconstruction error up to a full step
+    lo, rng = similarity._sq8_lit(vmin), similarity._sq8_lit(vmax - vmin)
+    floor_codes = corpus.select(
+        "vec_id",
+        F.transform(
+            F.col("emb"),
+            lambda x, i: F.when(
+                F.element_at(rng, i + 1) > 0.0,
+                F.floor(
+                    (x - F.element_at(lo, i + 1))
+                    * similarity.SQ_LEVELS
+                    / F.element_at(rng, i + 1)
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )
+    assert not similarity._sq8_recon_ok(floor_codes, corpus, vmin, vmax)
+
+
+def test_sq8_serve_contract_row(spark, sf_dir):
+    row = similarity.sq8_serve_contract(spark, sf_dir).collect()[0]
+    assert row.state_roundtrip_ok
+    assert row.recon_err_bounded
+    assert row.recall_ok
+    assert row.n_queries == similarity.N_QUERIES
+    assert row.n_exact_rows == similarity.N_QUERIES * similarity.TOP_K
+
+
+def test_sq8_meta_cold_start_matches_train(spark, sf_dir, tmp_path):
+    """The persisted quantizer meta reloads to the exact trained
+    arrays (doubles roundtrip parquet bit-exactly)."""
+    import numpy as np
+
+    corpus = similarity._corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        pytest.skip("empty corpus")
+    path = str(tmp_path / "sq8meta")
+    vmin, vmax = similarity.sq8_build_index(spark, corpus, path)
+    vmin2, vmax2 = similarity.sq8_load_meta(spark, path)
+    assert np.array_equal(vmin, vmin2)
+    assert np.array_equal(vmax, vmax2)
+
+
+def test_contrastive_triplet_invariants(spark, sf_dir):
+    """Triplets: the positive shares the anchor's label, every negative
+    differs, neg ranks are 1..TOP_K dense per anchor, and margin_q4 is
+    the exact integer difference."""
+    from collections import defaultdict
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = similarity.contrastive_triplet_mining(spark, sf_dir).collect()
+    if not labels:
+        assert rows == []
+        return
+    assert rows
+    per_anchor = defaultdict(set)
+    for t in rows:
+        assert labels[t.positive_id] == labels[t.anchor_id]
+        assert labels[t.negative_id] != labels[t.anchor_id]
+        assert t.margin_q4 == t.pos_sim_q4 - t.neg_sim_q4
+        per_anchor[t.anchor_id].add(t.neg_rank)
+    for a, ranks in per_anchor.items():
+        assert ranks == set(range(1, len(ranks) + 1))
+        assert len(ranks) <= similarity.TOP_K
