@@ -167,6 +167,21 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: driver rows; then the r6-era leftover drain above (19 names,
 #: alphabetical); then r7-era rows oldest-first until the 50 slots
 #: fill.
+#:
+#: Round 11 registered FOUR (of the <=5 budget), all oracled, all
+#: mid-region (registered AFTER the window above was frozen):
+#: sq8_serve_contract (similarity.py — faiss SQ8 per-dim affine codec:
+#: d-row min/max train, KB meta artifact, cold-start reload
+#: bit-identity, exact round-to-nearest reconstruction bound,
+#: surveyed recall floor over the SQ8+refine chain),
+#: streaming_index_ingest_contract (incremental_index.py — real
+#: micro-batched Structured Streaming ingest into the banded MinHash
+#: index through the key-idempotent sink; batch/stream parity + full
+#: redelivery idempotence), contrastive_triplet_mining (similarity.py
+#: — anchor/positive/negative triplets with q4 integer margins, one
+#: corpus pass + one window), and dedup_token_accounting (dedup.py —
+#: per-source docs/tokens removed under exact keep-first; integer-only
+#: emissions).
 
 #: Names pushed LAST: driver-green history stands (every name below
 #: has a hash-PASS row; rows-only names carry pytest guarantees

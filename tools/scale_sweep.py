@@ -131,6 +131,22 @@ HEADLINERS = (
     # round 10: exact apportionment — ONE corpus-reducing hash agg,
     # then |sources|-row windows; expected alpha ~ the scan itself
     "token_budget_allocation",
+    # round 11: SQ8 lifecycle — train is a d-row agg, encode row-local,
+    # serve one compressed scan + candidate-only refine; expected
+    # ~linear build cost, and the sweep guards the serve side never
+    # regresses to scanning the flat store corpus-wide
+    "sq8_serve_contract",
+    # round 11: streaming ingest — per-batch signature cost only; the
+    # sweep guards the foreachBatch path stays O(delta) (a regression
+    # that rescans the index per batch reads super-linear)
+    "streaming_index_ingest_contract",
+    # round 11: one broadcast-anchor corpus pass + one window keyed
+    # (anchor, same_label); constant |anchors|*(k+1) output so WORK ~
+    # input — a regression that loses the broadcast reads super-linear
+    "contrastive_triplet_mining",
+    # round 11: fingerprint hash-agg + join-back + source rollup —
+    # aggregation-shaped throughout, expected alpha ~ the scan
+    "dedup_token_accounting",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -319,6 +335,10 @@ def main() -> int:
         "opq_rotation_contract": "emb",
         "pack_efficiency_audit": "docs",
         "token_budget_allocation": "docs",
+        "sq8_serve_contract": "emb",
+        "streaming_index_ingest_contract": "docs",
+        "contrastive_triplet_mining": "emb",
+        "dedup_token_accounting": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
