@@ -2812,13 +2812,15 @@ def _sq8_lit(arr: "np.ndarray") -> Column:
     return F.array(*[F.lit(float(v)) for v in arr])
 
 
-def _sq8_encode(vmin: "np.ndarray", vmax: "np.ndarray") -> Column:
+def _sq8_encode(
+    vmin: "np.ndarray", vmax: "np.ndarray", col: Column | None = None
+) -> Column:
     """codes[i] = round(SQ_LEVELS * (x[i]-vmin[i]) / (vmax[i]-vmin[i])),
     constant dims encode as 0 — row-local whole-stage-codegen array
     math (transform with index), no UDF."""
     lo, rng = _sq8_lit(vmin), _sq8_lit(vmax - vmin)
     return F.transform(
-        F.col("emb"),
+        F.col("emb") if col is None else col,
         lambda x, i: F.when(
             F.element_at(rng, i + 1) > 0.0,
             F.round(
@@ -2830,10 +2832,12 @@ def _sq8_encode(vmin: "np.ndarray", vmax: "np.ndarray") -> Column:
     )
 
 
-def _sq8_dequant(vmin: "np.ndarray", vmax: "np.ndarray") -> Column:
+def _sq8_dequant(
+    vmin: "np.ndarray", vmax: "np.ndarray", col: Column | None = None
+) -> Column:
     lo, rng = _sq8_lit(vmin), _sq8_lit(vmax - vmin)
     return F.transform(
-        F.col("codes"),
+        F.col("codes") if col is None else col,
         lambda c, i: F.element_at(lo, i + 1)
         + c.cast("double") * F.element_at(rng, i + 1) / SQ_LEVELS,
     )
@@ -3136,4 +3140,264 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim_q4",
         (F.col("pos_sim_q4") - F.col("neg_sim_q4")).alias("margin_q4"),
         "neg_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. IVF ∘ SQ8 — the faiss "IVF<K>,SQ8" index-factory composition
+#     (public): coarse KMeans cells + per-dim affine SQ8 codec over the
+#     RESIDUALS, completing the composition matrix beside residual
+#     IVF-PQ and OPQ∘IVF-PQ.  Trades PQ's 32x compression for SQ8's 4x
+#     in exchange for a training-trivial, refit-friendly codec (a
+#     residual min/max pair per dim instead of per-subspace Lloyd's).
+# ---------------------------------------------------------------------------
+
+
+def _centers_lit(centers: "np.ndarray") -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in centers[c]])
+            for c in range(centers.shape[0])
+        ]
+    )
+
+
+def ivfsq8_build_index(
+    spark: SparkSession, corpus: DataFrame, path: str
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """KMeans(IVF_K) coarse quantizer (same seed-42 fit as IVF-PQ),
+    residual SQ8 codec trained in ONE d-row aggregation over the
+    residuals, then the same three-artifact layout as IVF-PQ: codes
+    partitioned by centroid, the flat refine companion, and the
+    KB-sized quantizer meta (centers + residual vmin/vmax).  Returns
+    the driver-resident serving state."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
+    model = KMeans(
+        k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid"
+    ).fit(vecs)
+    centers = np.stack(
+        [np.asarray(c, dtype=float) for c in model.clusterCenters()]
+    )
+    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    assigned = pin(
+        model.transform(vecs)
+        .select("vec_id", "emb", "centroid")
+        .withColumn("res", F.zip_with(F.col("emb"), own_center, lambda x, c: x - c))
+    )
+    vmin, vmax = sq8_train(assigned.select(F.col("res").alias("emb")))
+    assigned.select(
+        "vec_id", "centroid", _sq8_encode(vmin, vmax, F.col("res")).alias("codes")
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+    assigned.select("vec_id", "emb", "centroid").write.mode(
+        "overwrite"
+    ).partitionBy("centroid").parquet(path + "_flat")
+    rows = [
+        ("center", int(c), [float(x) for x in centers[c]])
+        for c in range(centers.shape[0])
+    ]
+    rows += [
+        ("sqmin", -1, [float(x) for x in vmin]),
+        ("sqmax", -1, [float(x) for x in vmax]),
+    ]
+    spark.createDataFrame(rows, "kind string, m int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "_meta")
+    return centers, vmin, vmax
+
+
+def ivfsq8_load_meta(
+    spark: SparkSession, path: str
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    rows = spark.read.parquet(path + "_meta").collect()
+    centers = np.stack(
+        [
+            np.asarray(v, dtype=float)
+            for _, v in sorted((r.m, r.vec) for r in rows if r.kind == "center")
+        ]
+    )
+    vmin = np.asarray(next(r.vec for r in rows if r.kind == "sqmin"), dtype=float)
+    vmax = np.asarray(next(r.vec for r in rows if r.kind == "sqmax"), dtype=float)
+    return centers, vmin, vmax
+
+
+def ivfsq8_serve(
+    spark: SparkSession,
+    path: str,
+    centers: "np.ndarray",
+    vmin: "np.ndarray",
+    vmax: "np.ndarray",
+    qrows: list,
+) -> DataFrame:
+    """Probe (driver GEMM) → partition-pruned codes read → dequantize
+    residual + add back the cell centroid (row-local codegen) → approx
+    cosine cut to PQ_RERANK → partition-pruned flat read for the exact
+    re-rank.  Identical pruning shape to ``ivfpq_serve``; only the
+    scoring swaps ADC lookups for the SQ8 affine reconstruction."""
+    Q = np.stack([np.asarray(r[1], dtype=float) for r in qrows])
+    qids = [int(r[0]) for r in qrows]
+    probes = _probe_cells(centers, Q, qids)
+    cells = sorted({c for cs in probes.values() for c in cs})
+
+    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    pruned = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "centroid",
+            F.zip_with(
+                _sq8_dequant(vmin, vmax),
+                own_center,
+                lambda r, c: r + c,
+            ).alias("emb_hat"),
+        )
+    )
+    q_emb = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "query_id long, emb_q array<double>",
+    )
+    allow = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in qids]),
+        F.array(*[F.array(*[F.lit(c) for c in probes[q]]) for q in qids]),
+    )
+    approx = (
+        pruned.join(F.broadcast(q_emb), F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            F.array_contains(F.element_at(allow, F.col("query_id")), F.col("centroid"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("emb_q"), F.col("emb_hat")).alias("approx_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    cand = (
+        approx.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    flat = (
+        spark.read.parquet(path + "_flat")
+        .filter(F.col("centroid").isin(cells))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("emb_n"))
+    )
+    return _exact_rerank_topk(
+        flat.join(F.broadcast(cand), "neighbor_id").join(F.broadcast(q_emb), "query_id")
+    )
+
+
+@register(
+    "ivf_sq8_serve_contract",
+    oracle=f"""{_EXACT_TOPK_CTE}
+        SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_exact_rows,
+               CAST(sum(CAST(round(sim * 10000) AS BIGINT)) AS BIGINT)
+                   AS exact_sim_sum_q4,
+               TRUE AS state_roundtrip_ok,
+               TRUE AS recon_err_bounded,
+               TRUE AS recall_ok,
+               TRUE AS retention_ok
+        FROM topk
+    """,
+    tags=("similarity", "ivf", "sq8", "serving", "contract"),
+)
+def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faiss ``IVF<K>,SQ8`` chain certified end-to-end: build the
+    three-artifact index, COLD-START a second server from the meta
+    parquet alone, serve both, and assert
+
+    - ``state_roundtrip_ok``: reloaded-server rows identical to the
+      builder's (centers and the residual codec roundtrip parquet
+      bit-exactly);
+    - ``recon_err_bounded``: the SQ8 round-to-nearest bound holds over
+      every RESIDUAL corpus-wide — |r − dequant(encode(r))| ≤ step/2
+      per dim, draw-independent (reuses ``_sq8_recon_ok``);
+    - ``recall_ok``: served hits clear IVFPQ_RECALL_MIN_PCT, the probe-
+      coverage floor shared by every nprobe/IVF_K variant (recall here
+      is probe-limited, not codec-limited — the multi-seed survey
+      behind the floor applies verbatim);
+    - ``retention_ok``: the chain retains ≥ IVFPQ_RETENTION_MIN_PCT of
+      flat IVF's hits on the same probes — the residual-codec
+      guarantee, draw-robust at PQ_RERANK depth exactly as the IVF-PQ
+      ladder measured (SQ8's per-cosine error is ~10x smaller than
+      residual PQ's, so the 90 floor is strictly easier here).
+
+    100 TB shape: identical pruned reads to ``ivfpq_serve`` (probe →
+    nprobe partitions of codes, candidates-only flat refine); the codec
+    swap changes bytes-per-vector (4x vs 32x compression) but no cost
+    TERM.  Reference scope: same pgvector anchor as the rest of the
+    serving family (ollama_consumer.py:234)."""
+    import shutil
+
+    corpus = pin(_corpus(spark, sf_dir))
+    qrows = sorted(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
+    )
+    out_schema = (
+        "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
+        " state_roundtrip_ok boolean, recon_err_bounded boolean,"
+        " recall_ok boolean, retention_ok boolean"
+    )
+    if not qrows:
+        return spark.createDataFrame([(0, 0, None, True, True, True, True)], out_schema)
+    path = _ivfpq_path(sf_dir) + "_sq8"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    shutil.rmtree(path + "_flat", ignore_errors=True)
+    centers, vmin, vmax = ivfsq8_build_index(spark, corpus, path)
+    centers2, vmin2, vmax2 = ivfsq8_load_meta(spark, path)
+    built = ivfsq8_serve(spark, path, centers, vmin, vmax, qrows)
+    loaded = ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows)
+    cols = built.columns
+    roundtrip_ok = (
+        built.join(loaded, cols, "left_anti").count() == 0
+        and loaded.join(built, cols, "left_anti").count() == 0
+    )
+
+    # residual recon bound: rebuild the residual frame with the CODES
+    # alongside, named for _sq8_recon_ok's (vec_id, emb)/(vec_id, codes)
+    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    resid = (
+        spark.read.parquet(path + "_flat")
+        .select(
+            "vec_id",
+            F.zip_with(F.col("emb"), own_center, lambda x, c: x - c).alias("emb"),
+        )
+    )
+    recon = _sq8_recon_ok(
+        spark.read.parquet(path).select("vec_id", "codes"), resid, vmin, vmax
+    )
+
+    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
+    sq8_hits = loaded.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    ivf_hits = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    facts = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_rows"),
+        F.sum(F.round(F.col("sim") * 10000).cast("long")).alias("exact_sim_sum_q4"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(facts.n_queries),
+                int(facts.n_exact_rows),
+                int(facts.exact_sim_sum_q4),
+                bool(roundtrip_ok),
+                bool(recon),
+                bool(sq8_hits * 100 >= facts.n_exact_rows * IVFPQ_RECALL_MIN_PCT),
+                bool(sq8_hits * 100 >= ivf_hits * IVFPQ_RETENTION_MIN_PCT),
+            )
+        ],
+        out_schema,
     )

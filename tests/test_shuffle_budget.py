@@ -128,6 +128,9 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-11: fingerprint hash-agg + join-back exchange; the
     # per-source rollup rides the same exchanges (map-side combined)
     "dedup_token_accounting": 2,
+    # round-11 (IVF-SQ8 lifecycle): build + both serves + the recon
+    # audit run inside the body; literal row out
+    "ivf_sq8_serve_contract": 0,
 }
 
 

@@ -675,3 +675,38 @@ def test_contrastive_triplet_invariants(spark, sf_dir):
     for a, ranks in per_anchor.items():
         assert ranks == set(range(1, len(ranks) + 1))
         assert len(ranks) <= similarity.TOP_K
+
+
+def test_ivf_sq8_serve_contract_row(spark, sf_dir):
+    row = similarity.ivf_sq8_serve_contract(spark, sf_dir).collect()[0]
+    assert row.state_roundtrip_ok
+    assert row.recon_err_bounded
+    assert row.recall_ok
+    assert row.retention_ok
+    assert row.n_queries == similarity.N_QUERIES
+    assert row.n_exact_rows == similarity.N_QUERIES * similarity.TOP_K
+
+
+def test_ivf_sq8_pruned_reads(spark, sf_dir, tmp_path):
+    """The IVF-SQ8 codes and flat tables are centroid-partitioned and a
+    probe read prunes to the probed partitions (PartitionFilters), the
+    same serving guarantee the IVF-PQ family pins."""
+    from pyspark.sql import functions as F
+
+    corpus = similarity._corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        pytest.skip("empty corpus")
+    path = str(tmp_path / "ivfsq8")
+    centers, vmin, vmax = similarity.ivfsq8_build_index(spark, corpus, path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"vec_id", "codes", "centroid"}
+    row = back.first()
+    assert len(row.codes) == len(vmin)
+    assert all(0 <= c <= similarity.SQ_LEVELS for c in row.codes)
+    for suffix in ("", "_flat"):
+        probe = spark.read.parquet(path + suffix).filter(
+            F.col("centroid").isin([0, 1])
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "centroid" in pf

@@ -147,6 +147,11 @@ HEADLINERS = (
     # round 11: fingerprint hash-agg + join-back + source rollup —
     # aggregation-shaped throughout, expected alpha ~ the scan
     "dedup_token_accounting",
+    # round 11: IVF-SQ8 — same pruned-read serving shape as ivfpq;
+    # the sweep guards the residual-codec swap didn't reintroduce a
+    # corpus-wide serve scan (build is KMeans + one d-row agg,
+    # ~linear; serve touches probed partitions only)
+    "ivf_sq8_serve_contract",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -339,6 +344,7 @@ def main() -> int:
         "streaming_index_ingest_contract": "docs",
         "contrastive_triplet_mining": "emb",
         "dedup_token_accounting": "docs",
+        "ivf_sq8_serve_contract": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
