@@ -168,7 +168,7 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: alphabetical); then r7-era rows oldest-first until the 50 slots
 #: fill.
 #:
-#: Round 11 registered FOUR (of the <=5 budget), all oracled, all
+#: Round 11 registered FIVE (the full <=5 budget), all oracled, all
 #: mid-region (registered AFTER the window above was frozen):
 #: sq8_serve_contract (similarity.py — faiss SQ8 per-dim affine codec:
 #: d-row min/max train, KB meta artifact, cold-start reload
@@ -179,9 +179,14 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: index through the key-idempotent sink; batch/stream parity + full
 #: redelivery idempotence), contrastive_triplet_mining (similarity.py
 #: — anchor/positive/negative triplets with q4 integer margins, one
-#: corpus pass + one window), and dedup_token_accounting (dedup.py —
+#: corpus pass + one window), dedup_token_accounting (dedup.py —
 #: per-source docs/tokens removed under exact keep-first; integer-only
-#: emissions).
+#: emissions), and ivf_sq8_serve_contract (similarity.py — faiss
+#: "IVF<K>,SQ8" composition: KMeans coarse cells + per-dim affine SQ8
+#: over the residuals, same three-artifact layout and pruned serving
+#: shape as IVF-PQ; cold-start reload bit-identity, corpus-wide exact
+#: reconstruction bound, probe-coverage recall floor, >=90% retention
+#: of flat IVF's hits).
 
 #: Names pushed LAST: driver-green history stands (every name below
 #: has a hash-PASS row; rows-only names carry pytest guarantees
