@@ -162,11 +162,32 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: families register only into the mid region (never this window) and
 #: stay <= 5 per round so the next window can absorb them.
 #:
-#: ROUND-12 WINDOW RECIPE (freeze first, then register): keep the 10
-#: sentinels; promote the round-11 registrations for their first
-#: driver rows; then the r6-era leftover drain above (19 names,
-#: alphabetical); then r7-era rows oldest-first until the 50 slots
-#: fill.
+#: ROUND-12 WINDOW RECIPE (frozen END of round 11; execute before any
+#: round-12 registration).  Slots 1-10: the same 10 sentinels.
+#: Slots 11-15: the five round-11 registrations for their first driver
+#: rows — sq8_serve_contract, streaming_index_ingest_contract,
+#: contrastive_triplet_mining, dedup_token_accounting,
+#: ivf_sq8_serve_contract.  Slots 16-33: the 18 r6-era leftovers,
+#: alphabetical — minhash_incremental_index, mojibake_repair_contract,
+#: near_dup_containment_contract, pagerank_mass_contract,
+#: pit_join_scd2, q13_customer_distribution, q16_parts_supplier_count,
+#: q22_sales_opportunity, q2_min_cost_supplier, q4_order_priority,
+#: quality_classifier_contract, retention_cohorts,
+#: stratified_sample_contract, streaming_outer_interval_join,
+#: streaming_sketch_maintenance, streaming_sliding_counts,
+#: streaming_state_inspection, streaming_union_dedup.  Slots 34-50:
+#: the first 17 ORACLED r7-era rows alphabetical (ann_pq_topk is the
+#: one rows-only r7 name; it keeps its pytest recall guarantees and
+#: yields its slot) — ansi_safe_math, arrow_byte_stats,
+#: backfill_day_partition, boolean_aggregates_profile,
+#: bpe_training_contract, bucket_skew_audit, collated_lang_counts,
+#: compact_small_files, cusum_drift_scores, daily_count_anomalies,
+#: dedup_graph_stats, epoch_shuffle_layout, exact_substring_spans,
+#: identifier_clause_counts, keyword_string_agg, length_bucket_stats,
+#: multisignal_curation.  Names promoted out of DEMOTE_LAST move to
+#: PRIORITY_FIRST for the round; expected post-r12 state: every
+#: r5/r6-era row re-certified or superseded, remaining drain = 19
+#: r7-era + r8-era rows.
 #:
 #: Round 11 registered FIVE (the full <=5 budget), all oracled, all
 #: mid-region (registered AFTER the window above was frozen):
