@@ -127,7 +127,9 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "udtf_token_bigrams",
     "winnow_fingerprints",
     # --- r6-era re-certification (recipe-named eight, then
-    #     alphabetical oracled; the remaining 19 r6 rows queue for r12) ---
+    #     alphabetical oracled; the remaining 18 r6 rows queue for r12 —
+    #     k_anonymity_profile is ALSO r6-era but already re-certifies
+    #     above via the finding-15 group, so it is not a leftover) ---
     "bigram_lm_perplexity",
     "unigram_kl_source_divergence",
     "zipf_fit_stats",
@@ -150,8 +152,10 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: five round-10 registrations have first rows, the finding-15
 #: rewrites are certified on their new text, no oracled family's last
 #: driver row is older than r6, and the remaining re-certification
-#: queue is the 19 r6-era leftovers (mojibake_repair_contract,
-#: minhash-adjacent contracts, q2/q4/q13/q16/q22, retention_cohorts,
+#: queue is the 18 r6-era leftovers (the earlier "19" double-counted
+#: k_anonymity_profile, which re-certifies via the finding-15 slot in
+#: THIS window: mojibake_repair_contract, minhash_incremental_index,
+#: q2/q4/q13/q16/q22, retention_cohorts,
 #: stratified_sample_contract, streaming_outer_interval_join,
 #: streaming_sketch_maintenance, streaming_sliding_counts,
 #: streaming_state_inspection, streaming_union_dedup,
