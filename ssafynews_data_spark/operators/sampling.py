@@ -763,3 +763,218 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "excess",
         F.expr(f"({step_sum}) div {DOREMI_T}").cast("long").alias("weight_bp"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: per-domain frequency capping + quality-curriculum ordering.
+# ---------------------------------------------------------------------------
+
+#: max docs kept per source — the web-curation "domain cap" (RefinedWeb
+#: / Dolma keep at most N pages per registered domain so one crawl-happy
+#: host can't dominate the mixture).  10 of the fixture's ~25 docs per
+#: source exercises both branches at every SF.
+DOMAIN_CAP = 10
+#: salt decorrelating the cap's keep-order from the split / mix buckets
+#: (all three hash doc_id).
+CAP_SALT = "cap"
+#: phase-1 shards for the scalable two-phase cap (see docstring).
+CAP_SHARDS = 16
+
+
+def _md5_key(salt: str, c) -> "F.Column":
+    """Lowercase-hex md5 of salt||string(col) — identical text in Spark
+    (Java) and DuckDB, so ORDER BY on it is an engine-independent
+    deterministic shuffle of the rows."""
+    return F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{CAP_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END)
+                    AS BIGINT) AS kept_id_sum,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars END)
+                    AS BIGINT) AS kept_chars
+        FROM t GROUP BY source
+    """,
+    tags=("sampling", "cap", "curate", "north-star"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap: keep at most ``DOMAIN_CAP`` docs per
+    source, chosen by salted-md5 order (engine-independent, so a resumed
+    or migrated job keeps the exact same subset) — the standard
+    web-curation guard against a single domain flooding the mix.
+
+    100 TB shape: the naive form is one window per source — a hot
+    domain (half the crawl is one host) serializes into a single
+    reducer.  The engine runs the EXACT two-phase form instead: phase 1
+    ranks within (source, shard) for ``CAP_SHARDS`` deterministic
+    shards and keeps each shard's top ``DOMAIN_CAP``; the global
+    smallest-``DOMAIN_CAP`` md5 keys of a source are necessarily inside
+    the union of its per-shard top-``DOMAIN_CAP`` (any row outside its
+    shard's top-cap has >= cap smaller keys in ITS OWN shard alone), so
+    phase 2's per-source window ranks at most ``CAP_SHARDS * CAP`` rows
+    per source — bounded, skew-immune — and returns exactly the naive
+    answer.  The totals aggregate is a plain map-side-combinable count.
+
+    The DuckDB oracle states the NAIVE single-window spec; the driver
+    hash-equality of the two is the exactness proof of the two-phase
+    rewrite."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        _md5_key(CAP_SALT, F.col("doc_id")).alias("k"),
+        (F.col("doc_id") % CAP_SHARDS).alias("shard"),
+    )
+    w1 = W.partitionBy("source", "shard").orderBy("k", "doc_id")
+    surv = (
+        keyed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= DOMAIN_CAP)
+        .drop("rn1", "shard")
+    )
+    w2 = W.partitionBy("source").orderBy("k", "doc_id")
+    kept = (
+        surv.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    kt = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return totals.join(kt, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        "kept_id_sum",
+        "kept_chars",
+    )
+
+
+#: curriculum quality-bin cuts on the EXACT integer score
+#: (2*n_stop + n_distinct) * 10000 // n_tokens — the weak-label linear
+#: rule of quality_classifier (vectors.QUALITY_LABEL_CUT's 0.6 scaled
+#: by 10000), computed as pure integer arithmetic so both engines agree
+#: bit-for-bit (fixture distribution at sf0.01: min 3437 / median
+#: ~5900 / max 13333, so both cuts are well-populated on every draw).
+CURRICULUM_CUT_HIGH = 8000
+CURRICULUM_CUT_MID = 5000
+#: salt for the within-bin interleave (decorrelated from cap/mix/split).
+CURRICULUM_SALT = "curr"
+#: deterministic reader shards per bin — the parallelism axis of the
+#: schedule (a trainer's N data-loader workers each read one shard in
+#: pos_in_shard order; windows stay (bin, shard)-grained, never global).
+CURRICULUM_SHARDS = 8
+
+
+@register(
+    "curriculum_schedule",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n,
+                   CAST(len(list_filter({_DUCK_TOKENS},
+                            x -> x IN ('the','a','of','and','is','in','to','it')))
+                        AS BIGINT) AS n_stop,
+                   CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   (2 * n_stop + n_distinct) * 10000 // n AS qscore_q4,
+                   md5('{CURRICULUM_SALT}' || CAST(doc_id AS VARCHAR)) AS k
+            FROM t WHERE n > 0
+        ),
+        b AS (
+            SELECT doc_id, qscore_q4,
+                   CAST(CASE WHEN qscore_q4 >= {CURRICULUM_CUT_HIGH} THEN 0
+                             WHEN qscore_q4 >= {CURRICULUM_CUT_MID} THEN 1
+                             ELSE 2 END AS BIGINT) AS bin,
+                   doc_id % {CURRICULUM_SHARDS} AS shard, k
+            FROM s
+        )
+        SELECT doc_id, qscore_q4, bin, shard,
+               CAST(row_number() OVER (PARTITION BY bin, shard
+                                       ORDER BY k, doc_id) AS BIGINT)
+                   AS pos_in_shard
+        FROM b
+    """,
+    tags=("sampling", "curriculum", "training-data", "north-star"),
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum data ordering: bin every doc by the integer
+    quality score behind ``quality_classifier``'s weak label
+    ((2*n_stop + n_distinct)*10000 // n_tokens — highest-quality bin 0
+    first, the anti-curriculum variants are a sort flip away), then give
+    each doc a deterministic position inside one of
+    ``CURRICULUM_SHARDS`` reader shards, md5-interleaved within its bin
+    so consecutive positions are a quality-stratified shuffle rather
+    than corpus order.
+
+    All arithmetic is integer (the score is an exact integer quotient;
+    the interleave key is md5 hex text), so the schedule is
+    bit-reproducible across engines, retries, and resumes — the
+    property a training run needs to be restartable mid-epoch.
+
+    100 TB shape: the score is row-local (one narrow pass, no explode);
+    the only exchange is the (bin, shard) window — ``3 * CURRICULUM_
+    SHARDS`` balanced partitions whose count is the tunable parallelism
+    knob, never a global sort, never a per-bin single reducer."""
+    from pyspark.sql import Window as W
+
+    from ssafynews_data_spark.operators.text import STOPWORDS, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    t = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    ).filter(F.col("n") > 0)
+    s = t.select(
+        "doc_id",
+        F.expr("(2 * n_stop + n_distinct) * 10000 div n").alias("qscore_q4"),
+        _md5_key(CURRICULUM_SALT, F.col("doc_id")).alias("k"),
+    )
+    b = s.select(
+        "doc_id",
+        "qscore_q4",
+        F.when(F.col("qscore_q4") >= CURRICULUM_CUT_HIGH, 0)
+        .when(F.col("qscore_q4") >= CURRICULUM_CUT_MID, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("bin"),
+        (F.col("doc_id") % CURRICULUM_SHARDS).alias("shard"),
+        "k",
+    )
+    w = W.partitionBy("bin", "shard").orderBy("k", "doc_id")
+    return b.select(
+        "doc_id",
+        "qscore_q4",
+        "bin",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

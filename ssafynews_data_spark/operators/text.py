@@ -572,8 +572,12 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         red.alias("redacted"),
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE))).alias("n_phones"),
+        # idx=0 (whole match) is load-bearing: the patterns have no
+        # capture groups and Spark's default idx=1 throws on the first
+        # row that actually MATCHES — invisible on PII-free input
+        # (caught round 12 by pii_scrub_accounting's injected footers)
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
     )
 
 
@@ -1620,4 +1624,235 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quota_base",
         extra.alias("extra_token"),
         (F.col("quota_base") + extra).cast("long").alias("allocation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: PII scrub accounting + packed-layout provenance lookup.
+# ---------------------------------------------------------------------------
+
+#: IPv4-shaped runs — third PII class next to redact_pii's email/phone;
+#: like those, restricted to constructs with identical Java-regex/RE2
+#: semantics (no \\b, no lookaround).
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+#: deterministic PII injection mods: the synthetic fixture's vocabulary
+#: contains no digits or @ (redact_pii's counts are all zero on it), so
+#: the scrub ACCOUNTING is exercised by appending doc_id-derived
+#: contact footers — the same expression on both engines, making the
+#: regex classes, the scrub chain order, and the char arithmetic the
+#: actual contract (the div-3 rule precedent: pack_mask_spans).
+PII_EMAIL_MOD, PII_PHONE_MOD, PII_IP_MOD = 3, 5, 7
+
+_PII_AUG_DUCK = f"""text
+            || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END
+            || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+                    THEN ' tel 010-1234-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % {PII_IP_MOD} = 0
+                    THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                    ELSE '' END"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, aug): text with the deterministic contact
+    footers appended — the engine half of ``_PII_AUG_DUCK``."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % PII_EMAIL_MOD == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % PII_PHONE_MOD == 0,
+            F.concat(
+                F.lit(" tel 010-1234-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % PII_IP_MOD == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 250).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("source", "doc_id", aug.alias("aug"))
+
+
+@register(
+    "pii_scrub_accounting",
+    oracle=f"""
+        WITH a AS (
+            SELECT source, doc_id, {_PII_AUG_DUCK} AS aug
+            FROM documents
+        ),
+        s AS (
+            SELECT source, aug,
+                   regexp_replace(aug, '{_EMAIL_RE}', '[EMAIL]', 'g') AS s1
+            FROM a
+        ),
+        s2 AS (
+            SELECT source, aug, s1,
+                   regexp_replace(s1, '{_PHONE_RE}', '[PHONE]', 'g') AS s2
+            FROM s
+        ),
+        s3 AS (
+            SELECT source, aug, s1, s2,
+                   regexp_replace(s2, '{_IP_RE}', '[IP]', 'g') AS s3
+            FROM s2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(aug, '{_EMAIL_RE}')))
+                    AS BIGINT) AS n_emails,
+               CAST(sum(len(regexp_extract_all(s1, '{_PHONE_RE}')))
+                    AS BIGINT) AS n_phones,
+               CAST(sum(len(regexp_extract_all(s2, '{_IP_RE}')))
+                    AS BIGINT) AS n_ips,
+               CAST(sum(length(aug) - length(s3)) AS BIGINT) AS chars_redacted
+        FROM s3 GROUP BY source
+    """,
+    tags=("pii", "curate", "audit", "north-star"),
+)
+def pii_scrub_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub report a corpus publishes before release: per source,
+    how many email / phone / IP matches were redacted and the net
+    character delta of the scrub — extends ``redact_pii`` (which emits
+    the scrubbed rows) with the release-audit aggregate, and adds the
+    IPv4 class.
+
+    Each count is taken on the string the scrub chain actually sees at
+    that stage (emails on the raw text, phones on the email-scrubbed
+    text, IPs on the phone-scrubbed text), so the accounting equals the
+    replacement chain by construction rather than by a disjointness
+    assumption.
+
+    100 TB shape: the whole chain is row-local codegen'd regexp work —
+    zero shuffles until the |sources|-row hash aggregate, and it
+    composes with the redaction write itself (same pass, two outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _pii_augmented(docs)
+    s1 = F.regexp_replace(F.col("aug"), _EMAIL_RE, "[EMAIL]")
+    chained = a.select(
+        "source",
+        "aug",
+        s1.alias("s1"),
+    ).select(
+        "source",
+        "aug",
+        "s1",
+        F.regexp_replace(F.col("s1"), _PHONE_RE, "[PHONE]").alias("s2"),
+    ).select(
+        "source",
+        "aug",
+        "s1",
+        "s2",
+        F.regexp_replace(F.col("s2"), _IP_RE, "[IP]").alias("s3"),
+    )
+    return chained.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        # idx=0: groupless patterns (see redact_pii's note)
+        F.sum(F.size(F.regexp_extract_all("aug", F.lit(_EMAIL_RE), 0))).alias("n_emails"),
+        F.sum(F.size(F.regexp_extract_all("s1", F.lit(_PHONE_RE), 0))).alias("n_phones"),
+        F.sum(F.size(F.regexp_extract_all("s2", F.lit(_IP_RE), 0))).alias("n_ips"),
+        F.sum(F.length("aug") - F.length("s3")).alias("chars_redacted"),
+    )
+
+
+@register(
+    "pack_provenance_lookup",
+    # the greedy recurrence replayed by the SAME recursive CTE as
+    # greedy_pack_layout, then block stats + the per-bucket probe pick
+    # (most-docs block, min block_id tie-break) — pure integers.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   doc_id % {GREEDY_PACK_BUCKETS} AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {GREEDY_PACK_BUCKETS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        ),
+        blocks AS (
+            SELECT bucket, block_id,
+                   CAST(count(*) AS BIGINT) AS n_docs_in_block,
+                   CAST(sum(n_tokens) AS BIGINT) AS block_fill
+            FROM pack GROUP BY bucket, block_id
+        ),
+        probe AS (
+            SELECT bucket, block_id, n_docs_in_block, block_fill
+            FROM (SELECT *, row_number() OVER (PARTITION BY bucket
+                                               ORDER BY n_docs_in_block DESC,
+                                                        block_id) AS r
+                  FROM blocks)
+            WHERE r = 1
+        )
+        SELECT p.bucket, p.block_id, p.doc_id,
+               p.block_pos AS tok_start,
+               p.block_pos + p.n_tokens AS tok_end,
+               pr.n_docs_in_block, pr.block_fill
+        FROM pack p JOIN probe pr USING (bucket, block_id)
+    """,
+    tags=("packing", "training-data", "provenance", "north-star"),
+)
+def pack_provenance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of ``greedy_pack_layout`` — loss-spike forensics:
+    given a probed (shard, training-sequence) location, recover every
+    document packed into it with its token span ``[tok_start,
+    tok_end)`` in sequence-local coordinates.  The probe set here is
+    deterministic (per bucket, the block holding the most documents —
+    the densest forensics target; min block_id tie-break), standing in
+    for the ad-hoc offsets an actual spike investigation supplies.
+
+    100 TB shape: rides the packer's single shard exchange; block stats
+    are a partial-agg rollup moving O(blocks) rows, the probe pick a
+    |buckets|-row window, and the final lookup a BROADCAST semi-join of
+    the O(buckets)-row probe list against the packed layout — the
+    corpus is never reshuffled, which is exactly how a random-access
+    provenance query must behave against a materialized layout."""
+    from pyspark.sql import Window as W
+
+    packed = greedy_pack_layout(spark, sf_dir)
+    blocks = packed.groupBy("bucket", "block_id").agg(
+        F.count("*").alias("n_docs_in_block"),
+        F.sum("n_tokens").alias("block_fill"),
+    )
+    wb = W.partitionBy("bucket").orderBy(F.desc("n_docs_in_block"), "block_id")
+    probe = (
+        blocks.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    return packed.join(F.broadcast(probe), ["bucket", "block_id"]).select(
+        "bucket",
+        "block_id",
+        "doc_id",
+        F.col("block_pos").alias("tok_start"),
+        (F.col("block_pos") + F.col("n_tokens")).alias("tok_end"),
+        "n_docs_in_block",
+        "block_fill",
     )

@@ -285,6 +285,14 @@ def build_scale(spark: SparkSession, out_dir: str, src_dir: str, copies: int) ->
 
 def main() -> int:
     rebuild = "--rebuild" in sys.argv[1:]
+    # --only=name1,name2 sweeps a subset (e.g. a query registered after
+    # the round's full sweep ran) without re-paying the whole table;
+    # the JSON artifact goes to a side file so the full-run record and
+    # its alphas are never partially overwritten.
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    headliners = tuple(
+        n for n in HEADLINERS if not only or n in set(only[0].split(","))
+    )
     spark = get_session(app_name="scale_sweep")
     from ssafynews_data_spark import registry
     from ssafynews_data_spark.caching import release_pins
@@ -309,10 +317,10 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(64).repartition(4).mapInPandas(lambda it: it, "id long").count()
 
-    results: dict[str, dict[str, float]] = {q: {} for q in HEADLINERS}
-    out_rows: dict[str, dict[str, int]] = {q: {} for q in HEADLINERS}
+    results: dict[str, dict[str, float]] = {q: {} for q in headliners}
+    out_rows: dict[str, dict[str, int]] = {q: {} for q in headliners}
     for sname, _, _ in SCALES:
-        for q in HEADLINERS:
+        for q in headliners:
             t0 = time.perf_counter()
             n = force_full(query_fn(qs, q)(spark, dirs[sname]))
             dt = time.perf_counter() - t0
@@ -366,7 +374,7 @@ def main() -> int:
         "| alpha S1->S2 | alpha S2->S3 |"
     )
     print("|---|---|---|---|---|---|---|---|")
-    for q in HEADLINERS:
+    for q in headliners:
         t = table_of[q]
         r = f"{rows['S1'][t]}/{rows['S2'][t]}/{rows['S3'][t]} ({t})"
         o = f"{out_rows[q]['S1']}/{out_rows[q]['S2']}/{out_rows[q]['S3']}"
@@ -376,7 +384,8 @@ def main() -> int:
             f"| {alpha(q, 'S2', 'S3')} |"
         )
 
-    with open(os.path.join(SWEEP_ROOT, "sweep_results.json"), "w") as f:
+    out_json = "sweep_results_only.json" if only else "sweep_results.json"
+    with open(os.path.join(SWEEP_ROOT, out_json), "w") as f:
         json.dump(
             {
                 "rows": rows,
@@ -389,7 +398,7 @@ def main() -> int:
         )
     bad = [
         q
-        for q in HEADLINERS
+        for q in headliners
         if alpha(q, "S2", "S3") > 1.5  # quadratic blow-up reads ~2.0
     ]
     print(f"\n# super-linear (alpha S2->S3 > 1.5): {bad or 'none'}")
