@@ -65,23 +65,15 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only.  Round 11 executes the recipe frozen at the end of round 10
-#: (registry.py r10 "ROUND-11 WINDOW RECIPE" + VERDICT r10 item 1's
-#: precedence override: a driver FAIL outranks a stale row): keep the
-#: same 10 multi-surface sentinels; re-certify the FOUR ANN recall
-#: contracts that FAILed r10 on oracle TYPE (DuckDB HUGEINT from a
-#: bare sum(BIGINT) vs Spark LONG — values verified equal; all five
-#: exact_sim_sum_q4 emissions now wrapped CAST(... AS BIGINT) and a
-#: static DESCRIBE gate in tests/test_oracle_types.py forbids the
-#: class); then the FIVE round-10 registrations for their first
-#: driver rows (opq_ivfpq_serve_contract's oracle fixed BEFORE its
-#: first row); then the finding-15 rewritten five (avg_half_up
-#: construction landed r10; their r5-r8 rows certify the OLD round()
-#: text); then the 11 oracled r5-era leftovers; then 15 r6-era rows
-#: oldest-first (the recipe-named eight, then alphabetical).
-#: Expected: 50/50 hash-PASS, 9 first-or-re-certified contract rows,
-#: backlog back to round-11's own registrations, oldest oracled
-#: driver row in history <= r6.
+#: only.  Round 12 executes the recipe frozen at the end of round 11
+#: (the "ROUND-12 WINDOW RECIPE" below, now inlined here): the same 10
+#: multi-surface sentinels; slots 11-15 the five round-11
+#: registrations for their FIRST driver rows; slots 16-33 the 18
+#: r6-era leftovers alphabetical; slots 34-50 the first 17 oracled
+#: r7-era rows alphabetical (ann_pq_topk is the one rows-only r7
+#: name; it keeps its pytest recall guarantees and yields its slot).
+#: Expected: 50/50 hash-PASS, five first rows, every r6-era row
+#: re-certified or superseded, oldest oracled driver row <= r7.
 PRIORITY_FIRST: tuple[str, ...] = (
     # --- keepers: 10 multi-surface sentinels, all driver-green ---
     "curate_corpus",
@@ -94,124 +86,114 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- r10 driver FAILs re-certified on the FIXED oracle text
-    #     (HUGEINT -> CAST(sum(...) AS BIGINT); engine unchanged) ---
-    "ann_lsh_recall_contract",
-    "ann_ivf_recall_contract",
-    "pq_ann_recall_contract",
-    "ivfpq_recall_contract",
-    # --- round-10 post-window registrations (first-ever driver rows;
-    #     opq_ivfpq_serve_contract oracle fixed pre-first-row) ---
-    "opq_rotation_contract",
-    "opq_ivfpq_serve_contract",
-    "pack_efficiency_audit",
-    "pack_mask_spans",
-    "token_budget_allocation",
-    # --- finding-15 re-certification: integer-quotient round() sites
-    #     rewritten to avg_half_up in r10; last rows predate it ---
-    "tokenizer_fertility_stats",
-    "preprocess_source_counts",
-    "segment_distinct_aggs",
-    "parse_event_props",
-    "k_anonymity_profile",
-    # --- r5-era oracled re-certification drain (last rows r5) ---
-    "semantic_dedup_contract",
-    "session_window_stats",
-    "streaming_daily_counts",
-    "streaming_dedup_counts",
-    "streaming_interval_join",
-    "streaming_semi_join",
-    "streaming_session_counts",
-    "streaming_watermark_dedup",
-    "trailing_week_user_value",
-    "udtf_token_bigrams",
-    "winnow_fingerprints",
-    # --- r6-era re-certification (recipe-named eight, then
-    #     alphabetical oracled; the remaining 18 r6 rows queue for r12 —
-    #     k_anonymity_profile is ALSO r6-era but already re-certifies
-    #     above via the finding-15 group, so it is not a leftover) ---
-    "bigram_lm_perplexity",
-    "unigram_kl_source_divergence",
-    "zipf_fit_stats",
-    "zorder_box_query",
-    "dpp_top_days_report",
-    "timeseries_gapfill",
-    "timeseries_gapfill_recursive",
-    "timeseries_locf",
-    "canonical_doc_per_cluster",
-    "cms_heavy_hitters_contract",
-    "compression_quality_contract",
-    "events_column_profile",
-    "federated_formats_join",
-    "funnel_conversion_ordered",
-    "hll_intersection_contract",
+    # --- slots 11-15: round-11 registrations, first driver rows
+    #     (all five local-PASS on the type-aware mirror in r11) ---
+    "sq8_serve_contract",
+    "streaming_index_ingest_contract",
+    "contrastive_triplet_mining",
+    "dedup_token_accounting",
+    "ivf_sq8_serve_contract",
+    # --- slots 16-33: the 18 r6-era leftovers, alphabetical (the
+    #     last pre-r7 rows anywhere; see the count note below) ---
+    "minhash_incremental_index",
+    "mojibake_repair_contract",
+    "near_dup_containment_contract",
+    "pagerank_mass_contract",
+    "pit_join_scd2",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "quality_classifier_contract",
+    "retention_cohorts",
+    "stratified_sample_contract",
+    "streaming_outer_interval_join",
+    "streaming_sketch_maintenance",
+    "streaming_sliding_counts",
+    "streaming_state_inspection",
+    "streaming_union_dedup",
+    # --- slots 34-50: first 17 oracled r7-era rows, alphabetical ---
+    "ansi_safe_math",
+    "arrow_byte_stats",
+    "backfill_day_partition",
+    "boolean_aggregates_profile",
+    "bpe_training_contract",
+    "bucket_skew_audit",
+    "collated_lang_counts",
+    "compact_small_files",
+    "cusum_drift_scores",
+    "daily_count_anomalies",
+    "dedup_graph_stats",
+    "epoch_shuffle_layout",
+    "exact_substring_spans",
+    "identifier_clause_counts",
+    "keyword_string_agg",
+    "length_bucket_stats",
+    "multisignal_curation",
 )
 
-#: POST-ROUND-11 STATE: once this window lands, every ANN recall
-#: contract is driver-certified on the type-fixed oracle text, all
-#: five round-10 registrations have first rows, the finding-15
-#: rewrites are certified on their new text, no oracled family's last
-#: driver row is older than r6, and the remaining re-certification
-#: queue is the 18 r6-era leftovers (the earlier "19" double-counted
-#: k_anonymity_profile, which re-certifies via the finding-15 slot in
-#: THIS window: mojibake_repair_contract, minhash_incremental_index,
-#: q2/q4/q13/q16/q22, retention_cohorts,
-#: stratified_sample_contract, streaming_outer_interval_join,
-#: streaming_sketch_maintenance, streaming_sliding_counts,
-#: streaming_state_inspection, streaming_union_dedup,
-#: near_dup_containment_contract, pagerank_mass_contract,
-#: pit_join_scd2, quality_classifier_contract) plus r7-era rows.
+#: POST-ROUND-12 STATE: once this window lands, every r5/r6-era row
+#: is re-certified or superseded, the five round-11 registrations have
+#: first rows, and the remaining re-certification queue is the 19
+#: oracled r7-era leftovers (observed_write_audit, orc_roundtrip_stats,
+#: parameterized_sql_band, pipe_syntax_revenue, q20_excess_shippers,
+#: q21_waiting_suppliers, rollup_maintenance, script_mix_stats,
+#: semantic_decontaminate, snapshot_diff_orders, streaming_static_enrich,
+#: substring_span_removal, temperature_resample, token_rarity_scores,
+#: udtf_dynamic_topk_tokens, uniform_sample_fixed_n, value_correlations,
+#: weighted_sample_docs, xml_roundtrip_events; ann_pq_topk stays
+#: rows-only by design) plus the 37 r8-era rows (30 oracled).
 #: Registration discipline (judge-enforced since r7): the promotion
-#: list above was FROZEN before any new round-11 registration; new
+#: list above was FROZEN before any new round-12 registration; new
 #: families register only into the mid region (never this window) and
 #: stay <= 5 per round so the next window can absorb them.
 #:
-#: ROUND-12 WINDOW RECIPE (frozen END of round 11; execute before any
-#: round-12 registration).  Slots 1-10: the same 10 sentinels.
-#: Slots 11-15: the five round-11 registrations for their first driver
-#: rows — sq8_serve_contract, streaming_index_ingest_contract,
-#: contrastive_triplet_mining, dedup_token_accounting,
-#: ivf_sq8_serve_contract.  Slots 16-33: the 18 r6-era leftovers,
-#: alphabetical — minhash_incremental_index, mojibake_repair_contract,
-#: near_dup_containment_contract, pagerank_mass_contract,
-#: pit_join_scd2, q13_customer_distribution, q16_parts_supplier_count,
-#: q22_sales_opportunity, q2_min_cost_supplier, q4_order_priority,
-#: quality_classifier_contract, retention_cohorts,
-#: stratified_sample_contract, streaming_outer_interval_join,
-#: streaming_sketch_maintenance, streaming_sliding_counts,
-#: streaming_state_inspection, streaming_union_dedup.  Slots 34-50:
-#: the first 17 ORACLED r7-era rows alphabetical (ann_pq_topk is the
-#: one rows-only r7 name; it keeps its pytest recall guarantees and
-#: yields its slot) — ansi_safe_math, arrow_byte_stats,
-#: backfill_day_partition, boolean_aggregates_profile,
-#: bpe_training_contract, bucket_skew_audit, collated_lang_counts,
-#: compact_small_files, cusum_drift_scores, daily_count_anomalies,
-#: dedup_graph_stats, epoch_shuffle_layout, exact_substring_spans,
-#: identifier_clause_counts, keyword_string_agg, length_bucket_stats,
-#: multisignal_curation.  Names promoted out of DEMOTE_LAST move to
-#: PRIORITY_FIRST for the round; expected post-r12 state: every
-#: r5/r6-era row re-certified or superseded, remaining drain = 19
-#: r7-era + r8-era rows.
+#: ROUND-13 WINDOW RECIPE (frozen END of round 12; execute before any
+#: round-13 registration).  Slots 1-10: the same 10 sentinels.
+#: Slots 11-15: the five round-12 registrations for their first driver
+#: rows — pii_scrub_accounting, domain_cap_sample,
+#: pack_provenance_lookup, curriculum_schedule, ivf_staleness_audit.
+#: Slots 16-34: the 19 oracled r7-era leftovers, alphabetical (the
+#: list above).  Slots 35-50: the first 16 ORACLED r8-era rows,
+#: alphabetical — clean_documents, cube_order_stats,
+#: customers_with_orders, customers_without_orders, doc_len_histogram,
+#: doc_len_stats, doremi_mixture_weights, event_value_deltas,
+#: event_value_ranks, events_pivot_daily, events_unpivot,
+#: first_sentence_summaries, merge_upsert_orders, ngram_novelty_curve,
+#: null_profile_documents, order_price_percentiles.  Names promoted
+#: out of DEMOTE_LAST move to PRIORITY_FIRST for the round; expected
+#: post-r13 state: oldest oracled driver row <= r8, remaining drain =
+#: 14 oracled r8-era rows + r9-era.
 #:
-#: Round 11 registered FIVE (the full <=5 budget), all oracled, all
-#: mid-region (registered AFTER the window above was frozen):
-#: sq8_serve_contract (similarity.py — faiss SQ8 per-dim affine codec:
-#: d-row min/max train, KB meta artifact, cold-start reload
-#: bit-identity, exact round-to-nearest reconstruction bound,
-#: surveyed recall floor over the SQ8+refine chain),
-#: streaming_index_ingest_contract (incremental_index.py — real
-#: micro-batched Structured Streaming ingest into the banded MinHash
-#: index through the key-idempotent sink; batch/stream parity + full
-#: redelivery idempotence), contrastive_triplet_mining (similarity.py
-#: — anchor/positive/negative triplets with q4 integer margins, one
-#: corpus pass + one window), dedup_token_accounting (dedup.py —
-#: per-source docs/tokens removed under exact keep-first; integer-only
-#: emissions), and ivf_sq8_serve_contract (similarity.py — faiss
-#: "IVF<K>,SQ8" composition: KMeans coarse cells + per-dim affine SQ8
-#: over the residuals, same three-artifact layout and pruned serving
-#: shape as IVF-PQ; cold-start reload bit-identity, corpus-wide exact
-#: reconstruction bound, probe-coverage recall floor, >=90% retention
-#: of flat IVF's hits).
+#: Round 12 registered FIVE (the full <=5 budget), all oracled, all
+#: mid-region (registered BEFORE this round's window executed, but
+#: never into it): pii_scrub_accounting (text.py — per-source
+#: email/phone/IPv4 scrub report with exact char-delta arithmetic;
+#: deterministic doc_id-derived PII footers injected identically on
+#: both engines because the fixture text is PII-free; its first real
+#: exercise of the regex classes caught redact_pii's latent
+#: regexp_extract_all idx-default crash), domain_cap_sample
+#: (sampling.py — keep <= N docs per source by salted-md5 order;
+#: exact two-phase (source,shard)->source windows so a hot domain
+#: never serializes; oracle states the naive single-window spec),
+#: pack_provenance_lookup (text.py — loss-spike forensics: doc ids +
+#: token spans for probed packed blocks via a broadcast probe join),
+#: curriculum_schedule (sampling.py — integer-exact quality score
+#: (2*n_stop+n_distinct)*10000 div n, fixed bin cuts, md5 interleave,
+#: (bin,shard)-grained positions), and ivf_staleness_audit
+#: (similarity.py — freeze IVF centroids on the pre-delta 80%, ingest
+#: the newest 20% by frozen-cell assignment, recall floor 30 +
+#: retention >= 50% of a fresh fit; floors from an 8-draw survey:
+#: stale recall 42-56%, retention 71-122%).  Gates: green at
+#: sf0.001/sf0.01/sf0.1, six virgin sf0.01 reseeds (123321/456654/
+#: 987123/135791/246802/369258), the sf0.1-SCALE reseed 161616, and a
+#: bare --plain session; scale-sweep rows in docs/SCALE.md.
+#:
+#: (Historical note, round 11: registered sq8_serve_contract,
+#: streaming_index_ingest_contract, contrastive_triplet_mining,
+#: dedup_token_accounting, ivf_sq8_serve_contract — all took their
+#: first driver rows in THIS round's slots 11-15.)
 
 #: Names pushed LAST: driver-green history stands (every name below
 #: has a hash-PASS row; rows-only names carry pytest guarantees

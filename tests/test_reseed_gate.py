@@ -31,9 +31,11 @@ from tools.reseed_fixture import generate
 #: pinned, non-42, outside every previously-surveyed seed set
 #: (42/777/1234/555/31337/99/2468/7/424242/8675309/13579/97531/
 #: 5551212/246813/31415/27182/112358/778899/314159/161803/271828/
-#: 577215/662607/141421 and sf0.1 seeds 662/883/904; retired: 161803
-#: after r10 — see docs/COVERAGE.md tally)
-RESEED_GATE_SEED = 173205
+#: 577215/662607/141421/299792/602214/693147/866025/414213/301029/
+#: 577350/707106, round-12 registration seeds 123321/456654/987123/
+#: 135791/246802/369258, and sf0.1 seeds 662/883/904/628318/271801/
+#: 161616; retired: 173205 after r11 — see docs/COVERAGE.md tally)
+RESEED_GATE_SEED = 917731
 
 
 @pytest.mark.reseed

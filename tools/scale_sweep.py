@@ -152,6 +152,28 @@ HEADLINERS = (
     # corpus-wide serve scan (build is KMeans + one d-row agg,
     # ~linear; serve touches probed partitions only)
     "ivf_sq8_serve_contract",
+    # round 12: PII accounting is row-local codegen regex + one
+    # |sources|-row agg — expected alpha ~ the scan; a regression that
+    # loses the single-pass chain (re-scrubbing per class) reads as a
+    # constant-factor step, super-linear would mean the agg lost its
+    # map-side partials
+    "pii_scrub_accounting",
+    # round 12: two bounded windows ((source,shard) then source over
+    # <= shards*cap rows) — the sweep guards phase 2 stays bounded (a
+    # regression to the naive per-source window reads as skew-bound
+    # time at the replicated scale)
+    "domain_cap_sample",
+    # round 12: rides the packer's exchange + O(blocks) rollup + a
+    # broadcast probe join — super-linear would mean the probe join
+    # stopped broadcasting or the rollup re-ran the packer
+    "pack_provenance_lookup",
+    # round 12: row-local integer score + one (bin,shard) window —
+    # alpha ~ the scan; output rows = input rows by construction
+    "curriculum_schedule",
+    # round 12: two KMeans fits dominate (fixed-ish at these scales,
+    # like the ivf_sq8 row); the sweep guards serving stays
+    # probe-pruned and the audit never becomes all-pairs
+    "ivf_staleness_audit",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -353,6 +375,11 @@ def main() -> int:
         "contrastive_triplet_mining": "emb",
         "dedup_token_accounting": "docs",
         "ivf_sq8_serve_contract": "emb",
+        "pii_scrub_accounting": "docs",
+        "domain_cap_sample": "docs",
+        "pack_provenance_lookup": "docs",
+        "curriculum_schedule": "docs",
+        "ivf_staleness_audit": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
