@@ -131,6 +131,23 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-11 (IVF-SQ8 lifecycle): build + both serves + the recon
     # audit run inside the body; literal row out
     "ivf_sq8_serve_contract": 0,
+    # round-12: row-local regex chain -> ONE |sources|-row hash agg
+    "pii_scrub_accounting": 1,
+    # round-12: the exact two-phase cap — (source,shard) window +
+    # source window over <= shards*cap rows + the totals agg; the
+    # totals⋈kept join is broadcast (tiny both sides)
+    "domain_cap_sample": 3,
+    # round-12: the packer's bucket exchange + the O(blocks) stats
+    # rollup + its |buckets|-row probe window; the probe⋈packed lookup
+    # itself is a BroadcastExchange (excluded here by design — the
+    # corpus is never reshuffled, which is the point of the pin)
+    "pack_provenance_lookup": 4,
+    # round-12: row-local integer score -> ONE (bin, shard) window
+    # exchange; never a global sort
+    "curriculum_schedule": 1,
+    # round-12: both KMeans fits, serving, and the hit joins run
+    # inside the contract body; literal row out
+    "ivf_staleness_audit": 0,
 }
 
 
