@@ -214,56 +214,21 @@ DEMOTE_LAST: tuple[str, ...] = (
     "compression_quality_scores",
     "dedup_graph_pagerank",
     "mojibake_repair_docs",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q16_parts_supplier_count",
-    "q22_sales_opportunity",
-    "streaming_union_dedup",
-    "streaming_sliding_counts",
-    "streaming_state_inspection",
-    "streaming_outer_interval_join",
-    "streaming_sketch_maintenance",
-    "minhash_incremental_index",
-    "pagerank_mass_contract",
-    "near_dup_containment_contract",
-    "stratified_sample_contract",
-    "quality_classifier_contract",
-    "pit_join_scd2",
-    "retention_cohorts",
-    "mojibake_repair_contract",
-    "exact_substring_spans",
     "substring_span_removal",
     "ann_pq_topk",
-    "bpe_training_contract",
     "snapshot_diff_orders",
     "script_mix_stats",
     "semantic_decontaminate",
-    "multisignal_curation",
-    "dedup_graph_stats",
-    "backfill_day_partition",
-    "compact_small_files",
     "rollup_maintenance",
-    "ansi_safe_math",
     "value_correlations",
-    "boolean_aggregates_profile",
-    "keyword_string_agg",
     "observed_write_audit",
-    "epoch_shuffle_layout",
-    "length_bucket_stats",
     "uniform_sample_fixed_n",
     "weighted_sample_docs",
-    "bucket_skew_audit",
     "pipe_syntax_revenue",
     "parameterized_sql_band",
     "udtf_dynamic_topk_tokens",
-    "collated_lang_counts",
     "xml_roundtrip_events",
-    "identifier_clause_counts",
     "orc_roundtrip_stats",
-    "daily_count_anomalies",
-    "cusum_drift_scores",
-    "arrow_byte_stats",
     "streaming_static_enrich",
     "temperature_resample",
     "token_rarity_scores",
