@@ -352,8 +352,9 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_correlations",
     oracle="""
         SELECT event_type,
-               round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour,
-               round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 2)
+               round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) + 0.0
+                   AS corr_value_hour,
+               round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 2) + 0.0
                    AS covar_value_hour,
                round(stddev_samp(value), 2) AS sd_value,
                count(*) AS n
@@ -374,8 +375,13 @@ def value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
-            F.round(F.covar_samp("value", hour), 2).alias("covar_value_hour"),
+            # + 0.0 normalizes IEEE -0.0: a near-zero corr/covar rounds
+            # to zero with an engine-dependent SIGN bit (virgin seed
+            # 524287's 'error' group: -0.0 vs 0.0, hash mismatch)
+            (F.round(F.corr("value", hour), 4) + 0.0).alias("corr_value_hour"),
+            (F.round(F.covar_samp("value", hour), 2) + 0.0).alias(
+                "covar_value_hour"
+            ),
             F.round(F.stddev_samp("value"), 2).alias("sd_value"),
             F.count("*").alias("n"),
         )

@@ -861,11 +861,14 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("kept_id_sum"),
         F.sum("n_chars").alias("kept_chars"),
     )
-    return totals.join(kt, "source", "left").select(
+    # inner join: every source with rows keeps at least its rank-1 doc,
+    # so the kept side can never miss a source — a left join + coalesce
+    # would be dead defensive code implying a reachable empty branch
+    return totals.join(kt, "source").select(
         "source",
         "n_docs",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
         "kept_id_sum",
         "kept_chars",
     )

@@ -480,32 +480,16 @@ def near_dup_auto(
 # ---------------------------------------------------------------------------
 
 
-@register("ann_ivf_topk", tags=("similarity", "ivf"))
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat: KMeans(k=8, seed=42) coarse centroids; each query
-    probes its NPROBE nearest centroids and ranks exactly within them.
-
-    At scale the corpus is written partitioned by ``centroid`` so a
-    query reads nprobe/k of the data (partition pruning); here the
-    pruning happens via the broadcast equi-join on centroid id.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = _corpus(spark, sf_dir).withColumn("vec", array_to_vector(F.col("emb")))
-    km = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid")
-    model = km.fit(corpus)
-    assigned = model.transform(corpus).select("vec_id", "emb", "centroid")
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
-
+def _ivf_flat_serve(assigned: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """The IVF-Flat serving shape shared by ``ann_ivf_topk`` (fresh fit)
+    and ``ivf_staleness_audit`` (frozen fit): probe each query's NPROBE
+    nearest centroids (broadcast crossJoin — |queries| × k rows), rank
+    exactly within the probed cells.  One definition so the stale-vs-
+    fresh retention comparison can never be skewed by the two paths
+    drifting apart."""
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    # nprobe nearest centroids per query (tiny: |queries| × k rows)
     qc = queries.crossJoin(F.broadcast(cent_df)).select(
         "query_id", "q_emb", "centroid",
         cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim"),
@@ -530,6 +514,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+@register("ann_ivf_topk", tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: KMeans(k=8, seed=42) coarse centroids; each query
+    probes its NPROBE nearest centroids and ranks exactly within them.
+
+    At scale the corpus is written partitioned by ``centroid`` so a
+    query reads nprobe/k of the data (partition pruning); here the
+    pruning happens via the broadcast equi-join on centroid id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus(spark, sf_dir).withColumn("vec", array_to_vector(F.col("emb")))
+    km = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("vec_id", "emb", "centroid")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+    return _ivf_flat_serve(assigned, cent_df)
 
 
 # ---------------------------------------------------------------------------
@@ -3025,7 +3033,11 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(facts.n_queries),
                 int(facts.n_exact_rows),
-                int(facts.exact_sim_sum_q4),
+                # None when the exact top-k is empty (rows but no
+                # vec_id < N_QUERIES) — the oracle emits NULL there too
+                int(facts.exact_sim_sum_q4)
+                if facts.exact_sim_sum_q4 is not None
+                else None,
                 bool(roundtrip_ok),
                 bool(recon),
                 bool(n_hits * 100 >= facts.n_exact_rows * SQ8_RECALL_MIN_PCT),
@@ -3392,7 +3404,11 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(facts.n_queries),
                 int(facts.n_exact_rows),
-                int(facts.exact_sim_sum_q4),
+                # None when the exact top-k is empty (rows but no
+                # vec_id < N_QUERIES) — the oracle emits NULL there too
+                int(facts.exact_sim_sum_q4)
+                if facts.exact_sim_sum_q4 is not None
+                else None,
                 bool(roundtrip_ok),
                 bool(recon),
                 bool(sq8_hits * 100 >= facts.n_exact_rows * IVFPQ_RECALL_MIN_PCT),
@@ -3463,8 +3479,10 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_base`` / ``n_delta``: the freeze-cut accounting, DuckDB-
       recomputed from the same ``mx + 1 - n // den`` formula;
-    - ``delta_visible_ok``: every grown-corpus row (base AND delta) is
-      assigned a frozen cell — the index covers the growth;
+    - ``delta_visible_ok``: every DELTA row's stored cell equals the
+      independent Euclidean argmin against the frozen centroid list —
+      the append-without-refit property stated falsifiably (a refit or
+      a metric drift in the ingest path flips it);
     - ``stale_recall_ok``: stale recall clears the shared probe-
       coverage floor (see STALE_RECALL_MIN_PCT's survey note);
     - ``retention_ok``: stale hits >= STALE_RETENTION_MIN_PCT% of a
@@ -3501,43 +3519,49 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen-centroid assignment of the GROWN corpus (base + delta) —
     # model.transform is the broadcast-argmin map; in production only
     # the delta runs through it, appending to the existing layout
-    assigned = model.transform(vecs).select("vec_id", "emb", "centroid")
-    n_index = assigned.count()
+    assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
 
-    # serve on the frozen cells — identical probe shape to ann_ivf_topk
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+
+    # delta_visible_ok, the FALSIFIABLE form: every DELTA row's stored
+    # cell must equal the explicit argmin (max cosine, min-id tie-break)
+    # against the FROZEN centroid list — the append-without-refit
+    # property itself, not a row-count identity (model.transform is
+    # row-preserving, so n_index == n is a tautology; a count check
+    # could never fail).  |delta| × IVF_K rows, broadcast side tiny.
+    delta_assigned = assigned.filter(F.col("vec_id") >= cut)
+    # KMeans assigns by EUCLIDEAN distance (not cosine — centroids are
+    # means of unit vectors and are NOT unit-norm), so the independent
+    # argmin must use the same metric; min-id tie-break matches MLlib's
+    # first-minimal-index choice on exact ties
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("emb")), F.col("c_emb"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, el: acc + el,
     )
-    qc = queries.crossJoin(F.broadcast(cent_df)).select(
-        "query_id",
-        "q_emb",
-        "centroid",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim"),
+    wd = W.partitionBy("vec_id").orderBy("d2", "cand_centroid")
+    own = (
+        delta_assigned.crossJoin(
+            F.broadcast(
+                cent_df.select(
+                    F.col("centroid").alias("cand_centroid"), "c_emb"
+                )
+            )
+        )
+        .select("vec_id", "centroid", "cand_centroid", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") == 1)
     )
-    wq = W.partitionBy("query_id").orderBy(F.desc("c_sim"), "centroid")
-    probe = (
-        qc.withColumn("p", F.row_number().over(wq))
-        .filter(F.col("p") <= NPROBE)
-        .select("query_id", "q_emb", "centroid")
-    )
-    cands = assigned.join(F.broadcast(probe), "centroid").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sims = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    stale_topk = (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    delta_misassigned = own.filter(F.col("centroid") != F.col("cand_centroid")).count()
+
+    # serve on the frozen cells — the SAME _ivf_flat_serve as the fresh
+    # fit below, so retention compares serving paths, never code paths
+    stale_topk = _ivf_flat_serve(assigned, cent_df).select("query_id", "neighbor_id")
 
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     stale_hits = stale_topk.join(
@@ -3555,14 +3579,20 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n_base = corpus.filter(F.col("vec_id") < cut).count()
     n_delta = int(stats.n) - n_base
+    # a corpus with rows but no vec_id < N_QUERIES has an EMPTY exact
+    # top-k: the sum aggregates to NULL (the oracle emits NULL too) —
+    # int(None) would crash, and the recall floors hold vacuously
+    sim_sum = (
+        int(facts.exact_sim_sum_q4) if facts.exact_sim_sum_q4 is not None else None
+    )
     return spark.createDataFrame(
         [
             (
                 n_base,
                 n_delta,
                 int(facts.n_exact_rows),
-                int(facts.exact_sim_sum_q4),
-                bool(n_index == n_base + n_delta),
+                sim_sum,
+                bool(delta_misassigned == 0),
                 bool(stale_hits * 100 >= facts.n_exact_rows * STALE_RECALL_MIN_PCT),
                 bool(stale_hits * 100 >= fresh_hits * STALE_RETENTION_MIN_PCT),
             )

@@ -312,6 +312,17 @@ def main() -> int:
     # the JSON artifact goes to a side file so the full-run record and
     # its alphas are never partially overwritten.
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    if len(only) > 1:
+        print(f"error: --only given {len(only)} times", file=sys.stderr)
+        return 2
+    if only:
+        unknown = set(only[0].split(",")) - set(HEADLINERS)
+        if unknown:
+            # a typo must not produce an empty sweep that prints
+            # "super-linear: none" and exits 0 — that reads as a green
+            # certification artifact while measuring nothing
+            print(f"error: not in HEADLINERS: {sorted(unknown)}", file=sys.stderr)
+            return 2
     headliners = tuple(
         n for n in HEADLINERS if not only or n in set(only[0].split(","))
     )
