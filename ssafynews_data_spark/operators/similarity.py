@@ -3448,6 +3448,38 @@ STALE_RECALL_MIN_PCT = IVF_RECALL_MIN_PCT
 STALE_RETENTION_MIN_PCT = 50
 
 
+def argmin_assignment_mismatches(assigned: DataFrame, cent_df: DataFrame) -> int:
+    """Count of rows in ``assigned`` (vec_id, emb, centroid) whose stored
+    ``centroid`` differs from the independent argmin over ``cent_df``
+    (centroid INT, c_emb ARRAY<DOUBLE>).
+
+    KMeans assigns by EUCLIDEAN distance (not cosine — centroids are
+    means of unit vectors and are NOT unit-norm), so the check uses the
+    same metric; min-id tie-break matches MLlib's first-minimal-index
+    choice on exact ties.  Cost: |assigned| × |centroids| rows with the
+    centroid side broadcast.  Trip-wire proven in
+    tests/test_round12.py: a single corrupted cell makes it non-zero."""
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("emb")), F.col("c_emb"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, el: acc + el,
+    )
+    wd = W.partitionBy("vec_id").orderBy("d2", "cand_centroid")
+    own = (
+        assigned.crossJoin(
+            F.broadcast(
+                cent_df.select(F.col("centroid").alias("cand_centroid"), "c_emb")
+            )
+        )
+        .select("vec_id", "centroid", "cand_centroid", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") == 1)
+    )
+    return own.filter(F.col("centroid") != F.col("cand_centroid")).count()
+
+
 @register(
     "ivf_staleness_audit",
     oracle=f"""{_EXACT_TOPK_CTE},
@@ -3527,37 +3559,13 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
 
     # delta_visible_ok, the FALSIFIABLE form: every DELTA row's stored
-    # cell must equal the explicit argmin (max cosine, min-id tie-break)
-    # against the FROZEN centroid list — the append-without-refit
-    # property itself, not a row-count identity (model.transform is
-    # row-preserving, so n_index == n is a tautology; a count check
-    # could never fail).  |delta| × IVF_K rows, broadcast side tiny.
-    delta_assigned = assigned.filter(F.col("vec_id") >= cut)
-    # KMeans assigns by EUCLIDEAN distance (not cosine — centroids are
-    # means of unit vectors and are NOT unit-norm), so the independent
-    # argmin must use the same metric; min-id tie-break matches MLlib's
-    # first-minimal-index choice on exact ties
-    d2 = F.aggregate(
-        F.zip_with(
-            as_double(F.col("emb")), F.col("c_emb"), lambda x, c: (x - c) * (x - c)
-        ),
-        F.lit(0.0),
-        lambda acc, el: acc + el,
+    # cell must equal the independent Euclidean argmin against the
+    # FROZEN centroid list — the append-without-refit property itself,
+    # not a row-count identity (model.transform is row-preserving, so
+    # n_index == n is a tautology; a count check could never fail).
+    delta_misassigned = argmin_assignment_mismatches(
+        assigned.filter(F.col("vec_id") >= cut), cent_df
     )
-    wd = W.partitionBy("vec_id").orderBy("d2", "cand_centroid")
-    own = (
-        delta_assigned.crossJoin(
-            F.broadcast(
-                cent_df.select(
-                    F.col("centroid").alias("cand_centroid"), "c_emb"
-                )
-            )
-        )
-        .select("vec_id", "centroid", "cand_centroid", d2.alias("d2"))
-        .withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") == 1)
-    )
-    delta_misassigned = own.filter(F.col("centroid") != F.col("cand_centroid")).count()
 
     # serve on the frozen cells — the SAME _ivf_flat_serve as the fresh
     # fit below, so retention compares serving paths, never code paths

@@ -69,3 +69,21 @@ def test_headliner_scales_subquadratically(spark, sweep_dirs, qname):
         f"{qname}: {t_small:.2f}s -> {t_big:.2f}s on 10x docs/4x emb "
         "(super-linear blow-up)"
     )
+
+
+def test_only_filter_rejects_unknown_names():
+    """A typo'd --only must exit non-zero BEFORE measuring anything — an
+    empty sweep that prints 'super-linear: none' and exits 0 would read
+    as a green certification artifact while certifying nothing."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/scale_sweep.py", "--only=no_such_query"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "not in HEADLINERS" in proc.stderr
