@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.operators.text import _DUCK_TOKENS, tokens_col
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
@@ -240,4 +241,163 @@ def bpe_training_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.bool_and(bounds), F.lit(True)).alias("bounds_ok"),
         F.lit(reconstruct_ok).alias("reconstruct_ok"),
         F.lit(merges_ok).alias("merges_ok"),
+    )
+
+
+#: documents with doc_id % STALE_DELTA_MOD == 0 stand in for the newest
+#: 20% of the corpus — the growth since the tokenizer was last trained
+#: (the same delta convention as similarity.ivf_staleness_audit).
+STALE_DELTA_MOD = 5
+#: stale/fresh fertility ratio band on the delta, in thousandths.
+#: Floors from an 8-draw survey (shipped sf0.001 + sf0.01 + six virgin
+#: sf0.01 reseeds 135246/314271/448822/557799/628542/971234): observed
+#: 991-1034 — the stale table costs ~0-3.4% extra subwords, and once
+#: BEAT the fresh fit (greedy BPE is not monotone in its corpus), hence
+#: a two-sided band with generous slack rather than a one-sided floor.
+STALE_FERTILITY_MIN_Q3 = 900
+STALE_FERTILITY_MAX_Q3 = 1250
+#: merge-table agreement floor: observed 29-37 of 40 merges shared.
+STALE_MERGE_OVERLAP_MIN = 20
+
+
+@register(
+    "tokenizer_staleness_audit",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+        base AS (SELECT * FROM t WHERE doc_id % {STALE_DELTA_MOD} <> 0),
+        delta AS (SELECT * FROM t WHERE doc_id % {STALE_DELTA_MOD} = 0),
+        bw AS (SELECT DISTINCT unnest(toks) AS w FROM base),
+        dw AS (SELECT DISTINCT unnest(toks) AS w FROM delta)
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs_base,
+            (SELECT CAST(count(*) AS BIGINT) FROM delta) AS n_docs_delta,
+            (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM delta)
+                AS ws_tokens_delta,
+            (SELECT CAST(count(*) AS BIGINT) FROM dw)
+                AS n_delta_distinct_words,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM dw ANTI JOIN bw USING (w)) AS n_delta_new_words,
+            true AS stale_bounds_ok,
+            true AS fresh_bounds_ok,
+            true AS fertility_band_ok,
+            true AS merge_overlap_ok,
+            true AS merges_ok
+    """,
+    tags=("tokens", "bpe", "staleness", "contract", "north-star"),
+)
+def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer re-training-cadence number (the BPE twin of
+    ``ivf_staleness_audit``): train a STALE merge table on the corpus
+    as it stood before the newest 20% (doc_id % STALE_DELTA_MOD != 0)
+    and a FRESH table on the grown corpus, then audit both on the
+    delta — the docs the stale tokenizer has never seen.
+
+    Driver-hashable split (the bpe_training_contract pattern — merge
+    learning is Python-side, so exact cross-engine facts plus booleans
+    Spark verifies and DuckDB asserts as literals):
+
+    - exact: base/delta doc counts, delta whitespace tokens, delta
+      distinct words, and ``n_delta_new_words`` (delta words absent
+      from the base vocabulary — the quantity that actually DRIVES
+      fertility drift; both engines compute it from the shared
+      tokenizer mirror).
+    - ``stale_bounds_ok`` / ``fresh_bounds_ok``: each encoder's per-doc
+      structural sandwich ws <= bpe <= word_chars + ws on every delta
+      doc.
+    - ``fertility_band_ok``: delta-total stale subwords vs fresh, in
+      thousandths, inside [STALE_FERTILITY_MIN_Q3, MAX_Q3] — the
+      surveyed band (see constants; stale occasionally beats fresh, so
+      the band is two-sided).
+    - ``merge_overlap_ok``: >= STALE_MERGE_OVERLAP_MIN of the two
+      tables' merge pairs agree (set intersection, order-free).
+    - ``merges_ok``: both learnings hit their N_MERGES budget or ran
+      out of pairs legitimately.
+
+    100 TB shape: BOTH histograms come from one corpus-scale map-side
+    aggregate each (vocabulary-sized results, the bpe.py module shape);
+    the delta audit is one Arrow-batched pass over the delta with both
+    rank tables broadcast in the UDF closures; the new-word check is a
+    vocabulary-sized broadcast anti-join — the corpus shuffles zero
+    times."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % STALE_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % STALE_DELTA_MOD == 0)
+
+    hist_base = word_histogram(base)
+    base_freqs = [(r.word, r.n) for r in hist_base.collect()]  # vocab-sized
+    full_freqs = [
+        (r.word, r.n) for r in word_histogram(docs).collect()
+    ]  # vocab-sized
+    stale_merges = learn_bpe(base_freqs, N_MERGES)
+    fresh_merges = learn_bpe(full_freqs, N_MERGES)
+    overlap = len(set(stale_merges) & set(fresh_merges))
+
+    def full_budget(freqs, merges) -> bool:
+        has_pair = any(len(_symbols(w)) > 1 for w, _ in freqs)
+        return (not has_pair or len(merges) >= 1) and len(merges) <= N_MERGES
+
+    merges_ok = full_budget(base_freqs, stale_merges) and full_budget(
+        full_freqs, fresh_merges
+    )
+    stale_count = make_bpe_udf(stale_merges)
+    fresh_count = make_bpe_udf(fresh_merges)
+
+    toks = tokens_col(F.col("text"))
+    per_doc = delta.select(
+        F.size(toks).alias("n_ws"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+        stale_count(F.col("text")).alias("n_stale"),
+        fresh_count(F.col("text")).alias("n_fresh"),
+    )
+    s_bounds = (F.col("n_stale") >= F.col("n_ws")) & (
+        F.col("n_stale") <= F.col("n_chars") + F.col("n_ws")
+    )
+    f_bounds = (F.col("n_fresh") >= F.col("n_ws")) & (
+        F.col("n_fresh") <= F.col("n_chars") + F.col("n_ws")
+    )
+    # vocabulary-sized after the distinct, but its INPUT is a corpus-
+    # scale explode — pin it so the two readers (new-word anti-join,
+    # distinct count) pay the explode once
+    dw = pin(delta.select(F.explode(toks).alias("w")).distinct())
+    new_words = dw.join(
+        F.broadcast(hist_base.select(F.col("word").alias("w"))),
+        "w",
+        "left_anti",
+    ).agg(F.count("*").alias("n_delta_new_words"))
+
+    agg = per_doc.agg(
+        F.lit(int(base.count())).cast("long").alias("n_docs_base"),
+        F.count("*").alias("n_docs_delta"),
+        F.coalesce(F.sum("n_ws"), F.lit(0)).cast("long").alias("ws_tokens_delta"),
+        F.coalesce(F.bool_and(s_bounds), F.lit(True)).alias("stale_bounds_ok"),
+        F.coalesce(F.bool_and(f_bounds), F.lit(True)).alias("fresh_bounds_ok"),
+        (
+            (F.sum("n_stale") * 1000 / F.nullif(F.sum("n_fresh"), F.lit(0)))
+            .cast("long")
+            .between(STALE_FERTILITY_MIN_Q3, STALE_FERTILITY_MAX_Q3)
+            | F.coalesce(F.sum("n_fresh"), F.lit(0)).eqNullSafe(F.lit(0))
+        ).alias("fertility_band_ok"),
+        F.lit(overlap >= STALE_MERGE_OVERLAP_MIN).alias("merge_overlap_ok"),
+        F.lit(merges_ok).alias("merges_ok"),
+    )
+    ndw = dw.agg(F.count("*").alias("n_delta_distinct_words"))
+    return (
+        agg.crossJoin(F.broadcast(ndw))
+        .crossJoin(F.broadcast(new_words))
+        .select(
+            "n_docs_base",
+            "n_docs_delta",
+            "ws_tokens_delta",
+            "n_delta_distinct_words",
+            "n_delta_new_words",
+            "stale_bounds_ok",
+            "fresh_bounds_ok",
+            "fertility_band_ok",
+            "merge_overlap_ok",
+            "merges_ok",
+        )
     )

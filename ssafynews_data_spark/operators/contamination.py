@@ -38,20 +38,22 @@ BENCH_MOD = 17
 BATCH_MOD = 10
 
 
-def _shingle_hashes(docs: DataFrame, w: int) -> DataFrame:
-    """(doc_id, h long): xxhash64 per distinct w-token shingle, hashed
-    straight off the token-array slice (no intermediate shingle strings
-    — same trick as dedup._doc_shingle_hashes).  The token array is
-    pinned so CollapseProject can't re-inline the tokenizer regex into
-    the per-shingle lambda (the O(len²) trap, dedup.py:49)."""
-    toks = pin(docs.select("doc_id", tokens_col(F.col("text")).alias("toks")))
+def _shingle_hashes(docs: DataFrame, w: int, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, h long): xxhash64 per distinct w-token shingle,
+    hashed straight off the token-array slice (no intermediate shingle
+    strings — same trick as dedup._doc_shingle_hashes).  The token array
+    is pinned so CollapseProject can't re-inline the tokenizer regex
+    into the per-shingle lambda (the O(len²) trap, dedup.py:49).
+    ``keep`` carries extra narrow columns (e.g. ``source``) through the
+    explode so callers never need a post-hoc join back to the corpus."""
+    toks = pin(docs.select("doc_id", *keep, tokens_col(F.col("text")).alias("toks")))
     n = F.size(F.col("toks"))
     seq = F.sequence(F.lit(1), n - (w - 1))
     hashes = F.transform(seq, lambda i: F.xxhash64(F.slice(F.col("toks"), i, w)))
     guarded = F.when(n >= w, F.array_distinct(hashes)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return toks.select("doc_id", F.explode(guarded).alias("h"))
+    return toks.select("doc_id", *keep, F.explode(guarded).alias("h"))
 
 
 #: DuckDB mirror: distinct CONTAM_W-token string shingles.  The engine
@@ -372,4 +374,105 @@ def multisignal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "source").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
+@register(
+    "eval_overlap_matrix",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source, unnest({_DUCK_CONTAM_SHINGLES}) AS sh
+            FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS toks
+                  FROM documents)
+        ),
+        tr AS (SELECT DISTINCT source AS train_source, sh
+               FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+        ev AS (SELECT DISTINCT source AS eval_source, sh
+               FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        evn AS (SELECT eval_source, CAST(count(*) AS BIGINT) AS n_eval_ngrams
+                FROM ev GROUP BY 1),
+        trs AS (SELECT DISTINCT source AS train_source FROM documents
+                WHERE doc_id % {BENCH_MOD} <> 0),
+        hit AS (
+            SELECT train_source, eval_source,
+                   CAST(count(*) AS BIGINT) AS n_shared_ngrams
+            FROM tr JOIN ev USING (sh)
+            GROUP BY 1, 2
+        )
+        SELECT t.train_source, e.eval_source,
+               CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT)
+                   AS n_shared_ngrams,
+               e.n_eval_ngrams,
+               CAST(coalesce(h.n_shared_ngrams, 0) * 10000 // e.n_eval_ngrams
+                    AS BIGINT) AS containment_q4
+        FROM trs t CROSS JOIN evn e
+        LEFT JOIN hit h ON h.train_source = t.train_source
+                       AND h.eval_source = e.eval_source
+    """,
+    tags=("curation", "decontamination", "report", "north-star"),
+)
+def eval_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3/Dolma contamination REPORT as a dense matrix rather
+    than a filter: for every (train source × eval source) cell, how many
+    of the eval side's distinct CONTAM_W-gram shingles also appear in
+    that training source, and the quantized containment fraction.  This
+    is the table a release note publishes ("eval suite X is N% covered
+    by crawl source Y") — ``decontaminate_docs`` is the per-document
+    filter twin; here the unit is the SOURCE pair, zero cells included
+    (a verified zero is the point of the report).
+
+    Eval docs are the standing ``doc_id % BENCH_MOD == 0`` stand-in;
+    the engine matches on xxhash64(token-slice) shingles while the
+    oracle matches string shingles — the injective-concat equivalence
+    documented at _DUCK_CONTAM_SHINGLES.
+
+    100 TB shape: the train side reduces ONCE to distinct (source,
+    shingle-hash) — a map-side-combining aggregate consumed by exactly
+    one downstream join (the matrix axis comes from a separate
+    narrow-column pass over ``documents``, so the corpus-scale distinct
+    is never recomputed) — and the eval side to a distinct set that is
+    MB-scale by construction (eval suites are small), **pinned** for
+    its two readers and **broadcast** into the hit join, so the corpus
+    never shuffles on the join key; the matrix aggregate then moves
+    |sources|² rows.  The zero cells come from a |sources|×|sources|
+    crossJoin of two group-count-sized frames — driver-trivial at any
+    corpus size.  A train source whose docs are all shorter than
+    CONTAM_W tokens still gets its row of verified zeros (the axis is
+    "has training docs", not "has shingles")."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs, CONTAM_W, keep=("source",))
+    tr = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select(F.col("source").alias("train_source"), "h")
+        .distinct()
+    )
+    ev = pin(
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("source").alias("eval_source"), "h")
+        .distinct()
+    )
+    evn = ev.groupBy("eval_source").agg(F.count("*").alias("n_eval_ngrams"))
+    trs = (
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select(F.col("source").alias("train_source"))
+        .distinct()
+    )
+    hit = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_source", "eval_source")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0).cast("long"))
+    return (
+        trs.crossJoin(F.broadcast(evn))
+        .join(hit, ["train_source", "eval_source"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            shared.alias("n_shared_ngrams"),
+            "n_eval_ngrams",
+            F.expr(
+                "coalesce(n_shared_ngrams, 0) * 10000 div n_eval_ngrams"
+            ).alias("containment_q4"),
+        )
     )

@@ -981,3 +981,145 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+#: decorrelated salt for the capped-mixture keep decision (distinct
+#: from CAP_SALT's ordering and TEMP_SALT's standalone resample so the
+#: three decisions are independent hash draws).
+CAPMIX_SALT = "capmix"
+
+
+@register(
+    "capped_mixture_pipeline",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{CAP_SALT}' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        capped AS (SELECT source, doc_id FROM t WHERE rn <= {DOMAIN_CAP}),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_capped
+              FROM capped GROUP BY 1),
+        w AS (SELECT source, n_capped,
+                     CAST(floor(sqrt(n_capped) * 1000) AS BIGINT) AS w
+              FROM c),
+        tot AS (SELECT CAST(sum(n_capped) AS BIGINT) AS total,
+                       CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        th AS (SELECT source, n_capped,
+                      least(10000,
+                            ((total // 2) * 10000 // wsum) * w // n_capped)
+                          AS threshold_bp
+               FROM w, tot),
+        fin AS (
+            SELECT cp.source, CAST(count(*) AS BIGINT) AS n_final,
+                   CAST(sum(cp.doc_id) AS BIGINT) AS final_id_sum
+            FROM capped cp JOIN th USING (source)
+            WHERE CAST(('0x' || substr(md5('{CAPMIX_SALT}'
+                                           || CAST(cp.doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 10000 < threshold_bp
+            GROUP BY 1
+        ),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1)
+        SELECT nd.source, nd.n_docs, th.n_capped, th.threshold_bp,
+               CAST(coalesce(fin.n_final, 0) AS BIGINT) AS n_final,
+               CAST(coalesce(fin.final_id_sum, 0) AS BIGINT) AS final_id_sum
+        FROM nd JOIN th USING (source) LEFT JOIN fin USING (source)
+    """,
+    tags=("sampling", "cap", "mixing", "pipeline", "north-star"),
+)
+def capped_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``domain_cap_sample`` ∘ ``temperature_resample`` as ONE fused
+    curation stage with exact end-to-end accounting — the order every
+    web pipeline actually runs them in: first cap each domain at
+    ``DOMAIN_CAP`` docs (salted-md5 order), THEN compute the
+    temperature (α = 0.5) thresholds **on the capped counts** — caps
+    applied before quota draws, so a flooding domain can't inflate its
+    own temperature quota — and keep capped docs whose independent
+    ``CAPMIX_SALT`` hash bucket clears the threshold.
+
+    All integer / fixed-division-order arithmetic (the standing
+    temperature_resample scheme: weights floor(sqrt·1000), thresholds
+    in basis points, one division order), so both engines agree
+    bit-for-bit; ``final_id_sum`` is the exact checksum of the chosen
+    doc set, making the hash match a proof the two engines selected the
+    IDENTICAL subset, not just equal counts.
+
+    100 TB shape: the cap phase is the proven two-phase (source,
+    shard)→source window rewrite (skew-immune, see domain_cap_sample —
+    the per-source frame it ranks is ≤ CAP_SHARDS·DOMAIN_CAP rows); the
+    threshold table is a |sources|-row broadcast back onto the capped
+    stream; the keep decision is row-local md5 — the corpus shuffles
+    once (the cap exchange) and never again."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        _md5_key(CAP_SALT, F.col("doc_id")).alias("k"),
+        (F.col("doc_id") % CAP_SHARDS).alias("shard"),
+    )
+    w1 = W.partitionBy("source", "shard").orderBy("k", "doc_id")
+    surv = (
+        keyed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= DOMAIN_CAP)
+        .drop("rn1", "shard")
+    )
+    w2 = W.partitionBy("source").orderBy("k", "doc_id")
+    capped = pin(
+        surv.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("source", "doc_id")
+    )
+
+    counts = pin(
+        capped.groupBy("source")
+        .agg(F.count("*").alias("n_capped"))
+        .withColumn("w", F.floor(F.sqrt("n_capped") * 1000).cast("long"))
+    )
+    totals = counts.agg(
+        F.sum("n_capped").alias("total"), F.sum("w").alias("wsum")
+    )
+    th = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold_bp",
+            F.least(
+                F.lit(10000),
+                F.expr("((total div 2) * 10000 div wsum) * w div n_capped"),
+            ),
+        )
+        .select("source", "n_capped", "threshold_bp")
+    )
+    b = hash_bucket(
+        F.concat(F.lit(CAPMIX_SALT), F.col("doc_id").cast("string")), 10000
+    )
+    fin = (
+        capped.join(F.broadcast(th), "source")
+        .filter(b < F.col("threshold_bp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_final"),
+            F.sum("doc_id").alias("final_id_sum"),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        nd.join(th, "source")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_capped",
+            "threshold_bp",
+            F.coalesce(F.col("n_final"), F.lit(0).cast("long")).alias("n_final"),
+            F.coalesce(F.col("final_id_sum"), F.lit(0).cast("long")).alias(
+                "final_id_sum"
+            ),
+        )
+    )

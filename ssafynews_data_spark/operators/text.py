@@ -1856,3 +1856,346 @@ def pack_provenance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_in_block",
         "block_fill",
     )
+
+
+#: T5-style span corruption (Raffel et al. 2020, §3.1.4): corrupt
+#: SPAN_CORRUPT_PCT% of each doc's tokens in spans of mean length
+#: SPAN_MEAN_LEN, each span replaced by one sentinel in the encoder
+#: input and emitted after its sentinel in the decoder target.  The
+#: deterministic lattice below (equal segments, md5 phase per span)
+#: replaces T5's RNG so both engines lay out identical spans.
+SPAN_CORRUPT_PCT = 15
+SPAN_MEAN_LEN = 3
+#: decorrelated salt for the per-span md5 phase.
+SPAN_SALT = "t5"
+#: sentinel ids grow DOWNWARD from the top of the vocab (the T5
+#: <extra_id_i> convention); 32099 = 32100-vocab top slot.
+SPAN_SENTINEL_BASE = 32099
+
+#: the greedy no-split recurrence as a reusable oracle fragment —
+#: byte-identical to the CTE inlined by greedy_pack_layout (kept
+#: inline there and in its earlier siblings for diff-stability).
+_DUCK_GREEDY_PACK_CTE = f"""
+        t AS (
+            SELECT doc_id,
+                   doc_id % {GREEDY_PACK_BUCKETS} AS bucket,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {GREEDY_PACK_BUCKETS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + t.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        )
+"""
+
+
+@register(
+    "span_corruption_masks",
+    # the packed layout replayed by the shared recursive CTE, then the
+    # span lattice is pure integer arithmetic per (doc, span): equal
+    # integer segments, ceil/floor split of the corrupt budget, an md5
+    # phase inside each segment's slack — nothing rounded, nothing
+    # draw-sensitive beyond the corpus itself.
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_GREEDY_PACK_CTE},
+        d AS (
+            SELECT doc_id, bucket, block_id, block_pos, n_tokens,
+                   n_tokens * {SPAN_CORRUPT_PCT} // 100 AS nc
+            FROM pack
+        ),
+        d2 AS (
+            SELECT *, CASE WHEN nc = 0 THEN 0
+                           ELSE greatest(1, nc // {SPAN_MEAN_LEN}) END AS ns
+            FROM d
+        ),
+        ex AS (SELECT d2.*, unnest(range(0, ns)) AS i FROM d2),
+        geo AS (
+            SELECT *,
+                   nc // ns + CASE WHEN i < nc % ns THEN 1 ELSE 0 END
+                       AS span_len,
+                   i * n_tokens // ns AS seg_start,
+                   (i + 1) * n_tokens // ns AS seg_end
+            FROM ex
+        ),
+        ph AS (
+            SELECT *,
+                   seg_start
+                   + CAST(('0x' || substr(md5('{SPAN_SALT}'
+                                              || CAST(doc_id AS VARCHAR) || ':'
+                                              || CAST(i AS VARCHAR)), 1, 8))
+                          AS BIGINT)
+                     % (seg_end - seg_start - span_len + 1) AS span_start
+            FROM geo
+        )
+        SELECT doc_id, bucket, block_id,
+               CAST(i AS BIGINT) AS span_idx,
+               CAST({SPAN_SENTINEL_BASE} - i AS BIGINT) AS sentinel_id,
+               CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_len AS BIGINT) AS span_len,
+               CAST(block_pos + span_start AS BIGINT) AS seq_start,
+               CAST(n_tokens - nc + ns AS BIGINT) AS enc_len,
+               CAST(nc + ns + 1 AS BIGINT) AS dec_len
+        FROM ph
+    """,
+    tags=("packing", "training-data", "seq2seq", "north-star"),
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption layout over the greedy no-split packing
+    — the seq2seq twin of ``pack_mask_spans``: for every document, WHERE
+    the denoising spans sit, which sentinel each gets, and the exact
+    encoder/decoder lengths the batch planner needs.
+
+    Determinism contract (both engines, pure integers): the corrupt
+    budget is ``nc = n_tokens·SPAN_CORRUPT_PCT div 100`` tokens split
+    into ``ns = max(1, nc div SPAN_MEAN_LEN)`` spans (first ``nc mod
+    ns`` spans one token longer); span *i* lives inside the *i*-th of
+    ``ns`` equal integer segments, placed at an md5-derived phase
+    within the segment's slack — a fixed lattice standing in for T5's
+    RNG so a resumed/migrated job regenerates byte-identical masks.
+    Segments are ≥ n/ns ≥ 100/SPAN_CORRUPT_PCT·SPAN_MEAN_LEN ≈ 20
+    tokens while spans are ≤ SPAN_MEAN_LEN+2, so spans never overlap
+    or escape the document.  Per span: the sentinel id (T5
+    ``<extra_id_i>`` counts DOWN from SPAN_SENTINEL_BASE), doc-local
+    ``span_start``, sequence-local ``seq_start`` (the packed-attention
+    coordinate), and the per-doc accounting ``enc_len = n−nc+ns`` /
+    ``dec_len = nc+ns+1`` (targets = corrupted tokens + one sentinel
+    each + EOS).  Docs too short to corrupt (nc = 0) emit no spans on
+    either engine.
+
+    100 TB shape: rides ``greedy_pack_layout``'s single bucket
+    exchange, then the lattice is row-local generate+explode (output
+    rows ≈ corpus tokens · PCT/100 ÷ MEAN — a bounded multiple of the
+    input); no joins, no windows, no additional shuffle anywhere."""
+    packed = greedy_pack_layout(spark, sf_dir)
+    d = packed.select(
+        "doc_id",
+        "bucket",
+        "block_id",
+        "block_pos",
+        "n_tokens",
+        F.expr(f"n_tokens * {SPAN_CORRUPT_PCT} div 100").alias("nc"),
+    ).withColumn(
+        "ns",
+        F.expr(f"CASE WHEN nc = 0 THEN 0 ELSE greatest(1, nc div {SPAN_MEAN_LEN}) END"),
+    )
+    ex = d.select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("ns") > 0,
+                F.sequence(F.lit(0).cast("long"), F.col("ns") - 1),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("i"),
+    )
+    geo = ex.select(
+        "*",
+        F.expr("nc div ns + CASE WHEN i < nc % ns THEN 1 ELSE 0 END").alias(
+            "span_len"
+        ),
+        F.expr("i * n_tokens div ns").alias("seg_start"),
+        F.expr("(i + 1) * n_tokens div ns").alias("seg_end"),
+    )
+    phase = F.expr(
+        f"""cast(conv(substring(md5(cast(concat('{SPAN_SALT}',
+                 cast(doc_id as string), ':', cast(i as string)) as binary)),
+                 1, 8), 16, 10) as bigint)
+            % (seg_end - seg_start - span_len + 1)"""
+    )
+    return geo.withColumn("span_start", F.col("seg_start") + phase).select(
+        "doc_id",
+        "bucket",
+        "block_id",
+        F.col("i").alias("span_idx"),
+        (F.lit(SPAN_SENTINEL_BASE) - F.col("i")).cast("long").alias("sentinel_id"),
+        "span_start",
+        "span_len",
+        (F.col("block_pos") + F.col("span_start")).alias("seq_start"),
+        F.expr("n_tokens - nc + ns").alias("enc_len"),
+        F.expr("nc + ns + 1").alias("dec_len"),
+    )
+
+
+@register(
+    "curriculum_pack_compose",
+    # curriculum_schedule's integer score/bin/interleave CTEs composed
+    # with the greedy no-split recurrence, re-partitioned to the
+    # schedule's (bin, shard) grain and re-ordered by the interleave
+    # key — pure integers end-to-end, the same two building blocks the
+    # standalone oracles state.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n,
+                   CAST(len(list_filter({_DUCK_TOKENS},
+                            x -> x IN ('the','a','of','and','is','in','to','it')))
+                        AS BIGINT) AS n_stop,
+                   CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n AS n_tokens,
+                   (2 * n_stop + n_distinct) * 10000 // n AS q,
+                   md5('curr' || CAST(doc_id AS VARCHAR)) AS k
+            FROM t WHERE n > 0
+        ),
+        b AS (
+            SELECT doc_id, n_tokens, k,
+                   CAST(CASE WHEN q >= 8000 THEN 0
+                             WHEN q >= 5000 THEN 1
+                             ELSE 2 END AS BIGINT) AS bin,
+                   doc_id % 8 AS shard
+            FROM s
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY bin, shard
+                                         ORDER BY k, doc_id) AS rn
+            FROM b
+        ),
+        pack AS (
+            SELECT bin, shard, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS block_id,
+                   CAST(0 AS BIGINT) AS block_pos
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.bin, r.shard, r.rn, r.doc_id, r.n_tokens,
+                   CASE WHEN p.block_pos + p.n_tokens + r.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_id ELSE p.block_id + 1 END,
+                   CASE WHEN p.block_pos + p.n_tokens + r.n_tokens
+                             <= {GREEDY_PACK_CAPACITY}
+                        THEN p.block_pos + p.n_tokens
+                        ELSE CAST(0 AS BIGINT) END
+            FROM pack p JOIN r ON r.bin = p.bin AND r.shard = p.shard
+                              AND r.rn = p.rn + 1
+        )
+        SELECT doc_id, bin, shard,
+               CAST(rn AS BIGINT) AS pos_in_shard,
+               n_tokens, block_id, block_pos,
+               CAST(row_number() OVER (PARTITION BY bin, shard, block_id
+                                       ORDER BY rn) - 1 AS BIGINT)
+                   AS block_doc_idx
+        FROM pack
+    """,
+    tags=("packing", "curriculum", "training-data", "north-star"),
+)
+def curriculum_pack_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curriculum_schedule``'s order fed through the greedy no-split
+    packer — the schedule-aware packing a curriculum trainer actually
+    ships: blocks are built PER (quality bin, reader shard) in exactly
+    the schedule's md5-interleaved position order, so a data-loader
+    worker streaming shard blocks sequentially replays its shard of the
+    curriculum with zero extra indirection.
+
+    Provenance columns prove order preservation inside every training
+    sequence: ``pos_in_shard`` is the schedule position (the window's
+    rank), ``block_doc_idx`` the doc's index within its block — the
+    layout hash-matching the oracle's recursive replay certifies that
+    ``block_doc_idx`` order IS ``pos_in_shard`` order within each
+    block, i.e. packing never reordered the curriculum.
+
+    100 TB shape: the score is row-local; the ONLY corpus exchange is
+    the (bin, shard) hash partition that both the schedule window and
+    the packer's grouped-map ride together (``applyInPandas`` on the
+    same key — one shuffle serves both, 3·CURRICULUM_SHARDS balanced
+    groups whose count is the parallelism knob).  Packing one group is
+    inherently sequential (each placement depends on the last), which
+    is exactly why the shard grain — not rows — is the scale axis; a
+    window/cumsum cannot express the reset-on-overflow recurrence
+    (see greedy_pack_layout)."""
+    from ssafynews_data_spark.operators.sampling import (
+        CURRICULUM_CUT_HIGH,
+        CURRICULUM_CUT_MID,
+        CURRICULUM_SALT,
+        CURRICULUM_SHARDS,
+        _md5_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    t = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    ).filter(F.col("n") > 0)
+    b = t.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr(
+            f"""CASE WHEN (2 * n_stop + n_distinct) * 10000 div n
+                          >= {CURRICULUM_CUT_HIGH} THEN 0
+                     WHEN (2 * n_stop + n_distinct) * 10000 div n
+                          >= {CURRICULUM_CUT_MID} THEN 1
+                     ELSE 2 END"""
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("doc_id") % CURRICULUM_SHARDS).alias("shard"),
+        _md5_key(CURRICULUM_SALT, F.col("doc_id")).alias("k"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        toks_ = pdf["n_tokens"].to_numpy()
+        block = np.zeros(len(pdf), dtype=np.int64)
+        pos = np.zeros(len(pdf), dtype=np.int64)
+        idx = np.zeros(len(pdf), dtype=np.int64)
+        b_ = 0
+        used = -1  # sentinel: no open sequence yet
+        j = 0  # index within the open block
+        for i, n in enumerate(toks_):
+            if used < 0:
+                b_, p, used, j = 0, 0, int(n), 0
+            elif used + n <= GREEDY_PACK_CAPACITY:
+                p = used
+                used += int(n)
+                j += 1
+            else:
+                b_ += 1
+                p = 0
+                used = int(n)
+                j = 0
+            block[i] = b_
+            pos[i] = p
+            idx[i] = j
+        return pdf.assign(
+            pos_in_shard=np.arange(1, len(pdf) + 1, dtype=np.int64),
+            block_id=block,
+            block_pos=pos,
+            block_doc_idx=idx,
+        )[
+            [
+                "doc_id",
+                "bin",
+                "shard",
+                "pos_in_shard",
+                "n_tokens",
+                "block_id",
+                "block_pos",
+                "block_doc_idx",
+            ]
+        ]
+
+    return b.groupBy("bin", "shard").applyInPandas(
+        pack,
+        "doc_id long, bin long, shard long, pos_in_shard long, "
+        "n_tokens long, block_id long, block_pos long, block_doc_idx long",
+    )

@@ -166,6 +166,35 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: post-r13 state: oldest oracled driver row <= r8, remaining drain =
 #: 14 oracled r8-era rows + r9-era.
 #:
+#: ROUND-13 registrations — the <=5 budget consumed EARLY, at the end
+#: of the round-12 session, AFTER the r12 window executed and the
+#: recipe above froze (so round 13 itself registers nothing new, and
+#: these five take their first driver rows in the R14 window's slots
+#: 11-15, exactly as the r11 five did in r12's).  All five oracled,
+#: all mid-region, all gated before registration (sf0.001/sf0.01/
+#: sf0.1 shipped fixtures, six virgin sf0.01 reseeds 135246/314271/
+#: 448822/557799/628542/971234, the sf0.1-SCALE virgin reseed 741852,
+#: a bare --plain session, the static oracle-type gate, scale-sweep
+#: rows, shuffle-budget pins):
+#: eval_overlap_matrix (contamination.py — the GPT-3/Dolma
+#: contamination report as a dense train-source × eval-source matrix
+#: with verified zero cells; corpus reduces once to distinct (source,
+#: shingle-hash), eval side pinned + broadcast),
+#: span_corruption_masks (text.py — T5 denoising span lattice over
+#: the packed layout: deterministic equal-segment spans with md5
+#: phases, sentinel ids counting down, exact enc/dec length
+#: accounting; the seq2seq twin of pack_mask_spans),
+#: curriculum_pack_compose (text.py — curriculum_schedule order fed
+#: through the greedy no-split packer per (bin, shard) with
+#: order-preservation provenance; ONE exchange serves schedule and
+#: packer), capped_mixture_pipeline (sampling.py — domain cap THEN
+#: temperature thresholds computed on the capped counts, one fused
+#: pass with final_id_sum as the exact chosen-set checksum), and
+#: tokenizer_staleness_audit (bpe.py — stale-vs-fresh BPE fertility
+#: on the newest-20% delta, the bpe_training_contract pattern; bands
+#: from an 8-draw survey: fertility ratio 991-1034 per mille, merge
+#: overlap 29-37/40).
+#:
 #: Round 12 registered FIVE (the full <=5 budget), all oracled, all
 #: mid-region (registered BEFORE this round's window executed, but
 #: never into it): pii_scrub_accounting (text.py — per-source

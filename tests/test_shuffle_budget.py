@@ -148,6 +148,27 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-12: both KMeans fits, serving, and the hit joins run
     # inside the contract body; literal row out
     "ivf_staleness_audit": 0,
+    # round-13: ONE corpus-scale (source, shingle) distinct consumed by
+    # one join; the matrix axes are narrow-column distincts and the
+    # pinned eval set's build is textually re-printed per reader (the
+    # InMemoryTableScan note above) — physically the corpus shuffles
+    # once
+    "eval_overlap_matrix": 7,
+    # round-13: the packer's bucket exchange; the span lattice is
+    # row-local generate+explode
+    "span_corruption_masks": 1,
+    # round-13: ONE (bin, shard) exchange serves both the schedule
+    # order and the grouped-map packer
+    "curriculum_pack_compose": 1,
+    # round-13: physically the two-phase cap's two windows + three
+    # group-count-sized aggregates; the pinned capped/counts frames are
+    # each textually re-printed per reader, inflating the count the
+    # same way opq_ivfpq_serve_contract's apparatus does
+    "capped_mixture_pipeline": 17,
+    # round-13: histograms are collected driver-side (not in the
+    # returned plan); the plan is the delta audit agg + the pinned
+    # delta-vocabulary distinct printed per its two readers
+    "tokenizer_staleness_audit": 3,
 }
 
 

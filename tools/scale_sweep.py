@@ -174,6 +174,31 @@ HEADLINERS = (
     # like the ivf_sq8 row); the sweep guards serving stays
     # probe-pruned and the audit never becomes all-pairs
     "ivf_staleness_audit",
+    # round 13: corpus side reduces once to distinct (source, shingle);
+    # output is the fixed |sources|² matrix, so WORK ~ the distinct —
+    # a regression that recomputes the corpus distinct per axis (or
+    # stops broadcasting the eval side) reads super-linear here
+    "eval_overlap_matrix",
+    # round 13: rides the packer's exchange; span rows ≈ tokens·15%/3,
+    # linear by construction — super-linear would mean the lattice
+    # stopped being row-local (e.g. a join back to the corpus)
+    "span_corruption_masks",
+    # round 13: one (bin, shard) exchange + per-group doc loop — the
+    # curriculum twin of greedy_pack_layout's row; guards the compose
+    # never added a second corpus exchange
+    "curriculum_pack_compose",
+    # round 13: the cap's two bounded windows + group-count aggregates;
+    # phase 2 frames stay ≤ shards·cap rows per source, so alpha ~ the
+    # scan — a regression to the naive single-source window reads as
+    # skew-bound time at the replicated scale
+    "capped_mixture_pipeline",
+    # round 13: two vocabulary-sized histogram aggs + one Arrow audit
+    # pass over the delta with both rank tables in-closure; merge
+    # learning is histogram-sized (flat as the corpus replicates —
+    # copies suffix tokens, growing vocab ~linearly, so learning cost
+    # is bounded by vocab, not corpus) — a regression that collects
+    # corpus-sized state reads as a step here
+    "tokenizer_staleness_audit",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -391,6 +416,11 @@ def main() -> int:
         "pack_provenance_lookup": "docs",
         "curriculum_schedule": "docs",
         "ivf_staleness_audit": "emb",
+        "eval_overlap_matrix": "docs",
+        "span_corruption_masks": "docs",
+        "curriculum_pack_compose": "docs",
+        "capped_mixture_pipeline": "docs",
+        "tokenizer_staleness_audit": "docs",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
