@@ -196,11 +196,23 @@ def generate(out_dir: str, seed: int, sf: float = 0.01) -> None:
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    # a mis-typed flag must be an ERROR, not a silently-default sf:
+    # `--sf 0.1` (space form) once generated an sf0.01 fixture that
+    # nearly passed as the sf0.1-SCALE gate — only the row count gave
+    # it away.  Same rationale as scale_sweep's --only name check.
+    bad = [a for a in flags if not a.startswith("--sf=")]
+    if bad or len(args) > 2:
+        print(
+            f"error: unrecognized arguments {bad or args[2:]} — usage: "
+            "reseed_fixture.py OUT_DIR [SEED] [--sf=SF]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     out = args[0] if args else ".reseed/sf0.01"
     seed = int(args[1]) if len(args) > 1 else 777
     sf = 0.01
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf = float(a.split("=")[1])
+    for a in flags:
+        sf = float(a.split("=")[1])
     generate(out, seed, sf)
     print(f"wrote reseeded fixture (seed={seed}, sf={sf}) to {out}")
