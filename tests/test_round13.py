@@ -301,3 +301,19 @@ def test_staleness_new_words_inflate_fertility():
     sr = {p: i for i, p in enumerate(stale)}
     fr = {p: i for i, p in enumerate(fresh)}
     assert len(bpe_encode(delta_word, sr)) >= len(bpe_encode(delta_word, fr))
+
+
+def test_staleness_bands_are_falsifiable(spark, sf_dir, monkeypatch):
+    """The band booleans must actually FIRE when the bands exclude the
+    observed values — otherwise a typo'd band check (e.g. between on a
+    null) would read as eternally green.  Impossible bands → False."""
+    import ssafynews_data_spark.operators.bpe as B
+
+    monkeypatch.setattr(B, "STALE_FERTILITY_MIN_Q3", 10_000)
+    monkeypatch.setattr(B, "STALE_FERTILITY_MAX_Q3", 10_001)
+    monkeypatch.setattr(B, "STALE_MERGE_OVERLAP_MIN", N_MERGES + 1)
+    r = B.tokenizer_staleness_audit(spark, sf_dir).collect()[0]
+    assert not r.fertility_band_ok
+    assert not r.merge_overlap_ok
+    # exact facts are band-independent
+    assert r.ws_tokens_delta > 0 and r.n_docs_delta > 0
