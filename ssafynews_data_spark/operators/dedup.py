@@ -1481,10 +1481,14 @@ MINHASH_CHAIN_RECALL_MIN_PCT = 80
             GROUP BY 1, 2
         )
         SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
-               CAST(sum(CASE WHEN floor(common / (sa.n + sb.n - common)
-                                        * 10000)
-                                  >= {MINHASH_CHAIN_CONFIDENT_Q4}
-                             THEN 1 ELSE 0 END) AS BIGINT)
+               -- coalesce: sum() over an EMPTY exact-pair set is NULL
+               -- in SQL but the engine counts 0 (the class virgin
+               -- sf0.001-scale seed 102938 caught on the incremental
+               -- twin, incremental_index.py)
+               CAST(coalesce(sum(CASE WHEN floor(common / (sa.n + sb.n - common)
+                                               * 10000)
+                                         >= {MINHASH_CHAIN_CONFIDENT_Q4}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS n_confident_pairs,
                true AS chain_subset_of_exact,
                true AS recall_ok

@@ -193,8 +193,12 @@ def minhash_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s=0.5), the same class the r8 reseeds retired elsewhere.
     oracle=f"""
         SELECT CAST(count(*) AS BIGINT) AS n_exact_cross_pairs,
-               CAST(sum(CASE WHEN jaccard_q4 >= {MINHASH_CHAIN_CONFIDENT_Q4}
-                             THEN 1 ELSE 0 END) AS BIGINT)
+               -- coalesce: sum() over an EMPTY exact cross-set is NULL
+               -- in SQL but the engine counts 0 — virgin sf0.001-scale
+               -- seed 102938 (50 docs, zero cross-set pairs) caught
+               -- the bare sum
+               CAST(coalesce(sum(CASE WHEN jaccard_q4 >= {MINHASH_CHAIN_CONFIDENT_Q4}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS n_confident_cross_pairs,
                true AS index_subset_of_exact,
                true AS recall_ok
