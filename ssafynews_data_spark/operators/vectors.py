@@ -208,6 +208,13 @@ QUALITY_LABEL_CUT = 0.6
 #: boundary-hugging draws fall inside the band while every genuinely
 #: good/bad doc stays out).
 QUALITY_MARGIN_DELTA = 0.05
+#: minimum confident docs per source for the 95% agreement floor to
+#: BIND — below this, a single boundary disagreement exceeds 5% by
+#: arithmetic and the estimate is noise, not a verdict on the fit
+#: (virgin sf0.001-SCALE seed 507321: 3-doc sources flipped the flag
+#: on a healthy model; driver-scale sources carry ~20+ confident docs,
+#: so the floor is unchanged where the contract actually runs).
+QUALITY_MIN_CONFIDENT = 10
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
@@ -398,9 +405,14 @@ def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     obligated to match it.  The r8 reseeded fixture (boundary-hugging
     token draws) caught the unscoped form: one source had a single
     extra boundary miss (25 docs → 4%) and flipped the flag on a
-    perfectly healthy fit.  A broken feature pipeline or degenerate fit
-    still fails loudly: confident docs dominate every real corpus and
-    a garbage model misses them wholesale."""
+    perfectly healthy fit.  The floor additionally binds only on
+    sources with ≥ QUALITY_MIN_CONFIDENT confident docs — below that a
+    single disagreement exceeds 5% by arithmetic (virgin sf0.001-scale
+    seed 507321's 3-doc sources), so the estimate is noise; at the
+    driver's contract scale every source clears the support bar and
+    the floor is unchanged.  A broken feature pipeline or degenerate
+    fit still fails loudly: confident docs dominate every real corpus
+    and a garbage model misses them wholesale."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -438,7 +450,8 @@ def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("label").cast("long").alias("n_label_good"),
             (
-                F.sum(agree_conf) >= 0.95 * F.sum(confident)
+                (F.sum(confident) < QUALITY_MIN_CONFIDENT)
+                | (F.sum(agree_conf) >= 0.95 * F.sum(confident))
             ).alias("accuracy_ok"),
         )
         .orderBy("source")
