@@ -24,6 +24,13 @@ each primary-SF query now runs REPEATS times (default 3) and the
 headline number is the SUM OF MEDIANS; per-query medians, minima, and
 ``os.getloadavg()`` before/after are all in the JSON so a drifted
 median with a stable min reads as co-tenancy, not regression.
+
+Two series (VERDICT r12 item 4): ``queries``/``value`` is the headline
+22, FROZEN since the early rounds so the round-over-round comparison
+holds; ``queries2``/``value2`` is the second-tier serving + curation
+set (``bench2=True`` in the registry — the r9+ ANN serving contracts
+and the r12/r13 curation operators), wall-time-tracked single-run and
+never summed into ``value``.
 """
 
 from __future__ import annotations
@@ -76,14 +83,16 @@ def main() -> int:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    def run_set(d: str, reps: int) -> tuple[dict[str, float], dict[str, float]]:
+    def run_set(
+        d: str, reps: int, qset: dict | None = None
+    ) -> tuple[dict[str, float], dict[str, float]]:
         """Run every bench query ``reps`` times; return (median, min)
         per query.  Repeats are interleaved per-query (q1 x3, q2 x3, ...)
         so a transient co-tenant burst hits one query's repeats, where
         the median absorbs it, rather than one whole pass."""
         med: dict[str, float] = {}
         lo: dict[str, float] = {}
-        for name, fn in bench.items():
+        for name, fn in (bench if qset is None else qset).items():
             runs: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -102,6 +111,16 @@ def main() -> int:
     load_before = os.getloadavg()
     timings, timings_min = run_set(sf_dir, repeats)
 
+    # Second-tier series (VERDICT r12 item 4): the headline 22 are
+    # FROZEN for round-over-round comparability, so the serving
+    # contracts + r12/r13 curation operators get their own wall-time
+    # rows here — single-run (these are tracked, not compared at
+    # settled precision; several are KMeans/BPE-fit-dominated and a
+    # 3x repeat would double bench wall time for no signal).
+    bench2 = {n: q.fn for n, q in sorted(qs.items()) if q.bench2}
+    reps2 = int(os.environ.get("SPARK_GRAFT_BENCH2_REPEATS", "1"))
+    timings2 = run_set(sf_dir, reps2, bench2)[0] if bench2 else {}
+
     # Secondary small-SF pass: separates fixed fit/JIT cost from
     # data-proportional shuffle cost round-over-round (VERDICT r1 §6).
     # Single-run: its job is the fixed-vs-scaling split, not variance.
@@ -118,6 +137,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # second-tier series: serving + curation wall time, reported
+        # BESIDE the frozen headline 22 (never summed into "value" —
+        # the historical series must stay comparable)
+        "value2": round(sum(timings2.values()), 3),
+        "queries2": timings2,
     }
     detail = {
         **out,
@@ -127,6 +151,7 @@ def main() -> int:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "queries_secondary_sf": timings_small,
+        "bench2_repeats": reps2,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     with open(sidecar, "w") as fh:

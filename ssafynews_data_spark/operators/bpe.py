@@ -284,6 +284,7 @@ STALE_MERGE_OVERLAP_MIN = 20
             true AS merges_ok
     """,
     tags=("tokens", "bpe", "staleness", "contract", "north-star"),
+    bench2=True,
 )
 def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer re-training-cadence number (the BPE twin of
@@ -309,7 +310,9 @@ def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       surveyed band (see constants; stale occasionally beats fresh, so
       the band is two-sided).
     - ``merge_overlap_ok``: >= STALE_MERGE_OVERLAP_MIN of the two
-      tables' merge pairs agree (set intersection, order-free).
+      tables' merge pairs agree (set intersection, order-free); vacuous
+      when either table ran out of pairs before N_MERGES (a degenerate
+      draw owes no overlap — the fertility escape's merge twin).
     - ``merges_ok``: both learnings hit their N_MERGES budget or ran
       out of pairs legitimately.
 
@@ -381,7 +384,14 @@ def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .between(STALE_FERTILITY_MIN_Q3, STALE_FERTILITY_MAX_Q3)
             | F.coalesce(F.sum("n_fresh"), F.lit(0)).eqNullSafe(F.lit(0))
         ).alias("fertility_band_ok"),
-        F.lit(overlap >= STALE_MERGE_OVERLAP_MIN).alias("merge_overlap_ok"),
+        # degenerate-corpus escape (the fertility_band_ok empty-delta
+        # pattern): a draw too small to fill either merge budget can't
+        # owe STALE_MERGE_OVERLAP_MIN shared merges — the floor binds
+        # only when both tables learned their full N_MERGES
+        F.lit(
+            overlap >= STALE_MERGE_OVERLAP_MIN
+            or min(len(stale_merges), len(fresh_merges)) < N_MERGES
+        ).alias("merge_overlap_ok"),
         F.lit(merges_ok).alias("merges_ok"),
     )
     ndw = dw.agg(F.count("*").alias("n_delta_distinct_words"))

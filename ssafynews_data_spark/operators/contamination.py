@@ -410,6 +410,7 @@ def multisignal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND h.eval_source = e.eval_source
     """,
     tags=("curation", "decontamination", "report", "north-star"),
+    bench2=True,
 )
 def eval_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-3/Dolma contamination REPORT as a dense matrix rather
@@ -438,7 +439,13 @@ def eval_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin of two group-count-sized frames — driver-trivial at any
     corpus size.  A train source whose docs are all shorter than
     CONTAM_W tokens still gets its row of verified zeros (the axis is
-    "has training docs", not "has shingles")."""
+    "has training docs", not "has shingles").  The EVAL axis is the
+    asymmetric one BY CONSTRUCTION: it derives from the shingle set
+    (``evn``), so an eval source whose docs are all shorter than
+    CONTAM_W tokens contributes NO matrix column — deliberately, since
+    its ``n_eval_ngrams`` would be 0 and every containment cell 0/0
+    (both engines agree; a report column of undefined fractions is
+    noise, the verified-zero guarantee is for the train axis only)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_hashes(docs, CONTAM_W, keep=("source",))
     tr = (

@@ -812,6 +812,7 @@ def _md5_key(salt: str, c) -> "F.Column":
         FROM t GROUP BY source
     """,
     tags=("sampling", "cap", "curate", "north-star"),
+    bench2=True,
 )
 def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency cap: keep at most ``DOMAIN_CAP`` docs per
@@ -923,6 +924,7 @@ CURRICULUM_SHARDS = 8
         FROM b
     """,
     tags=("sampling", "curriculum", "training-data", "north-star"),
+    bench2=True,
 )
 def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum data ordering: bin every doc by the integer

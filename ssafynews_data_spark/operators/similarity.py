@@ -2287,6 +2287,7 @@ def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id < {N_QUERIES}
     """,
     tags=("similarity", "ivf", "pq", "serving", "contract"),
+    bench2=True,
 )
 def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving layer certified end-to-end as a lifecycle: build the
@@ -2964,6 +2965,7 @@ def _sq8_recon_ok(
         FROM topk
     """,
     tags=("similarity", "sq8", "quantization", "serving", "contract"),
+    bench2=True,
 )
 def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 codec + serving lifecycle, driver-certified: build the codes
@@ -3316,6 +3318,7 @@ def ivfsq8_serve(
         FROM topk
     """,
     tags=("similarity", "ivf", "sq8", "serving", "contract"),
+    bench2=True,
 )
 def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The faiss ``IVF<K>,SQ8`` chain certified end-to-end: build the
@@ -3499,6 +3502,7 @@ def argmin_assignment_mismatches(assigned: DataFrame, cent_df: DataFrame) -> int
         FROM topk
     """,
     tags=("similarity", "ivf", "serving", "staleness", "contract"),
+    bench2=True,
 )
 def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-ops staleness audit — the number that decides re-training

@@ -1721,6 +1721,7 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
         FROM s3 GROUP BY source
     """,
     tags=("pii", "curate", "audit", "north-star"),
+    bench2=True,
 )
 def pii_scrub_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrub report a corpus publishes before release: per source,
@@ -1818,6 +1819,7 @@ def pii_scrub_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pack p JOIN probe pr USING (bucket, block_id)
     """,
     tags=("packing", "training-data", "provenance", "north-star"),
+    bench2=True,
 )
 def pack_provenance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverse of ``greedy_pack_layout`` — loss-spike forensics:

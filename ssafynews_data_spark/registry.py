@@ -29,7 +29,8 @@ class Query:
     fn: QueryFn
     oracle: str | None = None  # DuckDB SQL; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
-    bench: bool = False  # include in bench.py headline set
+    bench: bool = False  # include in bench.py headline set (frozen 22)
+    bench2: bool = False  # second-tier bench: serving + curation ops
 
 
 QUERIES: dict[str, Query] = {}
@@ -40,6 +41,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    bench2: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -57,7 +59,9 @@ def register(
             release_pins()
             return fn(spark, sf_dir)
 
-        QUERIES[name] = Query(name=name, fn=wrapped, oracle=oracle, tags=tags, bench=bench)
+        QUERIES[name] = Query(
+            name=name, fn=wrapped, oracle=oracle, tags=tags, bench=bench, bench2=bench2
+        )
         return fn  # module-level name stays unwrapped for intra-module calls
 
     return deco
@@ -65,17 +69,23 @@ def register(
 
 #: Names surfaced FIRST in registry iteration order.  The driver's
 #: correctness gate records rows for the first 50 registered queries
-#: only.  Round 12 executes the recipe frozen at the end of round 11
-#: (the "ROUND-12 WINDOW RECIPE" below, now inlined here): the same 10
-#: multi-surface sentinels; slots 11-15 the five round-11
-#: registrations for their FIRST driver rows; slots 16-33 the 18
-#: r6-era leftovers alphabetical; slots 34-50 the first 17 oracled
-#: r7-era rows alphabetical (ann_pq_topk is the one rows-only r7
-#: name; it keeps its pytest recall guarantees and yields its slot).
-#: Expected: 50/50 hash-PASS, five first rows, every r6-era row
-#: re-certified or superseded, oldest oracled driver row <= r7.
+#: only.  Round 13 executes the recipe frozen at the end of round 12
+#: (the "ROUND-13 WINDOW RECIPE" comment below records the freeze):
+#: the same 10 multi-surface sentinels; slots 11-15 the five round-12
+#: registrations for their FIRST driver rows; slots 16-34 the 19
+#: oracled r7-era leftovers alphabetical; slots 35-50 the first 16
+#: oracled r8-era rows alphabetical.
+#: Per-slot expected check KIND (VERDICT r12 item 2 — rows-only names
+#: never consume standalone window slots anymore): every one of the 50
+#: names below carries a DuckDB oracle, so the expectation is exactly
+#: 50/50 hash-PASS — zero rows-only slots.  The rows-only names
+#: (ann_pq_topk, minhash_incremental_index, and the r1-r5 era
+#: demo/plumbing names) keep their pytest guarantees and their oracled
+#: contract twins (e.g. incremental_index_recall_contract) ride the
+#: drain queue in their place.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # --- keepers: 10 multi-surface sentinels, all driver-green ---
+    # --- slots 1-10, keepers: multi-surface sentinels, all
+    #     driver-green (expected: hash-PASS x10) ---
     "curate_corpus",
     "streaming_file_sink_e2e",
     "prefix_filter_jaccard_pairs",
@@ -86,85 +96,96 @@ PRIORITY_FIRST: tuple[str, ...] = (
     "daily_category_report",
     "dedup_cc_largestar",
     "llm_corpus_pipeline",
-    # --- slots 11-15: round-11 registrations, first driver rows
-    #     (all five local-PASS on the type-aware mirror in r11) ---
-    "sq8_serve_contract",
-    "streaming_index_ingest_contract",
-    "contrastive_triplet_mining",
-    "dedup_token_accounting",
-    "ivf_sq8_serve_contract",
-    # --- slots 16-33: the 18 r6-era leftovers, alphabetical (the
-    #     last pre-r7 rows anywhere; see the count note below) ---
-    "minhash_incremental_index",
-    "mojibake_repair_contract",
-    "near_dup_containment_contract",
-    "pagerank_mass_contract",
-    "pit_join_scd2",
-    "q13_customer_distribution",
-    "q16_parts_supplier_count",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "quality_classifier_contract",
-    "retention_cohorts",
-    "stratified_sample_contract",
-    "streaming_outer_interval_join",
-    "streaming_sketch_maintenance",
-    "streaming_sliding_counts",
-    "streaming_state_inspection",
-    "streaming_union_dedup",
-    # --- slots 34-50: first 17 oracled r7-era rows, alphabetical ---
-    "ansi_safe_math",
-    "arrow_byte_stats",
-    "backfill_day_partition",
-    "boolean_aggregates_profile",
-    "bpe_training_contract",
-    "bucket_skew_audit",
-    "collated_lang_counts",
-    "compact_small_files",
-    "cusum_drift_scores",
-    "daily_count_anomalies",
-    "dedup_graph_stats",
-    "epoch_shuffle_layout",
-    "exact_substring_spans",
-    "identifier_clause_counts",
-    "keyword_string_agg",
-    "length_bucket_stats",
-    "multisignal_curation",
+    # --- slots 11-15: round-12 registrations, first driver rows (all
+    #     five oracled; local-PASS on the type-aware mirror in r12 AND
+    #     in the r12 judge's independent mirror; expected: hash-PASS
+    #     x5) ---
+    "pii_scrub_accounting",
+    "domain_cap_sample",
+    "pack_provenance_lookup",
+    "curriculum_schedule",
+    "ivf_staleness_audit",
+    # --- slots 16-34: the 19 oracled r7-era leftovers, alphabetical
+    #     (expected: hash-PASS x19) ---
+    "observed_write_audit",
+    "orc_roundtrip_stats",
+    "parameterized_sql_band",
+    "pipe_syntax_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "rollup_maintenance",
+    "script_mix_stats",
+    "semantic_decontaminate",
+    "snapshot_diff_orders",
+    "streaming_static_enrich",
+    "substring_span_removal",
+    "temperature_resample",
+    "token_rarity_scores",
+    "udtf_dynamic_topk_tokens",
+    "uniform_sample_fixed_n",
+    "value_correlations",
+    "weighted_sample_docs",
+    "xml_roundtrip_events",
+    # --- slots 35-50: first 16 oracled r8-era rows, alphabetical
+    #     (expected: hash-PASS x16) ---
+    "clean_documents",
+    "cube_order_stats",
+    "customers_with_orders",
+    "customers_without_orders",
+    "doc_len_histogram",
+    "doc_len_stats",
+    "doremi_mixture_weights",
+    "event_value_deltas",
+    "event_value_ranks",
+    "events_pivot_daily",
+    "events_unpivot",
+    "first_sentence_summaries",
+    "merge_upsert_orders",
+    "ngram_novelty_curve",
+    "null_profile_documents",
+    "order_price_percentiles",
 )
 
-#: POST-ROUND-12 STATE: once this window lands, every r5/r6-era row
-#: is re-certified or superseded, the five round-11 registrations have
-#: first rows, and the remaining re-certification queue is the 19
-#: oracled r7-era leftovers (observed_write_audit, orc_roundtrip_stats,
-#: parameterized_sql_band, pipe_syntax_revenue, q20_excess_shippers,
-#: q21_waiting_suppliers, rollup_maintenance, script_mix_stats,
-#: semantic_decontaminate, snapshot_diff_orders, streaming_static_enrich,
-#: substring_span_removal, temperature_resample, token_rarity_scores,
-#: udtf_dynamic_topk_tokens, uniform_sample_fixed_n, value_correlations,
-#: weighted_sample_docs, xml_roundtrip_events; ann_pq_topk stays
-#: rows-only by design) plus the 37 r8-era rows (30 oracled).
-#: Registration discipline (judge-enforced since r7): the promotion
-#: list above was FROZEN before any new round-12 registration; new
-#: families register only into the mid region (never this window) and
-#: stay <= 5 per round so the next window can absorb them.
+#: POST-ROUND-13 STATE: once this window lands, every r7-era oracled
+#: row is re-certified, the five round-12 registrations have first
+#: rows, oldest oracled driver row <= r8, and the remaining
+#: re-certification queue is the 14 oracled r8-era rows
+#: (props_map_stats, q11_important_parts, q12_priority_shipping,
+#: q15_top_supplier, q6_forecast_revenue, q9_product_profit,
+#: range_layout_audit, rolling_daily_counts, rollup_order_stats,
+#: source_token_stats, top_events_per_user, train_test_split_docs,
+#: user_funnel_set_ops, value_band_join) plus the 40 oracled r9-era
+#: rows.  Registration discipline (judge-enforced since r7): the
+#: promotion list above was FROZEN at the end of round 12 before any
+#: round-13 registration (round 13 registers nothing — its <=5 budget
+#: was consumed early, end of round 12); new families register only
+#: into the mid region (never this window) and stay <= 5 per round so
+#: the next window can absorb them.
 #:
-#: ROUND-13 WINDOW RECIPE (frozen END of round 12; execute before any
-#: round-13 registration).  Slots 1-10: the same 10 sentinels.
-#: Slots 11-15: the five round-12 registrations for their first driver
-#: rows — pii_scrub_accounting, domain_cap_sample,
-#: pack_provenance_lookup, curriculum_schedule, ivf_staleness_audit.
-#: Slots 16-34: the 19 oracled r7-era leftovers, alphabetical (the
-#: list above).  Slots 35-50: the first 16 ORACLED r8-era rows,
-#: alphabetical — clean_documents, cube_order_stats,
-#: customers_with_orders, customers_without_orders, doc_len_histogram,
-#: doc_len_stats, doremi_mixture_weights, event_value_deltas,
-#: event_value_ranks, events_pivot_daily, events_unpivot,
-#: first_sentence_summaries, merge_upsert_orders, ngram_novelty_curve,
-#: null_profile_documents, order_price_percentiles.  Names promoted
-#: out of DEMOTE_LAST move to PRIORITY_FIRST for the round; expected
-#: post-r13 state: oldest oracled driver row <= r8, remaining drain =
-#: 14 oracled r8-era rows + r9-era.
+#: ROUND-14 WINDOW RECIPE (frozen round 13, BEFORE any round-14
+#: registration; execute at the start of round 14).  Every slot is
+#: oracled — expected: 50/50 hash-PASS, zero rows-only slots.
+#: Slots 1-10: the same 10 sentinels.
+#: Slots 11-15: the five round-13 registrations for their first driver
+#: rows — eval_overlap_matrix, span_corruption_masks,
+#: curriculum_pack_compose, capped_mixture_pipeline,
+#: tokenizer_staleness_audit (all oracled; local-PASS on the
+#: type-aware mirror in r12-end gates AND in the r12 judge's
+#: independent mirror).
+#: Slots 16-29: the 14 remaining oracled r8-era rows, alphabetical
+#: (the parenthesized list above).
+#: Slots 30-50: the first 21 oracled r9-era rows, alphabetical —
+#: adc_batch_parity_contract, ansi_q1_shared_text,
+#: approx_quantile_contract, asof_join_purchase_click,
+#: central_tendency_stats, daily_event_counts, dedup_documents,
+#: doc_fingerprints, edit_distance_pairs, exact_dedup_groups,
+#: exists_above_avg_orders, gopher_quality_filter,
+#: incremental_index_recall_contract, ivfpq_index_append,
+#: keyword_flatten_per_source, lang_id, lateral_top_nations,
+#: media_metadata, minhash_chain_recall_contract,
+#: mock_enrich_documents, ngram_jaccard_pairs.
+#: Expected post-r14 state: oldest oracled driver row <= r9, remaining
+#: drain = 19 oracled r9-era rows, then r10-era.
 #:
 #: ROUND-13 registrations — the <=5 budget consumed EARLY, at the end
 #: of the round-12 session, AFTER the r12 window executed and the
@@ -243,35 +264,14 @@ DEMOTE_LAST: tuple[str, ...] = (
     "compression_quality_scores",
     "dedup_graph_pagerank",
     "mojibake_repair_docs",
-    "substring_span_removal",
     "ann_pq_topk",
-    "snapshot_diff_orders",
-    "script_mix_stats",
-    "semantic_decontaminate",
-    "rollup_maintenance",
-    "value_correlations",
-    "observed_write_audit",
-    "uniform_sample_fixed_n",
-    "weighted_sample_docs",
-    "pipe_syntax_revenue",
-    "parameterized_sql_band",
-    "udtf_dynamic_topk_tokens",
-    "xml_roundtrip_events",
-    "orc_roundtrip_stats",
-    "streaming_static_enrich",
-    "temperature_resample",
-    "token_rarity_scores",
-    "q21_waiting_suppliers",
-    "q20_excess_shippers",
     "q6_forecast_revenue",
     "q9_product_profit",
     "q11_important_parts",
     "q12_priority_shipping",
     "q15_top_supplier",
     "ivfpq_index_topk",
-    "doremi_mixture_weights",
     "range_layout_audit",
-    "ngram_novelty_curve",
     "bpe_token_stats",
     "near_dup_lsh_verified",
     "hll_daily_user_sketches",
@@ -280,25 +280,11 @@ DEMOTE_LAST: tuple[str, ...] = (
     "minhash_verified_pairs",
     "train_test_split_docs",
     "value_band_join",
-    "merge_upsert_orders",
-    "clean_documents",
     "source_token_stats",
-    "first_sentence_summaries",
-    "doc_len_stats",
-    "doc_len_histogram",
-    "null_profile_documents",
     "rollup_order_stats",
-    "cube_order_stats",
-    "events_pivot_daily",
-    "events_unpivot",
-    "customers_with_orders",
-    "customers_without_orders",
     "user_funnel_set_ops",
     "top_events_per_user",
     "rolling_daily_counts",
-    "event_value_deltas",
-    "event_value_ranks",
-    "order_price_percentiles",
     "props_map_stats",
     "ivfpq_serve_contract",
     "hard_negative_mining",
@@ -336,6 +322,48 @@ DEMOTE_LAST: tuple[str, ...] = (
     "media_decode_contract",
     "merge_scd2_orders",
     "near_dup_auto_pairs",
+    # --- r12-window graduates (driver-green rows in CORRECTNESS_r12):
+    #     the five r11 registrations, the 18 r6-era, the 17 r7-era ---
+    "sq8_serve_contract",
+    "streaming_index_ingest_contract",
+    "contrastive_triplet_mining",
+    "dedup_token_accounting",
+    "ivf_sq8_serve_contract",
+    "minhash_incremental_index",
+    "mojibake_repair_contract",
+    "near_dup_containment_contract",
+    "pagerank_mass_contract",
+    "pit_join_scd2",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "quality_classifier_contract",
+    "retention_cohorts",
+    "stratified_sample_contract",
+    "streaming_outer_interval_join",
+    "streaming_sketch_maintenance",
+    "streaming_sliding_counts",
+    "streaming_state_inspection",
+    "streaming_union_dedup",
+    "ansi_safe_math",
+    "arrow_byte_stats",
+    "backfill_day_partition",
+    "boolean_aggregates_profile",
+    "bpe_training_contract",
+    "bucket_skew_audit",
+    "collated_lang_counts",
+    "compact_small_files",
+    "cusum_drift_scores",
+    "daily_count_anomalies",
+    "dedup_graph_stats",
+    "epoch_shuffle_layout",
+    "exact_substring_spans",
+    "identifier_clause_counts",
+    "keyword_string_agg",
+    "length_bucket_stats",
+    "multisignal_curation",
 )
 
 
@@ -366,3 +394,11 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in load_all().items() if q.bench}
+
+
+def bench2_queries() -> dict[str, QueryFn]:
+    """Second-tier bench series (VERDICT r12 item 4): the headline 22
+    are FROZEN for round-over-round comparability, so the r9+ serving
+    contracts and the r12/r13 curation operators get their own
+    wall-time series, reported separately by bench.py."""
+    return {name: q.fn for name, q in load_all().items() if q.bench2}

@@ -34,8 +34,11 @@ from tools.reseed_fixture import generate
 #: 577215/662607/141421/299792/602214/693147/866025/414213/301029/
 #: 577350/707106, round-12 registration seeds 123321/456654/987123/
 #: 135791/246802/369258, and sf0.1 seeds 662/883/904/628318/271801/
-#: 161616; retired: 173205 after r11 — see docs/COVERAGE.md tally)
-RESEED_GATE_SEED = 917731
+#: 161616; retired: 173205 after r11, 917731 after r12 — see
+#: docs/COVERAGE.md tally; the r12-session virgin-mirror seeds
+#: 135246/314271/448822/557799/628542/971234/741852/192837/465728/
+#: 583920/274618/846273/102938/507321/618493/729584 are surveyed too)
+RESEED_GATE_SEED = 530864
 
 
 @pytest.mark.reseed

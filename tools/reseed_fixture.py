@@ -202,9 +202,10 @@ if __name__ == "__main__":
     # nearly passed as the sf0.1-SCALE gate — only the row count gave
     # it away.  Same rationale as scale_sweep's --only name check.
     bad = [a for a in flags if not a.startswith("--sf=")]
-    if bad or len(args) > 2:
+    if bad or len(args) > 2 or len(flags) > 1:
+        reason = bad or args[2:] or [f"repeated flags {flags}"]
         print(
-            f"error: unrecognized arguments {bad or args[2:]} — usage: "
+            f"error: unrecognized arguments {reason} — usage: "
             "reseed_fixture.py OUT_DIR [SEED] [--sf=SF]",
             file=sys.stderr,
         )
@@ -213,6 +214,16 @@ if __name__ == "__main__":
     seed = int(args[1]) if len(args) > 1 else 777
     sf = 0.01
     for a in flags:
-        sf = float(a.split("=")[1])
+        # a malformed VALUE (--sf=, --sf=O.1) is the same usage-error
+        # class as a mis-typed flag name — never an uncaught traceback
+        try:
+            sf = float(a.split("=", 1)[1])
+        except ValueError:
+            print(
+                f"error: malformed {a!r} — usage: "
+                "reseed_fixture.py OUT_DIR [SEED] [--sf=SF]",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     generate(out, seed, sf)
     print(f"wrote reseeded fixture (seed={seed}, sf={sf}) to {out}")
