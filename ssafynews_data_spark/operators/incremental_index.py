@@ -408,3 +408,181 @@ def streaming_index_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         out_schema,
     )
+
+# ---------------------------------------------------------------------------
+# Round 14: LSM compaction plan for the incremental index.
+# ---------------------------------------------------------------------------
+
+from ssafynews_data_spark.operators.text import _DUCK_TOKENS  # noqa: E402
+
+#: delta batches per compaction epoch — doc_id % N_COMPACT_BATCHES is
+#: the arrival-order stand-in (batch b = the b-th nightly delta feeding
+#: build_index/delta_pairs above).  Deliberately NOT a power of the
+#: fanout so the end state is ragged: with 13 batches at fanout 3,
+#: batches 0-8 compact twice (two full level-ups), 9-11 once, 12 never
+#: — all three write-amplification classes appear in every run.
+N_COMPACT_BATCHES = 13
+#: size-tiered fanout: FANOUT level-L segments merge into one level-
+#: L+1 segment the moment the group completes (the RocksDB / Lucene
+#: tiered policy, public).
+COMPACT_FANOUT = 3
+
+
+def _merge_done_sql(level: int) -> str:
+    """1 iff the level-``level`` merge containing ``batch_id`` completes
+    within the epoch: group g = batch_id div F^L is merged when its
+    last member (batch (g+1)·F^L − 1) arrives, i.e. iff
+    (g+1)·F^L <= N.  Pure integers, same text both engines."""
+    f = COMPACT_FANOUT**level
+    return (
+        f"(CASE WHEN ((batch_id // {f}) + 1) * {f} <= {N_COMPACT_BATCHES} "
+        "THEN 1 ELSE 0 END)"
+    )
+
+
+_SEG_DIVISOR_SQL = (
+    "(CASE n_merges WHEN 0 THEN 1 WHEN 1 THEN "
+    f"{COMPACT_FANOUT} WHEN 2 THEN {COMPACT_FANOUT**2} "
+    f"ELSE {COMPACT_FANOUT**3} END)"
+)
+
+
+@register(
+    "index_compaction_plan",
+    # pure integers end-to-end: per-batch doc/token counts are ONE
+    # corpus aggregate; the merge schedule is a CLOSED FORM in the
+    # batch id (base-FANOUT group completion), so both engines derive
+    # the identical plan without simulating arrivals row-by-row.
+    oracle=f"""
+        WITH ids AS (
+            SELECT CAST(unnest(range(0, {N_COMPACT_BATCHES})) AS BIGINT)
+                       AS batch_id
+        ),
+        counts AS (
+            SELECT CAST(doc_id % {N_COMPACT_BATCHES} AS BIGINT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY 1
+        ),
+        base AS (
+            SELECT i.batch_id,
+                   CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST({_merge_done_sql(1)} + {_merge_done_sql(2)}
+                        + {_merge_done_sql(3)} AS BIGINT) AS n_merges
+            FROM ids i LEFT JOIN counts c USING (batch_id)
+        ),
+        seg AS (
+            SELECT *,
+                   CAST(n_tokens * (1 + n_merges) AS BIGINT) AS tokens_written,
+                   n_merges * 1000 + batch_id // {_SEG_DIVISOR_SQL} AS seg_key
+            FROM base
+        ),
+        g_tot AS (
+            SELECT CAST(count(DISTINCT seg_key) AS BIGINT) AS n_final_segments,
+                   CAST(sum(tokens_written) AS BIGINT) AS total_written,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_ingested
+            FROM seg
+        )
+        SELECT s.batch_id, s.n_docs, s.n_tokens, s.n_merges,
+               s.tokens_written, g.n_final_segments,
+               CAST(CASE WHEN g.total_ingested = 0 THEN 0
+                         ELSE g.total_written * 10000 // g.total_ingested END
+                    AS BIGINT) AS write_amp_q4
+        FROM seg s CROSS JOIN g_tot g
+    """,
+    tags=("dedup", "index", "compaction", "serving-ops", "north-star"),
+)
+def index_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM compaction audit for the incremental MinHash index: the
+    index above absorbs one delta segment per ingest batch (the L0
+    write), and a size-tiered policy (COMPACT_FANOUT segments at level
+    L merge into one at L+1 as soon as the group completes — the
+    RocksDB/Lucene tiering) keeps the segment count, and therefore the
+    per-probe fan-in of ``delta_pairs``, logarithmic.  This operator
+    emits the exact merge schedule and write-amplification accounting
+    for one N_COMPACT_BATCHES-batch epoch — the serving-ops table that
+    decides whether the compaction budget is paying for itself.
+
+    Per batch (all integers): ``n_docs``/``n_tokens`` ingested (tokens
+    proxy the segment's band-row bytes — both engines count the same
+    tokenizer), ``n_merges`` the batch's rows are rewritten by (closed
+    form: the level-L merge over group b div F^L completes iff
+    (g+1)·F^L <= N — no arrival simulation), ``tokens_written`` =
+    n_tokens·(1 + n_merges) (the L0 write plus each rewrite), and two
+    epoch-global columns: ``n_final_segments`` (distinct end-state
+    segments — count of (level, group) survivors) and ``write_amp_q4``
+    (total written / total ingested, floor-quantized).  All 13 batch
+    rows emit even when a tiny draw leaves a batch empty (ids come
+    from range(), not from the data).
+
+    Scale shape: ONE map-side-combining corpus aggregate reduces
+    everything to N_COMPACT_BATCHES rows; the schedule arithmetic and
+    the global rollup run on that 13-row frame (broadcast crossJoin —
+    driver-trivial at any corpus size).  The plan is what an external
+    compactor executes against the parquet segment files; executing a
+    merge is ``build_index``'s write path over the union of the
+    group's segments."""
+    from ssafynews_data_spark.operators.text import tokens_col
+    from ssafynews_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = spark.range(N_COMPACT_BATCHES).select(F.col("id").alias("batch_id"))
+    counts = docs.groupBy(
+        (F.col("doc_id") % N_COMPACT_BATCHES).cast("long").alias("batch_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    base = (
+        # counts is <= N_COMPACT_BATCHES rows — broadcast so the plan
+        # never shuffle-joins two 13-row frames
+        ids.join(F.broadcast(counts), "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "n_merges",
+            F.expr(
+                # `//` is DuckDB spelling; Spark uses div — same
+                # closed form, batch ids are non-negative so the two
+                # agree anyway, but spell it natively:
+                _merge_done_sql(1).replace("//", "div")
+                + " + "
+                + _merge_done_sql(2).replace("//", "div")
+                + " + "
+                + _merge_done_sql(3).replace("//", "div")
+            ).cast("long"),
+        )
+    )
+    # seg is read twice (per-batch rows + the epoch-global rollup);
+    # pin it so the corpus-scale aggregate physically runs ONCE
+    seg = pin(base.select(
+        "*",
+        (F.col("n_tokens") * (1 + F.col("n_merges"))).cast("long").alias(
+            "tokens_written"
+        ),
+        F.expr(
+            f"n_merges * 1000 + batch_id div {_SEG_DIVISOR_SQL}"
+        ).alias("seg_key"),
+    ))
+    glob = seg.agg(
+        F.countDistinct("seg_key").cast("long").alias("n_final_segments"),
+        F.sum("tokens_written").cast("long").alias("total_written"),
+        F.sum("n_tokens").cast("long").alias("total_ingested"),
+    )
+    return seg.crossJoin(F.broadcast(glob)).select(
+        "batch_id",
+        "n_docs",
+        "n_tokens",
+        "n_merges",
+        "tokens_written",
+        "n_final_segments",
+        F.when(F.col("total_ingested") == 0, F.lit(0))
+        .otherwise(F.expr("total_written * 10000 div total_ingested"))
+        .cast("long")
+        .alias("write_amp_q4"),
+    )

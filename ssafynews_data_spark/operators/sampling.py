@@ -1125,3 +1125,311 @@ def capped_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: data-constrained epoching + padding-minimizing batching.
+# ---------------------------------------------------------------------------
+
+#: global token budget the epoch plan fills (chosen to straddle the
+#: interesting regimes on the shipped fixtures: at sf0.001/sf0.01 the
+#: per-source quota exceeds supply, so sources REPEAT and the epoch cap
+#: binds; at sf0.1 supply exceeds quota, so sources DOWNSAMPLE — the
+#: plan must be exact in both directions).
+EPOCH_PLAN_BUDGET = 100_000
+#: repetition value decays fast (Muennighoff et al. 2023, "Scaling
+#: Data-Constrained Language Models": ~4 epochs of repetition are
+#: near-as-good as fresh data, beyond that value collapses) — the plan
+#: never schedules more than this many full passes over a source.
+EPOCH_MAX_REPEATS = 4
+
+
+@register(
+    "source_epoch_plan",
+    # pure integers end-to-end: sqrt-temperature weights are
+    # floor(sqrt(bigint)) over IEEE-identical doubles (the
+    # daily_count_anomalies precedent: correctly-rounded sqrt + floor
+    # agree bit-for-bit per engine), Hamilton quotas/remainders are the
+    # token_budget_allocation machinery verbatim, and the epoch split
+    # is div/mod on non-negative integers.
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                          AS weight
+            FROM per_src
+        ),
+        tot AS (
+            SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS total_weight
+            FROM w
+        ),
+        quo AS (
+            SELECT *,
+                   CAST(CASE WHEN total_weight = 0 THEN 0
+                             ELSE ({EPOCH_PLAN_BUDGET} * weight) // total_weight
+                        END AS BIGINT) AS quota_base,
+                   CAST(CASE WHEN total_weight = 0 THEN 0
+                             ELSE {EPOCH_PLAN_BUDGET} * weight
+                                  - (({EPOCH_PLAN_BUDGET} * weight) // total_weight)
+                                    * total_weight
+                        END AS BIGINT) AS remainder_units
+            FROM tot
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY remainder_units DESC, source)
+                       AS rem_rank,
+                   CAST({EPOCH_PLAN_BUDGET} - sum(quota_base) OVER () AS BIGINT)
+                       AS leftover
+            FROM quo
+        ),
+        alloc AS (
+            SELECT source, n_docs, n_tokens, weight,
+                   CAST(quota_base
+                        + CASE WHEN total_weight = 0 THEN 0
+                               WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota_tokens
+            FROM ranked
+        )
+        SELECT source, n_docs, n_tokens, weight, quota_tokens,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                         ELSE least(quota_tokens // n_tokens,
+                                    {EPOCH_MAX_REPEATS}) END
+                    AS BIGINT) AS n_full_epochs,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                         WHEN quota_tokens // n_tokens >= {EPOCH_MAX_REPEATS}
+                         THEN 0
+                         ELSE quota_tokens % n_tokens END
+                    AS BIGINT) AS partial_tokens,
+               CAST(CASE WHEN n_tokens = 0 THEN quota_tokens
+                         WHEN quota_tokens // n_tokens >= {EPOCH_MAX_REPEATS}
+                         THEN quota_tokens - {EPOCH_MAX_REPEATS} * n_tokens
+                         ELSE 0 END
+                    AS BIGINT) AS unfilled_tokens,
+               CASE WHEN n_tokens = 0 THEN false
+                    ELSE quota_tokens // n_tokens >= 1 END AS repeated
+        FROM alloc
+    """,
+    tags=("sampling", "mixture", "epoching", "training-data", "north-star"),
+)
+def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan (Muennighoff et al. 2023): apportion
+    a global token budget across sources by a sqrt-temperature target
+    mixture (small high-quality sources get a super-proportional share
+    — the τ = 0.5 convention of ``temperature_resample``, in exact
+    integers), then convert each source's quota into the schedule a
+    data loader executes: ``n_full_epochs`` complete passes (capped at
+    EPOCH_MAX_REPEATS — repetition value collapses past ~4 epochs) plus
+    ``partial_tokens`` of a final partial pass.  Supply-capped sources
+    REPEAT (quota > supply); oversupplied sources DOWNSAMPLE
+    (n_full_epochs = 0, the partial pass is the sample); budget the cap
+    refuses to place is reported as ``unfilled_tokens`` — the number
+    that tells the curator to go find more data rather than silently
+    over-repeating.
+
+    Integer contract: weights are floor(sqrt(n_tokens)) — sqrt on a
+    BIGINT-valued double is correctly rounded on both engines, so
+    floor agrees bit-for-bit (the daily_count_anomalies precedent);
+    quotas are Hamilton largest-remainder exactly as
+    ``token_budget_allocation`` (quota sum == budget, remainders
+    compared as exact products, tie-break on source); the epoch split
+    is div/mod on non-negative integers.
+
+    Scale shape: ONE map-side-combining aggregate reduces the corpus
+    to |sources| rows; every window after that (total weight, leftover,
+    remainder rank) runs on the |sources|-row frame — the deliberate
+    single-partition exception (token_budget_allocation's note).  The
+    plan itself never touches the corpus again: executing it is the
+    reader's job (epoch_shuffle_layout orders within a pass)."""
+    from pyspark.sql import Window as W
+
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    B = EPOCH_PLAN_BUDGET
+    w_all = W.partitionBy()
+    weighted = per_src.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    ).withColumn("total_weight", F.sum("weight").over(w_all).cast("long"))
+    quo = weighted.select(
+        "*",
+        F.when(F.col("total_weight") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({B} * weight) div total_weight"))
+        .alias("quota_base"),
+        F.when(F.col("total_weight") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"{B} * weight - (({B} * weight) div total_weight) * total_weight")
+        )
+        .alias("remainder_units"),
+    )
+    ranked = quo.select(
+        "*",
+        F.row_number()
+        .over(w_all.orderBy(F.desc("remainder_units"), "source"))
+        .alias("rem_rank"),
+        (F.lit(B) - F.sum("quota_base").over(w_all)).cast("long").alias("leftover"),
+    )
+    alloc = ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        (
+            F.col("quota_base")
+            + F.when(F.col("total_weight") == 0, F.lit(0))
+            .when(F.col("rem_rank") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    R = EPOCH_MAX_REPEATS
+    full = F.expr("quota_tokens div n_tokens")
+    return alloc.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "quota_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.least(full, F.lit(R)))
+        .cast("long")
+        .alias("n_full_epochs"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .when(full >= R, F.lit(0))
+        .otherwise(F.expr("quota_tokens % n_tokens"))
+        .cast("long")
+        .alias("partial_tokens"),
+        F.when(F.col("n_tokens") == 0, F.col("quota_tokens"))
+        .when(full >= R, F.col("quota_tokens") - R * F.col("n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("unfilled_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(False))
+        .otherwise(full >= 1)
+        .alias("repeated"),
+    )
+
+
+#: length-band width in tokens (fixed cuts, not quantiles — quantile
+#: edges are draw-dependent; fixed integer cuts are the cross-engine-
+#: exact form, the curriculum_schedule precedent).
+LB_BAND_WIDTH = 16
+#: per-batch token budget: a batch holds ``budget div band_ub`` docs,
+#: every doc padded to its band's upper bound.
+LB_TOKEN_BUDGET = 256
+#: reader shards — batches are (band, shard)-local so batch assembly
+#: never needs a global sort (the curriculum_schedule shape).
+LB_SHARDS = 8
+LB_SALT = "lbb"
+
+
+@register(
+    "length_bucket_batches",
+    # pure integers: bands are fixed-width div cuts, ranks are md5-
+    # ordered row_numbers within (band, shard), capacity/batch/slot are
+    # div/mod on non-negative integers — nothing rounded, nothing
+    # draw-sensitive.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % {LB_SHARDS} AS BIGINT) AS shard
+            FROM documents
+        ),
+        b AS (
+            SELECT *,
+                   (greatest(n_tokens, 1) - 1) // {LB_BAND_WIDTH} AS band,
+                   ((greatest(n_tokens, 1) - 1) // {LB_BAND_WIDTH} + 1)
+                       * {LB_BAND_WIDTH} AS padded_len
+            FROM t
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY band, shard
+                       ORDER BY md5('{LB_SALT}' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn,
+                   greatest(1, {LB_TOKEN_BUDGET} // padded_len) AS cap_docs
+            FROM b
+        )
+        SELECT doc_id, CAST(band AS BIGINT) AS band, shard,
+               CAST((rn - 1) // cap_docs AS BIGINT) AS batch_id,
+               CAST((rn - 1) % cap_docs AS BIGINT) AS slot,
+               CAST(padded_len AS BIGINT) AS padded_len,
+               CAST(padded_len - n_tokens AS BIGINT) AS pad_waste
+        FROM r
+    """,
+    tags=("sampling", "batching", "training-data", "north-star"),
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing dynamic batching (the bucketed-batching every
+    seq2seq/SFT trainer runs — fairseq's ``--max-tokens``, tensor2tensor
+    bucketing): band every doc by fixed LB_BAND_WIDTH-token cuts, order
+    each (band, shard) by a salted md5 (deterministic, engine-neutral),
+    and pack docs into batches of ``LB_TOKEN_BUDGET div band_ub`` slots,
+    every doc padded to its band's upper bound.  Emits the (batch_id,
+    slot) coordinate a data loader dereferences plus the per-doc
+    ``pad_waste`` the banding is minimizing — against one global
+    max-length pad, banded waste is bounded by LB_BAND_WIDTH−1 per doc
+    instead of (max_len − n_tokens).
+
+    Docs longer than the token budget get singleton batches
+    (``greatest(1, ...)`` — capacity never reaches 0, so div/mod stay
+    defined and both engines agree).
+
+    Scale shape: band + padded_len are row-local projections; the ONLY
+    exchange is the (band, shard) window — LB_SHARDS independent
+    partitions per band, so a dominant band parallelizes and nothing
+    ever global-sorts (the curriculum_schedule/domain_cap two-phase
+    principle; batch ids are (band, shard)-local coordinates exactly so
+    this stays true at 100 TB).  Batch assembly downstream is a
+    partition-local gather by (band, shard, batch_id)."""
+    from pyspark.sql import Window as W
+
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % LB_SHARDS).cast("long").alias("shard"),
+    )
+    # band edges are EXCLUSIVE on the upper bound ((max(n,1)−1) div W)
+    # so an exact-multiple doc (n = 16) lands in the band it fills,
+    # not one above it — padding waste stays < LB_BAND_WIDTH for every
+    # non-empty doc (a 0-token doc pads to the smallest band).
+    band_expr = f"(greatest(n_tokens, 1) - 1) div {LB_BAND_WIDTH}"
+    b = t.select(
+        "*",
+        F.expr(band_expr).alias("band"),
+        ((F.expr(band_expr) + 1) * LB_BAND_WIDTH).cast("long").alias("padded_len"),
+    )
+    w = W.partitionBy("band", "shard").orderBy(
+        _md5_key(LB_SALT, F.col("doc_id")), "doc_id"
+    )
+    r = b.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.greatest(F.lit(1), F.expr(f"{LB_TOKEN_BUDGET} div padded_len"))
+        .cast("long")
+        .alias("cap_docs"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("band").cast("long").alias("band"),
+        "shard",
+        F.expr("(rn - 1) div cap_docs").cast("long").alias("batch_id"),
+        ((F.col("rn") - 1) % F.col("cap_docs")).cast("long").alias("slot"),
+        "padded_len",
+        (F.col("padded_len") - F.col("n_tokens")).cast("long").alias("pad_waste"),
+    )

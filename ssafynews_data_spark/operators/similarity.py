@@ -3611,3 +3611,198 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: margin-based bitext mining (Artetxe & Schwenk, ACL 2019).
+# Score a candidate pair by its cosine RELATIVE to each side's average
+# top-k neighborhood — the ratio margin that made mined bitext usable
+# (absolute cosine thresholds fail because hubness inflates some
+# vectors' similarities across the board).  The two "languages" are the
+# standing even/odd vec_id split; the engine certifies the exact-top-k
+# margin CONTRACT — at 100 TB the candidate generator swaps to the
+# IVF/SQ8 serving route, same scoring.
+# ---------------------------------------------------------------------------
+
+#: mined queries: even vec_ids below this (the N_QUERIES convention,
+#: sized so tiny sf0.001-SCALE draws still have a query set).
+MARGIN_QUERY_MAX = 40
+#: neighborhood size for the margin denominator (A&S use k = 4).
+MARGIN_K = 4
+#: acceptance threshold on the q3-quantized ratio margin (A&S report
+#: ~1.06 for LASER bitext; 1000 = margin 1.0 — "the pair beats its
+#: neighborhoods' average" — which is the natural zero point).  A
+#: per-row FACT column, not an asserted floor: acceptance counts are
+#: draw-dependent and both engines compute the flag from identical
+#: integers.
+MARGIN_ACCEPT_Q3 = 1000
+
+
+@register(
+    "margin_bitext_mine",
+    # per-pair cosines are bit-identical cross-engine (the established
+    # guarantee every ANN contract leans on) and quantize to the q4
+    # integer lattice; neighborhood sums, the ratio margin, and the
+    # mutual-best flag are then pure integer arithmetic with guarded
+    # div (numerator and denominator both proven non-negative before
+    # dividing, so truncating div == floor div on both engines).
+    oracle=f"""
+        WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id % 2 = 1),
+        q AS (SELECT * FROM a WHERE vec_id < {MARGIN_QUERY_MAX}),
+        fwd AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS cand_id,
+                   list_cosine_similarity(q.emb, b.emb) AS sim,
+                   CAST(round(list_cosine_similarity(q.emb, b.emb) * 10000)
+                        AS BIGINT) AS sim_q4,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY list_cosine_similarity(q.emb, b.emb)
+                                                   DESC, b.vec_id) AS rnk
+            FROM q CROSS JOIN b
+        ),
+        fden AS (
+            SELECT query_id, CAST(sum(sim_q4) AS BIGINT) AS denom_fwd_q4
+            FROM fwd WHERE rnk <= {MARGIN_K} GROUP BY 1
+        ),
+        best AS (
+            SELECT query_id, cand_id AS best_id, sim_q4
+            FROM fwd WHERE rnk = 1
+        ),
+        ys AS (SELECT DISTINCT best_id FROM best),
+        bwd AS (
+            SELECT y.best_id, a.vec_id AS back_id,
+                   CAST(round(list_cosine_similarity(be.emb, a.emb) * 10000)
+                        AS BIGINT) AS sim_q4,
+                   row_number() OVER (PARTITION BY y.best_id
+                                      ORDER BY list_cosine_similarity(be.emb, a.emb)
+                                                   DESC, a.vec_id) AS rnk
+            FROM ys y JOIN b be ON be.vec_id = y.best_id CROSS JOIN a
+        ),
+        bden AS (
+            SELECT best_id, CAST(sum(sim_q4) AS BIGINT) AS denom_bwd_q4,
+                   CAST(min(CASE WHEN rnk = 1 THEN back_id END) AS BIGINT)
+                       AS back_best
+            FROM bwd WHERE rnk <= {MARGIN_K} GROUP BY 1
+        )
+        SELECT be.query_id, be.best_id, be.sim_q4,
+               f.denom_fwd_q4, bd.denom_bwd_q4,
+               CAST(CASE WHEN f.denom_fwd_q4 + bd.denom_bwd_q4 > 0
+                              AND be.sim_q4 >= 0
+                         THEN (2 * {MARGIN_K} * be.sim_q4 * 1000)
+                              // (f.denom_fwd_q4 + bd.denom_bwd_q4)
+                         ELSE -1 END AS BIGINT) AS margin_q3,
+               bd.back_best = be.query_id AS mutual,
+               (bd.back_best = be.query_id)
+                   AND (CASE WHEN f.denom_fwd_q4 + bd.denom_bwd_q4 > 0
+                                  AND be.sim_q4 >= 0
+                             THEN (2 * {MARGIN_K} * be.sim_q4 * 1000)
+                                  // (f.denom_fwd_q4 + bd.denom_bwd_q4)
+                             ELSE -1 END) >= {MARGIN_ACCEPT_Q3} AS accepted
+        FROM best be
+        JOIN fden f USING (query_id)
+        JOIN bden bd USING (best_id)
+    """,
+    tags=("similarity", "bitext", "mining", "training-data", "north-star"),
+)
+def margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix pipeline): for each query vector on side A (even vec_ids,
+    capped at MARGIN_QUERY_MAX), find its best candidate on side B
+    (odd vec_ids) and score the pair by the RATIO margin —
+    ``2k·cos(x,y) / (Σ topk-sims(x→B) + Σ topk-sims(y→A))`` — the
+    hubness-corrected criterion that replaced absolute cosine
+    thresholds for mined parallel data.  ``mutual`` flags pairs that
+    are each other's argmax (the "max" mining strategy); ``accepted``
+    combines mutuality with the margin threshold.
+
+    Integer contract: per-pair cosines are bit-identical cross-engine
+    and quantize to the q4 lattice (round(sim·10000) as BIGINT — the
+    finding-13 idiom); neighborhood denominators are integer sums over
+    the top-MARGIN_K rows (ranked by the RAW double, tie-break on
+    vec_id); the margin divides only when the numerator is proven
+    non-negative and the denominator positive (else −1), so truncating
+    div and floor div agree.
+
+    Scale shape: the query side (and later the mined best-y set, both
+    ≤ MARGIN_QUERY_MAX rows) is **broadcast**; each corpus side streams
+    ONCE per direction and the per-query top-k is the only exchange —
+    the cosine_topk/hard_negative_mining shape, run twice.  At 100 TB
+    the exact scan swaps for the IVF-SQ8 serving route (probed cells
+    only) with this module's identical scoring — this contract pins
+    the scoring layer those candidates feed."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    q = a.filter(F.col("vec_id") < MARGIN_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    sim_q4 = lambda c: F.round(c * 10000).cast("long")  # noqa: E731
+    fwd = b.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    fwd_topk = pin(
+        fwd.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= MARGIN_K)
+        .select("query_id", "cand_id", sim_q4(F.col("sim")).alias("sim_q4"), "rnk")
+    )
+    fden = fwd_topk.groupBy("query_id").agg(
+        F.sum("sim_q4").cast("long").alias("denom_fwd_q4")
+    )
+    best = fwd_topk.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("cand_id").alias("best_id"), "sim_q4"
+    )
+    ys = best.select("best_id").distinct().join(
+        b.select(F.col("vec_id").alias("best_id"), F.col("emb").alias("y_emb")),
+        "best_id",
+    )
+    bwd = a.join(F.broadcast(ys)).select(
+        "best_id",
+        F.col("vec_id").alias("back_id"),
+        cosine(F.col("y_emb"), F.col("emb")).alias("sim"),
+    )
+    wb = W.partitionBy("best_id").orderBy(F.desc("sim"), "back_id")
+    bden = (
+        bwd.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= MARGIN_K)
+        .groupBy("best_id")
+        .agg(
+            F.sum(sim_q4(F.col("sim"))).cast("long").alias("denom_bwd_q4"),
+            F.min(F.when(F.col("rnk") == 1, F.col("back_id")))
+            .cast("long")
+            .alias("back_best"),
+        )
+    )
+    # every frame here is <= MARGIN_QUERY_MAX rows — broadcast both
+    # sides' denominators so no exchange after the two top-k windows
+    joined = best.join(F.broadcast(fden), "query_id").join(
+        F.broadcast(bden), "best_id"
+    )
+    denom = F.col("denom_fwd_q4") + F.col("denom_bwd_q4")
+    margin = (
+        F.when(
+            (denom > 0) & (F.col("sim_q4") >= 0),
+            F.expr(
+                f"(2 * {MARGIN_K} * sim_q4 * 1000) div (denom_fwd_q4 + denom_bwd_q4)"
+            ),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    mutual = F.col("back_best") == F.col("query_id")
+    return joined.select(
+        "query_id",
+        "best_id",
+        "sim_q4",
+        "denom_fwd_q4",
+        "denom_bwd_q4",
+        margin.alias("margin_q3"),
+        mutual.alias("mutual"),
+        (mutual & (margin >= MARGIN_ACCEPT_Q3)).alias("accepted"),
+    )

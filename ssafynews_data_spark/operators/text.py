@@ -2201,3 +2201,119 @@ def curriculum_pack_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bin long, shard long, pos_in_shard long, "
         "n_tokens long, block_id long, block_pos long, block_doc_idx long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: multi-turn SFT loss masks over the packed layout.
+# ---------------------------------------------------------------------------
+
+#: conversations alternate user/assistant starting with user; the turn
+#: COUNT is md5-derived per doc (2·(1 + phase mod CHAT_MAX_ROUNDS) →
+#: 2/4/6 turns) — the fixture docs carry no real turn structure, so the
+#: deterministic lattice stands in for it and the MACHINERY (packed-
+#: coordinate span arithmetic, assistant-only loss) is the contract,
+#: exactly the SFT_PROMPT_DIV / span_corruption_masks precedent.
+CHAT_MAX_ROUNDS = 3
+CHAT_SALT = "chat"
+
+
+@register(
+    "chat_turn_mask_spans",
+    # the shared greedy-pack recursive CTE, then the turn lattice is
+    # pure integer arithmetic per (doc, turn): md5-phase turn count,
+    # equal integer segments, odd segments are assistant turns — the
+    # multi-turn generalization of pack_mask_spans' div-3 rule.
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_GREEDY_PACK_CTE},
+        d AS (
+            SELECT doc_id, bucket, block_id, block_pos, n_tokens,
+                   2 * (1 + CAST(('0x' || substr(md5('{CHAT_SALT}'
+                                                     || CAST(doc_id AS VARCHAR)),
+                                                 1, 8)) AS BIGINT)
+                            % {CHAT_MAX_ROUNDS}) AS n_turns
+            FROM pack
+        ),
+        ex AS (SELECT d.*, unnest(range(0, n_turns)) AS t FROM d),
+        seg AS (
+            SELECT *,
+                   t * n_tokens // n_turns AS turn_start,
+                   (t + 1) * n_tokens // n_turns AS turn_end
+            FROM ex
+            WHERE t % 2 = 1
+        )
+        SELECT doc_id, bucket, block_id,
+               CAST(n_turns AS BIGINT) AS n_turns,
+               CAST(t AS BIGINT) AS turn_idx,
+               CAST(turn_start AS BIGINT) AS turn_start,
+               CAST(turn_end - turn_start AS BIGINT) AS turn_len,
+               CAST(block_pos + turn_start AS BIGINT) AS seq_start,
+               CAST(block_pos + turn_end AS BIGINT) AS seq_end
+        FROM seg
+        WHERE turn_end > turn_start
+    """,
+    tags=("packing", "training-data", "sft", "north-star"),
+)
+def chat_turn_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn SFT loss masks over the greedy no-split packing — the
+    conversation generalization of ``pack_mask_spans``: each doc is a
+    2/4/6-turn dialogue (md5-derived count, user first, alternating),
+    turn boundaries are equal integer segments of the doc's tokens, and
+    the loss is computed on ASSISTANT turns only (odd turn index) — the
+    standard multi-turn SFT collator rule (each assistant turn is a
+    separate loss span; user turns and padding are masked).
+
+    One row per non-empty assistant turn, all integers: the turn's
+    doc-local span ``[turn_start, turn_start + turn_len)`` and its
+    packed-sequence coordinates ``[seq_start, seq_end)`` (what the
+    collator actually indexes).  Docs shorter than their turn count
+    emit only the turns whose integer segment is non-empty — identical
+    arithmetic on both engines, so the drop is parity-exact.
+    ``pack_mask_spans`` is the single-turn special case (one prompt,
+    one completion, div-3 boundary); this one certifies the general
+    lattice.
+
+    Scale shape: rides ``greedy_pack_layout``'s single bucket exchange
+    (the one applyInPandas pass every packing operator shares), then
+    the turn lattice is row-local generate+explode — output ≤ 3 rows
+    per doc, no joins, no windows, no additional shuffle anywhere."""
+    packed = greedy_pack_layout(spark, sf_dir)
+    d = packed.select(
+        "doc_id",
+        "bucket",
+        "block_id",
+        "block_pos",
+        "n_tokens",
+        (
+            2
+            * (
+                1
+                + F.expr(
+                    f"""cast(conv(substring(md5(cast(concat('{CHAT_SALT}',
+                         cast(doc_id as string)) as binary)), 1, 8), 16, 10)
+                         as bigint) % {CHAT_MAX_ROUNDS}"""
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_turns"),
+    )
+    ex = d.select(
+        "*",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_turns") - 1)).alias("t"),
+    ).filter(F.col("t") % 2 == 1)
+    seg = ex.select(
+        "*",
+        F.expr("t * n_tokens div n_turns").alias("turn_start"),
+        F.expr("(t + 1) * n_tokens div n_turns").alias("turn_end"),
+    ).filter(F.col("turn_end") > F.col("turn_start"))
+    return seg.select(
+        "doc_id",
+        "bucket",
+        "block_id",
+        "n_turns",
+        F.col("t").alias("turn_idx"),
+        "turn_start",
+        (F.col("turn_end") - F.col("turn_start")).alias("turn_len"),
+        (F.col("block_pos") + F.col("turn_start")).alias("seq_start"),
+        (F.col("block_pos") + F.col("turn_end")).alias("seq_end"),
+    )

@@ -187,6 +187,63 @@ PRIORITY_FIRST: tuple[str, ...] = (
 #: Expected post-r14 state: oldest oracled driver row <= r9, remaining
 #: drain = 19 oracled r9-era rows, then r10-era.
 #:
+#: ROUND-14 registrations — the <=5 budget consumed EARLY, at the end
+#: of the round-13 session, AFTER the r13 window above was frozen and
+#: executing and the R14 recipe froze (so round 14 itself registers
+#: nothing new, and these five take their first driver rows in the R15
+#: window's slots 11-15 — the same two-round pipeline as the r11/r12/
+#: r13 batches).  All five oracled, all mid-region, all gated before
+#: registration (three shipped SFs, six virgin sf0.01 reseeds
+#: 804213/175393/962848/331207/648520/719064, the sf0.1-SCALE virgin
+#: reseed 285714, TWO sf0.001-SCALE tiny virgin reseeds 473928/158642,
+#: a driver-faithful --plain session, the static oracle-type gate, the
+#: empty-tables sweep, scale-sweep rows, shuffle-budget pins, and
+#: tests/test_round14.py property suites):
+#: source_epoch_plan (sampling.py — Muennighoff data-constrained
+#: epoching: sqrt-temperature Hamilton quotas converted to integer
+#: full-epoch repeat factors + partial-pass tokens, repeat cap 4,
+#: unfilled budget reported),
+#: length_bucket_batches (sampling.py — padding-minimizing bucketed
+#: batching: fixed 16-token bands, salted-md5 order, (band, shard)-
+#: local (batch_id, slot) coordinates, waste < band width per doc),
+#: chat_turn_mask_spans (text.py — multi-turn SFT loss masks over the
+#: packed layout: md5-derived 2/4/6-turn lattice, assistant-only loss
+#: spans in packed coordinates; pack_mask_spans is the 1-turn case),
+#: index_compaction_plan (incremental_index.py — size-tiered LSM
+#: compaction audit for the MinHash index: closed-form merge schedule
+#: over 13 delta batches at fanout 3, per-batch write amplification,
+#: end-state segment count; pytest proves the closed form equals an
+#: arrival simulation), and
+#: margin_bitext_mine (similarity.py — Artetxe & Schwenk ratio-margin
+#: bitext mining over the even/odd embedding split: q4-integer
+#: neighborhood denominators, mutual-best flags, guarded integer
+#: margin; brute-force numpy parity in pytest).
+#:
+#: ROUND-15 WINDOW RECIPE (frozen round 13, with the R14 recipe above
+#: already frozen and before any round-15 registration; execute at the
+#: start of round 15 AFTER the R14 window has landed).  Every slot is
+#: oracled — expected: 50/50 hash-PASS, zero rows-only slots.
+#: Slots 1-10: the same 10 sentinels.
+#: Slots 11-15: the five round-14 registrations above for their first
+#: driver rows — source_epoch_plan, length_bucket_batches,
+#: chat_turn_mask_spans, index_compaction_plan, margin_bitext_mine.
+#: Slots 16-34: the 19 remaining oracled r9-era rows, alphabetical —
+#: q10_returned_items, q14_promo_revenue, q17_small_quantity_revenue,
+#: q19_disjunctive_revenue, q1_pricing_summary, q3_shipping_priority,
+#: q5_regional_revenue, q7_nation_volume_shipping, q8_market_share,
+#: quality_scores, redact_pii, sequential_ids, sessionization,
+#: tfidf_top_terms, time_rollup_events, token_block_layout,
+#: token_counts, word_freq_topk, zscore_grouped_pandas.
+#: Slots 35-50: the first 16 oracled r10-era rows, alphabetical —
+#: block_sequential_ids, bm25_topk, boilerplate_block_removal,
+#: bucketed_join_revenue, char_stats_quality, cogroup_user_funnel,
+#: cosine_topk, decontaminate_docs, dedup_connected_components,
+#: dedup_incremental_batch, domain_mix_sample, dq_constraint_checks,
+#: dsir_importance_weights, embedding_isotropy_stats,
+#: embedding_near_dup, embedding_norm_stats.
+#: Expected post-r15 state: oldest oracled driver row <= r10,
+#: remaining drain = 20 oracled r10-era rows, then r11-era.
+#:
 #: ROUND-13 registrations — the <=5 budget consumed EARLY, at the end
 #: of the round-12 session, AFTER the r12 window executed and the
 #: recipe above froze (so round 13 itself registers nothing new, and

@@ -169,6 +169,25 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # returned plan); the plan is the delta audit agg + the pinned
     # delta-vocabulary distinct printed per its two readers
     "tokenizer_staleness_audit": 3,
+    # round-14: ONE corpus-reducing hash agg on source; the Hamilton
+    # windows after it run over |sources| rows (single-partition by
+    # design — the token_budget_allocation shape)
+    "source_epoch_plan": 1,
+    # round-14: row-local band/padding math -> ONE (band, shard)
+    # window exchange; never a global sort
+    "length_bucket_batches": 1,
+    # round-14: the packer's bucket exchange; the turn lattice is
+    # row-local generate+explode (the span_corruption_masks shape)
+    "chat_turn_mask_spans": 1,
+    # round-14: ONE corpus agg to 13 batch rows (pinned for its two
+    # readers — textually re-printed, the InMemoryTableScan note
+    # above) + the 13-row distinct-segment rollup
+    "index_compaction_plan": 3,
+    # round-14: two top-k window exchanges (fwd over side B, bwd over
+    # side A — the corpus streams once per direction) + the pinned
+    # fwd-topk frame and the <=|Q|-row distinct/joins re-printed per
+    # reader; denominator joins are broadcast (excluded by design)
+    "margin_bitext_mine": 6,
 }
 
 

@@ -199,6 +199,24 @@ HEADLINERS = (
     # is bounded by vocab, not corpus) — a regression that collects
     # corpus-sized state reads as a step here
     "tokenizer_staleness_audit",
+    # round 14: ONE corpus agg to |sources| rows, Hamilton windows on
+    # that tiny frame — alpha ~ the scan, a second corpus pass reads
+    # as a step (the token_budget_allocation row's twin)
+    "source_epoch_plan",
+    # round 14: row-local banding + one (band, shard) window — a
+    # regression to a global sort reads as skew-bound time at S3
+    "length_bucket_batches",
+    # round 14: rides the packer's bucket exchange; lattice rows are
+    # <= 3 per doc, so output (and alpha) is input-linear by
+    # construction — the floor, like span_corruption_masks' row
+    "chat_turn_mask_spans",
+    # round 14: ONE corpus agg to 13 batch rows + driver-trivial
+    # schedule arithmetic — alpha ~ the scan exactly
+    "index_compaction_plan",
+    # round 14: two broadcast-query scoring passes (corpus streams
+    # once per direction) + |Q|-sized margin math — alpha ~ the two
+    # scans; a candidate blow-up or a lost broadcast reads as a step
+    "margin_bitext_mine",
 )
 
 #: serve-only pseudo-query: not a registry name (the registry serves
@@ -421,6 +439,11 @@ def main() -> int:
         "curriculum_pack_compose": "docs",
         "capped_mixture_pipeline": "docs",
         "tokenizer_staleness_audit": "docs",
+        "source_epoch_plan": "docs",
+        "length_bucket_batches": "docs",
+        "chat_turn_mask_spans": "docs",
+        "index_compaction_plan": "docs",
+        "margin_bitext_mine": "emb",
     }
 
     def alpha(q: str, a: str, b: str) -> float:
