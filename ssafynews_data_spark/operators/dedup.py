@@ -416,10 +416,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-#: shared by dedup_connected_components AND dedup_cc_largestar — both
-#: algorithms must produce the identical (doc_id, min-reachable-id) map.
-_CC_ORACLE = f"""
-        WITH RECURSIVE sh AS (
+#: the transitive-closure CTE chain over the exact-Jaccard near-dup
+#: graph — shared verbatim by the three component-consuming oracles
+#: (dedup_connected_components, dedup_cc_largestar, soft_dedup_weights)
+#: so every one of them hash-checks against the SAME ground-truth
+#: component map.
+_CC_REACH_CTES = f"""sh AS (
             SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
             FROM documents
         ),
@@ -445,7 +447,12 @@ _CC_ORACLE = f"""
             SELECT a, a FROM (SELECT DISTINCT a FROM edges) t(a)
             UNION
             SELECT reach.node, edges.b FROM reach JOIN edges ON edges.a = reach.r
-        )
+        )"""
+
+#: shared by dedup_connected_components AND dedup_cc_largestar — both
+#: algorithms must produce the identical (doc_id, min-reachable-id) map.
+_CC_ORACLE = f"""
+        WITH RECURSIVE {_CC_REACH_CTES}
         SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
     """
 
@@ -1600,4 +1607,252 @@ def dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("tokens_total"),
             F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).alias("tokens_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Soft deduplication — down-weight duplicates instead of dropping them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=f"""
+        WITH RECURSIVE {_CC_REACH_CTES},
+        comp AS (
+            SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
+        ),
+        sz AS (
+            SELECT component_id, count(*) AS n FROM comp GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // coalesce(s.n, 1) AS BIGINT) AS weight_ppm
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sz s ON s.component_id = c.component_id
+    """,
+    tags=("dedup", "soft-dedup", "sampling", "training-data", "north-star"),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the SoftDeDup idea: down-weight duplicated
+    content instead of dropping it): every document gets a sampling
+    weight of ``1e6 // cluster_size`` ppm, where the cluster is its
+    connected component in the exact-Jaccard near-dup graph (the same
+    ground truth ``dedup_connected_components`` hash-checks).  A
+    cluster of k near-identical docs then contributes ~one doc's worth
+    of expected training mass (k * (1e6 // k) <= 1e6), while unique
+    docs keep weight 1.0 — preserving diversity inside dup clusters
+    that hard keep-first dedup would destroy.  Weight quantization is
+    an exact integer quotient, never a rounded double.
+
+    100 TB shape: the component map covers only docs that HAVE a
+    near-dup (orders of magnitude smaller than the corpus), so both
+    the label map and the per-cluster size frame broadcast; the corpus
+    pass is two broadcast left joins — no corpus-wide shuffle at all.
+    Singletons never materialize a cluster row (coalesce(size, 1)),
+    which is what keeps the joined sides duplicate-graph-sized.  At
+    scale the edges would come from ``minhash_lsh_pairs`` banding; the
+    exact-Jaccard edges here keep the oracle engine-independent
+    (``dedup_connected_components``'s note)."""
+    comp = dedup_connected_components(spark, sf_dir)  # (doc_id, component_id)
+    comp = pin(comp)  # feeds both the label join and the size agg
+    sz = comp.groupBy("component_id").agg(F.count("*").alias("n"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(F.broadcast(comp), "doc_id", "left")
+    return (
+        lab.join(F.broadcast(sz), "component_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("CAST(1000000 div coalesce(n, 1) AS BIGINT)").alias("weight_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. MinHash band tuning — the (bands, rows) S-curve design table.
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) candidates factoring the MINHASH_K=32 signature.
+BAND_TUNE_CANDIDATES: tuple[tuple[int, int], ...] = (
+    (1, 32),
+    (2, 16),
+    (4, 8),
+    (8, 4),
+    (16, 2),
+    (32, 1),
+)
+#: pair-Jaccard lattice: jq = floor(j * 10000) // 1000 in 0..10 — the
+#: decile grid keeps the exact-integer S-curve within HUGEINT range
+#: (10^(r*b) = 10^32 < 2^127) on the oracle side.
+BAND_TUNE_LATTICE = 10
+#: lattice point of JACCARD_THRESHOLD (0.5 -> decile 5).
+BAND_TUNE_JQ_T = int(JACCARD_THRESHOLD * BAND_TUNE_LATTICE)
+
+
+def band_detect_ppm(bands: int, rows: int, jq: int, q: int = BAND_TUNE_LATTICE) -> int:
+    """Exact-integer S-curve point: detection probability of a pair
+    with Jaccard j = jq/q under (bands x rows) LSH banding,
+    1 - (1 - j^rows)^bands, floor-quantized to ppm.  Evaluated in
+    arbitrary-precision Python integers (denominator q^(rows*bands)),
+    so the curve is a data-independent design constant — the ADC
+    literal-LUT precedent."""
+    D = q ** (rows * bands)
+    t = q**rows - jq**rows
+    return (D - t**bands) * 1_000_000 // D
+
+
+def _duck_hugeint_pow(base_expr: str, exp: int) -> str:
+    """Repeated-multiplication power expression (DuckDB has no exact
+    HUGEINT power); exp >= 1."""
+    return "(" + " * ".join([base_expr] * exp) + ")"
+
+
+def _band_tune_curve_sql() -> str:
+    """The S-curve lattice as a UNION ALL of six exact-HUGEINT branch
+    SELECTs — the oracle recomputes every curve point from the closed
+    form, independently of the engine's Python-integer evaluation."""
+    q = BAND_TUNE_LATTICE
+    branches = []
+    for b, r in BAND_TUNE_CANDIDATES:
+        d_lit = f"CAST('{q ** (r * b)}' AS HUGEINT)"
+        qr_lit = f"CAST('{q ** r}' AS HUGEINT)"
+        jqr = _duck_hugeint_pow("CAST(jq AS HUGEINT)", r)
+        tb = _duck_hugeint_pow("t", b)
+        branches.append(
+            f"""SELECT CAST({b} AS INT) AS bands,
+                       CAST({r} AS INT) AS rows_per_band, jq,
+                       CAST((({d_lit} - {tb}) * 1000000) // {d_lit} AS BIGINT)
+                           AS p_ppm
+                FROM (SELECT jq, {qr_lit} - {jqr} AS t FROM lattice) """
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "minhash_band_tuning",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jqs AS (
+            SELECT CAST(floor(common / (sa.n + sb.n - common) * 10000) AS BIGINT)
+                       // 1000 AS jq
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ),
+        hist AS (SELECT jq, count(*) AS cnt FROM jqs GROUP BY 1),
+        lattice AS (
+            SELECT CAST(unnest(generate_series(0, {BAND_TUNE_LATTICE})) AS BIGINT)
+                       AS jq
+        ),
+        curve AS ({_band_tune_curve_sql()})
+        SELECT bands, rows_per_band,
+               CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(CASE WHEN jq >= {BAND_TUNE_JQ_T} THEN cnt END), 0)
+                    AS BIGINT) AS n_above_threshold,
+               CAST(max(CASE WHEN jq = {BAND_TUNE_JQ_T} THEN p_ppm END) AS BIGINT)
+                   AS p_at_threshold_ppm,
+               CAST(coalesce(sum(cnt * p_ppm), 0) AS BIGINT)
+                   AS expected_detected_ppm,
+               CAST(coalesce(sum(CASE WHEN jq >= {BAND_TUNE_JQ_T}
+                                      THEN cnt * (1000000 - p_ppm) END), 0)
+                    AS BIGINT) AS fn_mass_ppm,
+               CAST(coalesce(sum(CASE WHEN jq < {BAND_TUNE_JQ_T}
+                                      THEN cnt * p_ppm END), 0)
+                    AS BIGINT) AS fp_mass_ppm
+        FROM curve LEFT JOIN hist USING (jq)
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning", "north-star"),
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows) design table for MinHash LSH: for every
+    factoring of the 32-hash signature, the exact-integer S-curve
+    1 - (1 - j^r)^b evaluated against the OBSERVED pair-Jaccard
+    histogram of this corpus — expected detected-pair mass, expected
+    false-negative mass above the 0.5 Jaccard threshold, and expected
+    false-positive (candidate-verification) mass below it, all in ppm.
+    This is the table a curator reads before picking LSH_BANDS: the
+    current (8, 4) choice shows its miss mass next to the extra verify
+    cost of (16, 2).
+
+    Exactness: the curve itself is data-independent — 66 lattice
+    points computed in arbitrary-precision Python integers and joined
+    as a literal frame (the ADC literal-LUT precedent); the oracle
+    recomputes every point from the closed form in HUGEINT repeated
+    multiplication.  Pair Jaccards reuse the established
+    floor(j * 10000) quantization, coarsened to deciles by exact
+    integer division, so histogram buckets are bit-stable
+    cross-engine.
+
+    100 TB shape: the only heavy step is the shingle self-join that
+    also powers ``ngram_jaccard_pairs`` — quadratic in colliding docs,
+    so at scale this runs on a uniform doc SAMPLE (the histogram shape
+    is what the S-curve integrates against; a 0.1% sample fixes the
+    design table); the lattice join is a broadcast of 66 literal rows
+    and the final aggregate is 6 groups."""
+    sh = pin(_doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jqs = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(F.expr("CAST(floor((common / (na + nb - common)) * 10000) AS BIGINT) div 1000").alias("jq"))
+    )
+    hist = jqs.groupBy("jq").agg(F.count("*").alias("cnt"))
+    curve_rows = [
+        (bb, rr, jq, band_detect_ppm(bb, rr, jq))
+        for bb, rr in BAND_TUNE_CANDIDATES
+        for jq in range(BAND_TUNE_LATTICE + 1)
+    ]
+    curve = spark.createDataFrame(
+        curve_rows, "bands INT, rows_per_band INT, jq LONG, p_ppm LONG"
+    )
+    jt = BAND_TUNE_JQ_T
+    joined = curve.join(hist, "jq", "left")
+    above = F.col("jq") >= jt
+    return joined.groupBy("bands", "rows_per_band").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(above, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("n_above_threshold"),
+        F.max(F.when(F.col("jq") == jt, F.col("p_ppm")))
+        .cast("long")
+        .alias("p_at_threshold_ppm"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("p_ppm")), F.lit(0))
+        .cast("long")
+        .alias("expected_detected_ppm"),
+        F.coalesce(
+            F.sum(F.when(above, F.col("cnt") * (F.lit(1_000_000) - F.col("p_ppm")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fn_mass_ppm"),
+        F.coalesce(F.sum(F.when(~above, F.col("cnt") * F.col("p_ppm"))), F.lit(0))
+        .cast("long")
+        .alias("fp_mass_ppm"),
     )

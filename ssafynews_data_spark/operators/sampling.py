@@ -9,6 +9,7 @@ rollups (the hypertable continuous-aggregate analog).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
@@ -1143,17 +1144,11 @@ EPOCH_PLAN_BUDGET = 100_000
 #: never schedules more than this many full passes over a source.
 EPOCH_MAX_REPEATS = 4
 
-
-@register(
-    "source_epoch_plan",
-    # pure integers end-to-end: sqrt-temperature weights are
-    # floor(sqrt(bigint)) over IEEE-identical doubles (the
-    # daily_count_anomalies precedent: correctly-rounded sqrt + floor
-    # agree bit-for-bit per engine), Hamilton quotas/remainders are the
-    # token_budget_allocation machinery verbatim, and the epoch split
-    # is div/mod on non-negative integers.
-    oracle=f"""
-        WITH per_src AS (
+#: the Hamilton-allocation CTE chain (corpus -> per-source
+#: quota_tokens), shared verbatim by source_epoch_plan and
+#: mixture_epoch_interleave so the interleave executes EXACTLY the plan
+#: the planner hash-checks.
+_EPOCH_PLAN_CTES = f"""per_src AS (
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
@@ -1195,7 +1190,19 @@ EPOCH_MAX_REPEATS = 4
                                WHEN rem_rank <= leftover THEN 1 ELSE 0 END
                         AS BIGINT) AS quota_tokens
             FROM ranked
-        )
+        )"""
+
+
+@register(
+    "source_epoch_plan",
+    # pure integers end-to-end: sqrt-temperature weights are
+    # floor(sqrt(bigint)) over IEEE-identical doubles (the
+    # daily_count_anomalies precedent: correctly-rounded sqrt + floor
+    # agree bit-for-bit per engine), Hamilton quotas/remainders are the
+    # token_budget_allocation machinery verbatim, and the epoch split
+    # is div/mod on non-negative integers.
+    oracle=f"""
+        WITH {_EPOCH_PLAN_CTES}
         SELECT source, n_docs, n_tokens, weight, quota_tokens,
                CAST(CASE WHEN n_tokens = 0 THEN 0
                          ELSE least(quota_tokens // n_tokens,
@@ -1432,4 +1439,221 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rn") - 1) % F.col("cap_docs")).cast("long").alias("slot"),
         "padded_len",
         (F.col("padded_len") - F.col("n_tokens")).cast("long").alias("pad_waste"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture epoch interleave — the executable form of source_epoch_plan.
+# ---------------------------------------------------------------------------
+
+#: interleave shuffle seed — decorrelated from EPOCH_SEED's standalone
+#: single-epoch layout; the per-epoch key is seeded "{MIX_SEED}:{epoch}"
+#: so every pass reshuffles.
+MIX_SEED = "mix0"
+
+
+def _mix_key(epoch, doc_id) -> "F.Column":
+    return F.md5(
+        F.concat(
+            F.lit(MIX_SEED + ":"),
+            epoch.cast("string"),
+            F.lit(":"),
+            doc_id.cast("string"),
+        ).cast("binary")
+    )
+
+
+def _mix_shard(k) -> "F.Column":
+    return (F.conv(F.substring(k, 1, 4), 16, 10).cast("long") % EPOCH_SHARDS).cast(
+        "long"
+    )
+
+
+@register(
+    "mixture_epoch_interleave",
+    oracle=f"""
+        WITH {_EPOCH_PLAN_CTES},
+        plan AS (
+            SELECT source, n_tokens,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                             ELSE least(quota_tokens // n_tokens,
+                                        {EPOCH_MAX_REPEATS}) END
+                        AS BIGINT) AS n_full_epochs,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                             WHEN quota_tokens // n_tokens >= {EPOCH_MAX_REPEATS}
+                             THEN 0
+                             ELSE quota_tokens % n_tokens END
+                        AS BIGINT) AS partial_tokens
+            FROM alloc
+        ),
+        dt AS (
+            SELECT doc_id, source, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        j AS (
+            SELECT d.doc_id, d.source, d.nt, p.n_full_epochs, p.partial_tokens
+            FROM dt d JOIN plan p USING (source)
+        ),
+        fulls AS (
+            SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch,
+                   nt AS tokens_taken
+            FROM j, unnest(generate_series(0, n_full_epochs - 1)) AS t(e)
+            WHERE n_full_epochs > 0
+        ),
+        par0 AS (
+            SELECT doc_id, source, nt, n_full_epochs AS epoch, partial_tokens,
+                   md5('{MIX_SEED}:' || CAST(n_full_epochs AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR)) AS k
+            FROM j
+            WHERE partial_tokens > 0
+        ),
+        par1 AS (
+            SELECT *, CAST(CAST(('0x' || substr(k, 1, 4)) AS BIGINT)
+                           % {EPOCH_SHARDS} AS BIGINT) AS shard
+            FROM par0
+        ),
+        par2 AS (
+            SELECT *, partial_tokens // {EPOCH_SHARDS}
+                      + CASE WHEN shard < partial_tokens % {EPOCH_SHARDS}
+                             THEN 1 ELSE 0 END AS quota
+            FROM par1
+        ),
+        par3 AS (
+            SELECT *, coalesce(sum(nt) OVER (PARTITION BY source, shard
+                                             ORDER BY k, doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING), 0)
+                          AS cum_before
+            FROM par2
+        ),
+        par AS (
+            SELECT doc_id, source, epoch,
+                   least(nt, quota - cum_before) AS tokens_taken
+            FROM par3 WHERE cum_before < quota
+        ),
+        occ0 AS (
+            SELECT doc_id, source, epoch, tokens_taken FROM fulls
+            UNION ALL
+            SELECT doc_id, source, epoch, tokens_taken FROM par
+        ),
+        occ1 AS (
+            SELECT *, md5('{MIX_SEED}:' || CAST(epoch AS VARCHAR)
+                          || ':' || CAST(doc_id AS VARCHAR)) AS k
+            FROM occ0
+        ),
+        occ2 AS (
+            SELECT *, CAST(CAST(('0x' || substr(k, 1, 4)) AS BIGINT)
+                           % {EPOCH_SHARDS} AS BIGINT) AS shard
+            FROM occ1
+        )
+        SELECT doc_id, source, epoch, shard,
+               CAST(row_number() OVER (PARTITION BY epoch, shard
+                                       ORDER BY k, doc_id) AS BIGINT) AS pos,
+               CAST(tokens_taken AS BIGINT) AS tokens_taken
+        FROM occ2
+    """,
+    tags=("sampling", "mixture", "epoching", "shuffle", "training-data", "north-star"),
+)
+def mixture_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global deterministic reader order that EXECUTES
+    ``source_epoch_plan``: every document appears once per scheduled
+    full epoch of its source, plus (for the final partial pass) a
+    salted-hash-selected prefix that fills the plan's
+    ``partial_tokens`` — so supply-capped sources repeat, oversupplied
+    sources downsample, and the emitted (epoch, shard, pos)
+    coordinates are the exact read schedule of a
+    ``EPOCH_SHARDS``-reader training fleet, repeats included.
+
+    Construction (all exact integers, byte-shared Hamilton CTEs with
+    the plan's oracle):
+
+    - full passes: epoch e in [0, n_full_epochs) per source, the whole
+      source each pass;
+    - partial pass (epoch = n_full_epochs): the source's
+      ``partial_tokens`` is Hamilton-split across shards (div/mod);
+      within (source, shard) docs are taken in salted-md5 order while
+      the running token sum stays under the shard quota, the last doc
+      truncated to ``tokens_taken`` — Σ tokens_taken reconciles with
+      the plan per source (minus only quota stranded in supply-empty
+      shards, which pytest bounds);
+    - coordinates: the interleave key md5("{MIX_SEED}:{epoch}:{doc_id}")
+      reshuffles every pass, derives the shard, and orders docs within
+      (epoch, shard) — sources MIX within an epoch (the point of
+      interleaving: no source-contiguous runs) yet the whole schedule
+      is bit-reproducible on any engine, retry, or resume.
+
+    100 TB shape: the plan join is a |sources|-row broadcast; full
+    passes are a row-multiplying projection (output-linear, the floor
+    for a schedule that lists every read); the partial-pass cumsum and
+    the position windows are (source, shard)- / (epoch, shard)-grained
+    — numerous balanced partitions, never a global sort
+    (``epoch_shuffle_layout``'s fleet-shuffle argument, extended to
+    multiple epochs)."""
+    from ssafynews_data_spark.operators.text import tokens_col
+
+    plan = source_epoch_plan(spark, sf_dir).select(
+        "source", "n_full_epochs", "partial_tokens"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("nt"),
+    )
+    j = dt.join(F.broadcast(plan), "source")
+    E = F.col("n_full_epochs")
+    fulls = j.filter(E > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0).cast("long"), (E - 1).cast("long"))).alias(
+            "epoch"
+        ),
+        F.col("nt").alias("tokens_taken"),
+    )
+    par0 = j.filter(F.col("partial_tokens") > 0).select(
+        "doc_id",
+        "source",
+        "nt",
+        E.alias("epoch"),
+        "partial_tokens",
+        _mix_key(E, F.col("doc_id")).alias("k"),
+    )
+    par1 = par0.withColumn("shard", _mix_shard(F.col("k")))
+    par2 = par1.withColumn(
+        "quota",
+        (
+            F.expr(f"partial_tokens div {EPOCH_SHARDS}")
+            + F.when(
+                F.col("shard") < F.col("partial_tokens") % EPOCH_SHARDS, 1
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    wcum = (
+        W.partitionBy("source", "shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    par3 = par2.withColumn(
+        "cum_before", F.coalesce(F.sum("nt").over(wcum), F.lit(0)).cast("long")
+    )
+    par = par3.filter(F.col("cum_before") < F.col("quota")).select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.least(F.col("nt"), F.col("quota") - F.col("cum_before")).alias(
+            "tokens_taken"
+        ),
+    )
+    occ = fulls.unionByName(par)
+    occ2 = occ.withColumn("k", _mix_key(F.col("epoch"), F.col("doc_id"))).withColumn(
+        "shard", _mix_shard(F.col("k"))
+    )
+    wpos = W.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return occ2.select(
+        "doc_id",
+        "source",
+        "epoch",
+        "shard",
+        F.row_number().over(wpos).cast("long").alias("pos"),
+        F.col("tokens_taken").cast("long").alias("tokens_taken"),
     )

@@ -480,13 +480,15 @@ def near_dup_auto(
 # ---------------------------------------------------------------------------
 
 
-def _ivf_flat_serve(assigned: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """The IVF-Flat serving shape shared by ``ann_ivf_topk`` (fresh fit)
-    and ``ivf_staleness_audit`` (frozen fit): probe each query's NPROBE
-    nearest centroids (broadcast crossJoin — |queries| × k rows), rank
-    exactly within the probed cells.  One definition so the stale-vs-
-    fresh retention comparison can never be skewed by the two paths
-    drifting apart."""
+def _ivf_flat_serve(
+    assigned: DataFrame, cent_df: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """The IVF-Flat serving shape shared by ``ann_ivf_topk`` (fresh fit),
+    ``ivf_staleness_audit`` (frozen fit) and ``ivf_recall_curve``
+    (swept ``nprobe``): probe each query's ``nprobe`` nearest centroids
+    (broadcast crossJoin — |queries| × k rows), rank exactly within the
+    probed cells.  One definition so the stale-vs-fresh retention
+    comparison can never be skewed by the two paths drifting apart."""
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -497,7 +499,7 @@ def _ivf_flat_serve(assigned: DataFrame, cent_df: DataFrame) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.desc("c_sim"), "centroid")
     probe = (
         qc.withColumn("p", F.row_number().over(wq))
-        .filter(F.col("p") <= NPROBE)
+        .filter(F.col("p") <= nprobe)
         .select("query_id", "q_emb", "centroid")
     )
     cands = assigned.join(F.broadcast(probe), "centroid").filter(
@@ -3805,4 +3807,129 @@ def margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin_q3"),
         mutual.alias("mutual"),
         (mutual & (margin >= MARGIN_ACCEPT_Q3)).alias("accepted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. IVF recall curve — recall@k vs nprobe, the serving-knob design table.
+# ---------------------------------------------------------------------------
+
+#: swept probe counts; the last one equals IVF_K, where probing every
+#: cell makes the IVF serve IDENTICAL to brute force — a theorem the
+#: oracle asserts as a hard equality, not a floor.
+IVF_CURVE_NPROBES: tuple[int, ...] = (1, 2, 4, IVF_K)
+
+
+@register(
+    "ivf_recall_curve",
+    oracle=f"""{_EXACT_TOPK_CTE},
+        facts AS (
+            SELECT count(DISTINCT query_id) AS n_queries,
+                   count(*) AS n_exact_rows,
+                   CAST(sum(CAST(round(sim * 10000) AS BIGINT)) AS BIGINT)
+                       AS exact_sim_sum_q4
+            FROM topk
+        )
+        SELECT CAST(p.nprobe AS INT) AS nprobe,
+               n_queries, n_exact_rows, exact_sim_sum_q4,
+               CAST(CASE WHEN p.nprobe = {IVF_K} THEN n_exact_rows END AS BIGINT)
+                   AS hits_at_full,
+               TRUE AS monotone_ok,
+               TRUE AS recall_floor_ok
+        FROM (VALUES {", ".join(f"({n})" for n in IVF_CURVE_NPROBES)}) p(nprobe)
+        CROSS JOIN facts
+    """,
+    tags=("similarity", "ivf", "tuning", "contract"),
+)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe design table for IVF serving: one KMeans(IVF_K, seed
+    42) fit, then the SAME ``_ivf_flat_serve`` swept over nprobe in
+    {1, 2, 4, 8}, each row carrying the DuckDB-recomputed exact-side
+    facts plus three engine-asserted claims:
+
+    - ``monotone_ok`` — recall is non-decreasing in nprobe.  This is a
+      THEOREM, not a tuned floor: the probe ranking (centroid sim
+      desc, centroid id) is deterministic, so cell sets are nested
+      across nprobe, and under the global candidate order (sim desc,
+      neighbor_id) an added candidate can only displace a non-exact
+      member of the top-k — hits never drop.  A violation means the
+      serve path broke (probe ranking nondeterminism, tie-break
+      drift), which is exactly what this row exists to catch.
+    - ``hits_at_full`` — at nprobe = IVF_K every cell is probed, so the
+      IVF serve IS brute force: the oracle pins hits == n_exact_rows as
+      a hard equality (NULL at partial probes, where hits are engine
+      facts no SQL oracle can know).
+    - ``recall_floor_ok`` — the shared IVF_RECALL_MIN_PCT floor,
+      asserted for nprobe >= NPROBE (the contract-surveyed operating
+      point; monotonicity then extends it upward for free) and
+      vacuously true below it, where single-cell probing legitimately
+      misses cross-centroid neighbors.
+
+    100 TB shape: one fit + one exact-top-k ground-truth pass (the
+    price every recall measurement pays, query-side-bounded); each
+    curve point touches nprobe/IVF_K of the corpus via the broadcast
+    probe join of ``ann_ivf_topk``, and the per-point reduction is a
+    TOP_K·|queries|-row join + count.  The curve is the artifact that
+    justifies the NPROBE constant the serving ops hard-code."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    out_schema = (
+        "nprobe int, n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
+        " hits_at_full long, monotone_ok boolean, recall_floor_ok boolean"
+    )
+    corpus = _corpus(spark, sf_dir)
+    if corpus.isEmpty():
+        return spark.createDataFrame(
+            [
+                (n, 0, 0, None, 0 if n == IVF_K else None, True, True)
+                for n in IVF_CURVE_NPROBES
+            ],
+            out_schema,
+        )
+    vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
+    model = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid").fit(
+        vecs
+    )
+    assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+
+    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
+    exact_ids = exact.select("query_id", "neighbor_id")
+    hit_rows = None
+    for n in IVF_CURVE_NPROBES:
+        served = _ivf_flat_serve(assigned, cent_df, nprobe=n)
+        h = (
+            served.select("query_id", "neighbor_id")
+            .join(exact_ids, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(n).alias("nprobe"), "n_hits")
+        )
+        hit_rows = h if hit_rows is None else hit_rows.unionByName(h)
+    facts = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_rows"),
+        F.sum(F.round(F.col("sim") * 10000).cast("long")).alias("exact_sim_sum_q4"),
+    )
+    w = W.orderBy("nprobe")
+    prev = F.lag("n_hits").over(w)
+    return (
+        hit_rows.crossJoin(facts)
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_exact_rows",
+            "exact_sim_sum_q4",
+            F.when(F.col("nprobe") == IVF_K, F.col("n_hits"))
+            .cast("long")
+            .alias("hits_at_full"),
+            (prev.isNull() | (F.col("n_hits") >= prev)).alias("monotone_ok"),
+            (
+                (F.col("nprobe") < NPROBE)
+                | (F.col("n_hits") * 100 >= F.col("n_exact_rows") * IVF_RECALL_MIN_PCT)
+            ).alias("recall_floor_ok"),
+        )
     )
