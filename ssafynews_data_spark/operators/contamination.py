@@ -106,7 +106,11 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantized ratio uses floor() per the cross-engine rule
     (registry.py module docs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs, CONTAM_W)
+    # pin: the shingle frame feeds three consumers (bench distinct,
+    # per-doc sizes, hit counts) — one tokenize+shingle pass instead of
+    # three (the token array inside _shingle_hashes is pinned for the
+    # CollapseProject trap, but the explode itself re-ran per consumer).
+    sh = pin(_shingle_hashes(docs, CONTAM_W))
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
     )
@@ -472,7 +476,10 @@ def eval_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0).cast("long"))
     return (
         trs.crossJoin(F.broadcast(evn))
-        .join(hit, ["train_source", "eval_source"], "left")
+        # broadcast: hit is at most |sources|² rows but its post-agg
+        # size estimate kept the planner on a sort-merge join (2 extra
+        # sorts + an exchange in the before-plan) — hint it (guide §3.1)
+        .join(F.broadcast(hit), ["train_source", "eval_source"], "left")
         .select(
             "train_source",
             "eval_source",

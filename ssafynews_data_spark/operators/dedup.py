@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ssafynews_data_spark.operators.text import tokens_col, _DUCK_TOKENS
 from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -1528,7 +1529,7 @@ def minhash_chain_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     n_chain = chain.count()
     n_common = chain.join(exact, cols, "left_semi").count()
     n_conf_caught = chain.join(confident, cols, "left_semi").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_exact,
@@ -1829,11 +1830,13 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bb, rr in BAND_TUNE_CANDIDATES
         for jq in range(BAND_TUNE_LATTICE + 1)
     ]
-    curve = spark.createDataFrame(
+    curve = local_df(spark, 
         curve_rows, "bands INT, rows_per_band INT, jq LONG, p_ppm LONG"
     )
     jt = BAND_TUNE_JQ_T
-    joined = curve.join(hist, "jq", "left")
+    # broadcast: hist is ≤ 11 decile rows but its post-agg estimate
+    # planned the lattice join sort-merge (guide §3.1)
+    joined = curve.join(F.broadcast(hist), "jq", "left")
     above = F.col("jq") >= jt
     return joined.groupBy("bands", "rows_per_band").agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_pairs"),

@@ -54,6 +54,7 @@ from ssafynews_data_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 
 DELTA_MOD = 5  # doc_id % 5 == 0 → the "new batch" (20%)
@@ -251,7 +252,7 @@ def incremental_index_recall_contract(spark: SparkSession, sf_dir: str) -> DataF
     n_found = found.count()
     n_common = found.join(exact, cols, "left_semi").count()
     n_conf_caught = found.join(confident, cols, "left_semi").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_exact,
@@ -335,7 +336,7 @@ def streaming_index_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFra
     base = _index_dir(sf_dir) + "_stream_ingest"
     shutil.rmtree(base, ignore_errors=True)
     if n_delta == 0:
-        return spark.createDataFrame([(0, True, True, True)], out_schema)
+        return local_df(spark, [(0, True, True, True)], out_schema)
 
     stage = os.path.join(base, "stage")
     delta_docs.repartition(INGEST_STAGE_FILES).write.mode("overwrite").parquet(stage)
@@ -397,7 +398,7 @@ def streaming_index_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFra
     only_s = streamed.join(batch_built, cols, "left_anti").count()
     only_b = batch_built.join(streamed, cols, "left_anti").count()
     first_pass_batches = len({b for p, b in batch_log if p == 0})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(n_delta),

@@ -115,9 +115,18 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams = toks.select(F.explode("t").alias("w"))
     uni = unigrams.groupBy("w").agg(F.count("*").cast("double").alias("c1"))
     voc = unigrams.agg(F.countDistinct("w").cast("double").alias("vocab"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    # c12 as a COUNT WINDOW over (w1, w2) instead of groupBy + self-join:
+    # the join form shuffled the pairs table by (w1, w2) twice (once to
+    # build the bigram counts, once to join them back); the window form
+    # pays ONE exchange + an in-partition sort (guide §2.4 — two
+    # operations keyed the same way share one exchange).  Counts are
+    # integers either way, so avg_nll is bit-identical (verified by
+    # exact frame equality at sf0.1).  Hot-bigram skew is unchanged:
+    # the join form shuffled every pair row of a hot key to one reducer
+    # too.
+    wb = W.partitionBy("w1", "w2")
     scored = (
-        pairs.join(bi, ["w1", "w2"])
+        pairs.withColumn("c12", F.count("*").over(wb).cast("double"))
         .join(F.broadcast(uni), pairs["w1"] == uni["w"])
         .crossJoin(F.broadcast(voc))
     )

@@ -9,6 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -163,7 +164,7 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape when one side is a handful of rows (the alternative, a CASE
     expression, doesn't generalize to bands loaded from data)."""
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_df(spark, 
         [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e308)],
         "band string, lo double, hi double",
     )

@@ -7,6 +7,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -305,7 +306,7 @@ def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     metrics = observed_write(docs, path, audit_cols=("text",))
     n_back = spark.read.parquet(path).count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(metrics["n_rows"], metrics["nulls_text"], n_back)],
         "n_rows LONG, nulls_text LONG, n_readback LONG",
     )

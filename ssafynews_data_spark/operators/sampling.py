@@ -13,6 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -194,7 +195,9 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.agg(
         F.sum("n_docs").alias("total"), F.sum("w").alias("wsum")
     )
-    th = (
+    # pin: th feeds the keep-filter broadcast AND the final report join
+    # — one per-source aggregate pass instead of two (guide §2.4)
+    th = pin(
         counts.crossJoin(F.broadcast(totals))
         .withColumn(
             "threshold_bp",
@@ -214,7 +217,9 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
-    return th.join(kept, "source", "left").select(
+    # broadcast: |sources| rows each side, but post-agg estimates put
+    # the report join on sort-merge (guide §3.1)
+    return th.join(F.broadcast(kept), "source", "left").select(
         "source",
         "n_docs",
         "threshold_bp",
@@ -359,7 +364,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_r"), F.sum("c_t"), F.count("*")
     ).first()
     if not total_r:  # empty corpus: sums come back NULL
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "doc_id long, n_tokens long, dsir_score double"
         )
     total_t = total_t or 0  # corpus without the target domain
@@ -1112,9 +1117,11 @@ def capped_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # broadcast: every report-side frame is |sources| rows; post-agg
+    # estimates otherwise planned the final joins sort-merge (guide §3.1)
     return (
-        nd.join(th, "source")
-        .join(fin, "source", "left")
+        nd.join(F.broadcast(th), "source")
+        .join(F.broadcast(fin), "source", "left")
         .select(
             "source",
             "n_docs",

@@ -57,6 +57,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -201,7 +202,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pdf = corpus.toPandas()  # verify-form corpus is small by contract (guarded)
     if pdf.empty:
-        return spark.createDataFrame([], "id_a LONG, id_b LONG, cos_sim DOUBLE")
+        return local_df(spark, [], "id_a LONG, id_b LONG, cos_sim DOUBLE")
 
     b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     B = np.array(pdf["emb"].tolist(), dtype=np.float64)
@@ -311,7 +312,15 @@ def pair_cosine(a: Column, b: Column) -> Column:
     THE single definition of the accumulation recipe: every consumer
     shares this UDF so the bitwise-equality guarantee can't drift.
     Built lazily (and cached) because pandas_udf return-type parsing
-    needs an active SparkContext — module import must stay session-free."""
+    needs an active SparkContext — module import must stay session-free.
+
+    Marked non-deterministic (it is not — the fold is exact) as the
+    optimizer fence from the optimization guide §4.4: a filter on the
+    UDF's output otherwise duplicates the ArrowEvalPython node (one
+    copy pushed below the filter, one in the surviving projection), so
+    every candidate pair paid the Arrow round-trip twice
+    (near_dup_auto's plan showed ArrowEvalPython at nodes 35 AND 38;
+    after the fence it is evaluated once)."""
     global _PAIR_COSINE_UDF
     if _PAIR_COSINE_UDF is None:
 
@@ -330,7 +339,7 @@ def pair_cosine(a: Column, b: Column) -> Column:
                 acc = acc + A[:, i] * B[:, i]
             return pd.Series(acc / (np.sqrt(na2) * np.sqrt(nb2)))
 
-        _PAIR_COSINE_UDF = _pc
+        _PAIR_COSINE_UDF = _pc.asNondeterministic()
     return _PAIR_COSINE_UDF(a, b)
 
 
@@ -438,6 +447,11 @@ def near_dup_auto(
     parquet metadata / cached input), the moral equivalent of AQE
     choosing a join strategy from runtime stats.
     """
+    # pin: the corpus feeds the routing count plus two (exact branch)
+    # or three (LSH branch: banding, id_a-emb join, id_b-emb join)
+    # consumers — one materialization instead of re-running the scan +
+    # cast lineage per consumer (guide §2.4).
+    corpus = pin(corpus)
     n = corpus.count()
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
@@ -449,10 +463,14 @@ def near_dup_auto(
     else:  # SRP-LSH candidates, then exact verify on candidates only
         rbits, bands = srp_band_params(n, threshold)
         keys = _srp_band_keys(rbits, bands)
-        banded = corpus.select(
+        # pin: banded feeds BOTH sides of the self-join; without the
+        # barrier each side re-runs the SRP GEMM over the whole corpus
+        # (the before-plan showed the banding ArrowEvalPython twice,
+        # nodes 4 and 12 — guide §4: halve the Python-boundary work).
+        banded = pin(corpus.select(
             F.col(id_col).alias("_id"),
             F.posexplode(keys(as_double(F.col(emb_col)))).alias("_band", "_key"),
-        )
+        ))
         cand = (
             banded.alias("x")
             .join(
@@ -518,6 +536,30 @@ def _ivf_flat_serve(
     )
 
 
+def _ivf_fresh_topk(corpus: DataFrame) -> DataFrame:
+    """Fresh KMeans(IVF_K, seed 42) fit + IVF-Flat serve over an
+    already-loaded corpus — the body of ``ann_ivf_topk``, factored so
+    callers that ALREADY hold the (pinned) corpus
+    (``ivf_staleness_audit``'s fresh-baseline leg) don't re-scan
+    parquet and re-run the cast lineage for the same fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    vecs = pin(corpus.withColumn("vec", array_to_vector(F.col("emb"))))
+    km = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid")
+    model = km.fit(vecs)
+    # assigned feeds the query slice AND the candidate join inside
+    # _ivf_flat_serve — pin so the transform runs once
+    assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+    return _ivf_flat_serve(assigned, cent_df)
+
+
 @register("ann_ivf_topk", tags=("similarity", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat: KMeans(k=8, seed=42) coarse centroids; each query
@@ -527,19 +569,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query reads nprobe/k of the data (partition pruning); here the
     pruning happens via the broadcast equi-join on centroid id.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = _corpus(spark, sf_dir).withColumn("vec", array_to_vector(F.col("emb")))
-    km = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="centroid")
-    model = km.fit(corpus)
-    assigned = model.transform(corpus).select("vec_id", "emb", "centroid")
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
-    return _ivf_flat_serve(assigned, cent_df)
+    return _ivf_fresh_topk(_corpus(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +606,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     if corpus.isEmpty():
-        return spark.createDataFrame([], "vec_id LONG, centroid INT, n_dropped_in_cluster LONG")
+        return local_df(spark, [], "vec_id LONG, centroid INT, n_dropped_in_cluster LONG")
     vecs = pin(corpus.withColumn("vec", array_to_vector(F.col("emb"))))
     # right-size the iterative fit like vectors.pca_kmeans: ~20 KMeans
     # jobs each pay per-task scheduling overhead; ~10k rows per task,
@@ -593,11 +623,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=SEMDEDUP_K, seed=42, maxIter=SEMDEDUP_MAXITER,
         featuresCol="vec", predictionCol="centroid",
     )
-    # assigned feeds the per-cluster pairwise step AND the keeper
-    # anti-join — pin so the KMeans transform runs once.
-    assigned = pin(km.fit(vecs).transform(vecs).select("vec_id", "emb", "centroid"))
+    assigned = km.fit(vecs).transform(vecs).select("vec_id", "emb", "centroid")
 
-    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    def keepers_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         # dense GEMM within one cluster — dimension-by-dimension IN-ORDER
         # accumulation, bitwise-identical to the JVM aggregate(zip_with)
         # cosine (same recipe as embedding_near_dup; vectorization
@@ -613,29 +641,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = np.sqrt(n2)
         sim = acc / (nrm[:, None] * nrm[None, :])
         mask = (ids[:, None] < ids[None, :]) & (sim >= SEMDEDUP_EPS)
-        return pd.DataFrame({"vec_id": np.unique(ids[np.nonzero(mask)[1]])})
+        # the group knows its whole answer: kept rows AND the drop count
+        # (every id with a smaller-id near-dup drops; the smallest id of
+        # a cluster can never drop, so a cluster is never empty)
+        dropped = np.unique(ids[np.nonzero(mask)[1]])
+        keep = ~np.isin(ids, dropped)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[keep],
+                "centroid": pdf["centroid"].to_numpy()[keep],
+                "n_dropped_in_cluster": np.int64(len(dropped)),
+            }
+        )
 
     # groupBy(centroid).applyInPandas = ONE hash-partition of the corpus
     # by centroid; each cluster is a dense numpy block — the per-pair
     # JVM lambda join form was 5x slower at sf0.1 (1.5M pairs x 768-dim
-    # aggregate per pair vs 8 cluster-local matrix products).
-    dropped = assigned.groupBy("centroid").applyInPandas(
-        drop_in_cluster, "vec_id LONG"
-    )
-    kept = assigned.join(dropped, "vec_id", "left_anti")
-    drops = (
-        assigned.join(dropped, "vec_id", "left_semi")
-        .groupBy("centroid")
-        .agg(F.count("*").alias("n_dropped_in_cluster"))
-    )
-    return (
-        kept.select("vec_id", "centroid")
-        .join(drops, "centroid", "left")
-        .select(
-            "vec_id",
-            "centroid",
-            F.coalesce("n_dropped_in_cluster", F.lit(0)).alias("n_dropped_in_cluster"),
-        )
+    # aggregate per pair vs 8 cluster-local matrix products).  The
+    # grouped map emits the FINAL rows (kept ids + the cluster's drop
+    # count) directly: the previous keeper anti-join + drop-count
+    # semi-join + per-centroid aggregate + left join re-ran the GEMM
+    # subtree per consumer (FlatMapGroupsInPandas twice in the r13
+    # before-plan) and added three joins the group already knew the
+    # answer to.  One exchange, one Python stage, zero joins.
+    return assigned.groupBy("centroid").applyInPandas(
+        keepers_in_cluster,
+        "vec_id LONG, centroid INT, n_dropped_in_cluster LONG",
     )
 
 
@@ -733,7 +764,7 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     if corpus.isEmpty():  # KMeans cannot fit on zero rows (empty-day path)
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id LONG, neighbor_id LONG, sim DOUBLE, rank INT"
         )
     # repo-local scratch (spark-warehouse/ is gitignored); keyed by SF so
@@ -746,7 +777,7 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = write_ivf_index(corpus, path)
 
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cent_df = spark.createDataFrame(centers, "centroid INT, c_emb ARRAY<DOUBLE>")
+    cent_df = local_df(spark, centers, "centroid INT, c_emb ARRAY<DOUBLE>")
     queries = corpus.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -771,7 +802,7 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted({r["centroid"] for r in probe_rows})
 
     pruned = read_ivf_probe(spark, path, cents)
-    probe_df = spark.createDataFrame(probe_rows, probe.schema)
+    probe_df = local_df(spark, probe_rows, probe.schema)
     cands = pruned.join(F.broadcast(probe_df), "centroid").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -964,11 +995,16 @@ def _ann_recall_contract(
     if _corpus(spark, sf_dir).isEmpty():
         # matches the oracle on empty input: counts 0, NULL sim sum,
         # recall vacuously satisfied (0 hits >= 0 required)
-        return spark.createDataFrame([(0, 0, None, True)], _ANN_CONTRACT_SCHEMA)
+        return local_df(spark, [(0, 0, None, True)], _ANN_CONTRACT_SCHEMA)
     approx = approx_fn()
-    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim")
+    # pin: exact feeds the hit join AND the facts aggregate — one
+    # corpus topk pass instead of two; broadcast: both sides are
+    # N_QUERIES×TOP_K rows but post-window estimates planned a
+    # sort-merge join (guide §3.1)
+    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        F.broadcast(exact.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
     )
     e = exact.agg(
         F.count_distinct("query_id").alias("n_queries"),
@@ -1173,7 +1209,7 @@ def near_dup_containment_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     n_exact = exact.count()
     n_lsh = lsh.count()
     n_common = lsh.join(exact, ["id_a", "id_b"], "left_semi").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_exact, n_common == n_lsh, n_common >= 0.8 * n_exact)],
         "n_exact_pairs long, lsh_subset_of_exact boolean, recall_ok boolean",
     )
@@ -1357,7 +1393,7 @@ def _adc_lut_row(
                 )
             )
     return (
-        spark.createDataFrame(entries, "lk int, pd array<double>, cn2 double")
+        local_df(spark, entries, "lk int, pd array<double>, cn2 double")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("lk", F.struct("pd", "cn2")))
@@ -1479,7 +1515,7 @@ def ann_pq_topk_frame(
     if not qrows:
         # empty corpus / no queries: nothing to train or serve (KMeans
         # cannot fit on zero rows — same guard as the ANN contracts)
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id long, neighbor_id long, sim double, rank int"
         )
     books = _pq_codebooks(corpus, emb_col, id_col)
@@ -1623,13 +1659,13 @@ def _residual_lut_row(
                 cross_entries.append(
                     (m * n_cells * PQ_K + c * PQ_K + k, float(cc_mk[c, k]))
                 )
-    cent_row = spark.createDataFrame(
+    cent_row = local_df(spark, 
         cent_entries, "c int, qc array<double>, cn2 double"
     ).agg(
         F.map_from_entries(F.collect_list(F.struct("c", "qc"))).alias("_adc_qc"),
         F.map_from_entries(F.collect_list(F.struct("c", "cn2"))).alias("_adc_ccn2"),
     )
-    cross_row = spark.createDataFrame(cross_entries, "ck int, x double").agg(
+    cross_row = local_df(spark, cross_entries, "ck int, x double").agg(
         F.map_from_entries(F.collect_list(F.struct("ck", "x"))).alias("_adc_cross")
     )
     return (
@@ -1790,7 +1826,7 @@ def ivfpq_topk_frame(spark: SparkSession, corpus: DataFrame, path: str) -> DataF
         corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
     )
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id long, neighbor_id long, sim double, rank int"
         )
     books, centers = ivfpq_build_index(spark, corpus, path)
@@ -1854,7 +1890,7 @@ def _write_ivfpq_meta(
         for m in range(len(books))
         for k in range(PQ_K)
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "kind string, m int, k int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
@@ -1974,7 +2010,7 @@ def ivfpq_serve(
         .filter(F.col("centroid").isin(cells))
         .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("emb_n"))
     )
-    q_emb = spark.createDataFrame(
+    q_emb = local_df(spark, 
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, emb_q array<double>",
     )
@@ -2049,7 +2085,7 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/IVF_K probes, so quantization loss is certified ~zero
     independent of the embedding draw (see the constant's ladder)."""
     if _corpus(spark, sf_dir).isEmpty():
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, None, True, True)],
             "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
             " recall_ok boolean, retention_ok boolean",
@@ -2121,7 +2157,7 @@ def adc_batch_parity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
     )
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, True)], "n_scored long, paths_identical boolean"
         )
     books = _pq_codebooks(corpus)
@@ -2140,7 +2176,7 @@ def adc_batch_parity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_lit = lit.join(bat, cols, "left_anti").count()
     only_bat = bat.join(lit, cols, "left_anti").count()
     n = lit.count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n, only_lit == 0 and only_bat == 0)],
         "n_scored long, paths_identical boolean",
     )
@@ -2222,7 +2258,7 @@ def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("mx"), F.count("*").alias("n")
     ).collect()[0]
     if stats.n == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, 0, True, True)],
             "n_base long, n_appended long, n_index long,"
             " serve_complete boolean, codes_valid boolean",
@@ -2260,7 +2296,7 @@ def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     serve_rows = ivfpq_serve(spark, path, books, centers, qrows).count()
     expected = _serve_expected(idx, centers, qrows)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(base.count()),
@@ -2319,7 +2355,7 @@ def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
     )
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, True, True)],
             "n_queries long, state_roundtrip_ok boolean, serve_complete boolean",
         )
@@ -2329,14 +2365,17 @@ def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path + "_meta", ignore_errors=True)
     books, centers = ivfpq_build_index(spark, corpus, path)
     books2, centers2 = ivfpq_load_meta(spark, path)
-    built = ivfpq_serve(spark, path, books, centers, qrows)
-    loaded = ivfpq_serve(spark, path, books2, centers2, qrows)
+    # pin both serve outputs: built feeds two anti-join counts and
+    # loaded three consumers — without the barrier each count re-ran
+    # the whole serve pipeline (codes scan + ADC + window + refine).
+    built = pin(ivfpq_serve(spark, path, books, centers, qrows))
+    loaded = pin(ivfpq_serve(spark, path, books2, centers2, qrows))
     cols = built.columns
     only_built = built.join(loaded, cols, "left_anti").count()
     only_loaded = loaded.join(built, cols, "left_anti").count()
     n_loaded = loaded.count()
     expected = _serve_expected(spark.read.parquet(path), centers2, qrows)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 len(qrows),
@@ -2568,7 +2607,7 @@ def opq_rotation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear scan itself."""
     corpus = _corpus(spark, sf_dir)
     if corpus.isEmpty():
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, PQ_M, True, True, True)],
             "n_vectors long, n_subspaces int, rotation_orthogonal_ok boolean,"
             " opq_train_sse_le_plain boolean, opq_corpus_sse_ok boolean",
@@ -2720,7 +2759,7 @@ def opq_ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     apparatus, not the serving path."""
     corpus = _corpus(spark, sf_dir)
     if corpus.isEmpty():
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, None, True, True)],
             "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
             " rotation_preserves_exact_topk boolean, recall_ok boolean",
@@ -2863,7 +2902,7 @@ def sq8_build_index(
     companion.  At 100 TB the codes file is the 4x-smaller scan set;
     the flat file is touched only for SQ_RERANK candidates per query."""
     vmin, vmax = sq8_train(corpus)
-    spark.createDataFrame(
+    local_df(spark, 
         [(i, float(vmin[i]), float(vmax[i])) for i in range(len(vmin))],
         "dim int, vmin double, vmax double",
     ).write.mode("overwrite").parquet(path + "_meta")
@@ -2893,7 +2932,7 @@ def sq8_serve(
     compressed-scan pass, broadcast query side), cut to SQ_RERANK
     candidates per query, exact re-rank against the flat companion
     fetched for candidates only — the faiss ``SQ8,Refine`` shape."""
-    q_emb = spark.createDataFrame(
+    q_emb = local_df(spark, 
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, emb_q array<double>",
     )
@@ -3001,7 +3040,7 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
     )
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, None, True, True, True)],
             "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
             " state_roundtrip_ok boolean, recon_err_bounded boolean,"
@@ -3013,8 +3052,10 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path + "_flat", ignore_errors=True)
     vmin, vmax = sq8_build_index(spark, corpus, path)
     vmin2, vmax2 = sq8_load_meta(spark, path)
-    built = sq8_serve(spark, path, vmin, vmax, qrows)
-    loaded = sq8_serve(spark, path, vmin2, vmax2, qrows)
+    # pin both serve outputs (see ivfpq_serve_contract): each extra
+    # consumer otherwise re-ran the dequant scan + window + refine.
+    built = pin(sq8_serve(spark, path, vmin, vmax, qrows))
+    loaded = pin(sq8_serve(spark, path, vmin2, vmax2, qrows))
     cols = built.columns
     roundtrip_ok = (
         built.join(loaded, cols, "left_anti").count() == 0
@@ -3032,7 +3073,7 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exact_rows"),
         F.sum(F.round(F.col("sim") * 10000).cast("long")).alias("exact_sim_sum_q4"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(facts.n_queries),
@@ -3148,7 +3189,9 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4.alias("neg_sim_q4"),
         F.col("r").cast("int").alias("neg_rank"),
     )
-    return pos.join(neg, "anchor_id").select(
+    # broadcast: pos is ≤ |anchors| rows but sat behind a window +
+    # filter, so the planner fell back to sort-merge (guide §3.1)
+    return F.broadcast(pos).join(neg, "anchor_id").select(
         "anchor_id",
         "positive_id",
         "negative_id",
@@ -3218,7 +3261,7 @@ def ivfsq8_build_index(
         ("sqmin", -1, [float(x) for x in vmin]),
         ("sqmax", -1, [float(x) for x in vmax]),
     ]
-    spark.createDataFrame(rows, "kind string, m int, vec array<double>").coalesce(
+    local_df(spark, rows, "kind string, m int, vec array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(path + "_meta")
     return centers, vmin, vmax
@@ -3271,7 +3314,7 @@ def ivfsq8_serve(
             ).alias("emb_hat"),
         )
     )
-    q_emb = spark.createDataFrame(
+    q_emb = local_df(spark, 
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, emb_q array<double>",
     )
@@ -3360,15 +3403,17 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         " recall_ok boolean, retention_ok boolean"
     )
     if not qrows:
-        return spark.createDataFrame([(0, 0, None, True, True, True, True)], out_schema)
+        return local_df(spark, [(0, 0, None, True, True, True, True)], out_schema)
     path = _ivfpq_path(sf_dir) + "_sq8"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + "_meta", ignore_errors=True)
     shutil.rmtree(path + "_flat", ignore_errors=True)
     centers, vmin, vmax = ivfsq8_build_index(spark, corpus, path)
     centers2, vmin2, vmax2 = ivfsq8_load_meta(spark, path)
-    built = ivfsq8_serve(spark, path, centers, vmin, vmax, qrows)
-    loaded = ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows)
+    # pin both serve outputs (see ivfpq_serve_contract): each extra
+    # consumer otherwise re-ran the pruned scan + dequant + refine.
+    built = pin(ivfsq8_serve(spark, path, centers, vmin, vmax, qrows))
+    loaded = pin(ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows))
     cols = built.columns
     roundtrip_ok = (
         built.join(loaded, cols, "left_anti").count() == 0
@@ -3393,8 +3438,21 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8_hits = loaded.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
+    # flat-IVF retention baseline served from the index's OWN flat store
+    # and centers — ann_ivf_topk here re-fit the identical KMeans
+    # (same corpus, k, seed) and re-scanned the corpus for nothing
+    # (guide §2.4: remove the redundant pass).  Same assignment, same
+    # serve path (_ivf_flat_serve), identical hit set.
+    cent_df = local_df(
+        spark,
+        [(i, [float(x) for x in centers[i]]) for i in range(centers.shape[0])],
+        "centroid INT, c_emb ARRAY<DOUBLE>",
+    )
     ivf_hits = (
-        ann_ivf_topk(spark, sf_dir)
+        _ivf_flat_serve(
+            spark.read.parquet(path + "_flat").select("vec_id", "emb", "centroid"),
+            cent_df,
+        )
         .select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
         .count()
@@ -3404,7 +3462,7 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exact_rows"),
         F.sum(F.round(F.col("sim") * 10000).cast("long")).alias("exact_sim_sum_q4"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(facts.n_queries),
@@ -3546,7 +3604,7 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = pin(_corpus(spark, sf_dir))
     stats = corpus.agg(F.max("vec_id").alias("mx"), F.count("*").alias("n")).first()
     if not stats.n:
-        return spark.createDataFrame([(0, 0, 0, None, True, True, True)], out_schema)
+        return local_df(spark, [(0, 0, 0, None, True, True, True)], out_schema)
     cut = int(stats.mx) + 1 - int(stats.n) // STALE_DELTA_DEN
 
     vecs = corpus.withColumn("vec", array_to_vector(F.col("emb")))
@@ -3562,7 +3620,7 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+    cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
 
     # delta_visible_ok, the FALSIFIABLE form: every DELTA row's stored
     # cell must equal the independent Euclidean argmin against the
@@ -3581,8 +3639,10 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale_hits = stale_topk.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
+    # fresh baseline over the ALREADY-pinned corpus (ann_ivf_topk would
+    # re-scan parquet and re-run the cast lineage for the same fit)
     fresh_hits = (
-        ann_ivf_topk(spark, sf_dir)
+        _ivf_fresh_topk(corpus)
         .select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
         .count()
@@ -3599,7 +3659,7 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_sum = (
         int(facts.exact_sim_sum_q4) if facts.exact_sim_sum_q4 is not None else None
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_base,
@@ -3880,7 +3940,7 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _corpus(spark, sf_dir)
     if corpus.isEmpty():
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (n, 0, 0, None, 0 if n == IVF_K else None, True, True)
                 for n in IVF_CURVE_NPROBES
@@ -3895,7 +3955,7 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = spark.createDataFrame(centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+    cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
 
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     exact_ids = exact.select("query_id", "neighbor_id")

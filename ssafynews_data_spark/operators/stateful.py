@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -213,7 +214,7 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stats.writeStream.outputMode("update").format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
-        sink = spark.createDataFrame(
+        sink = local_df(spark, 
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:

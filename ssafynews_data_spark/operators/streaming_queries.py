@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import _ensure_session_conf
 from ssafynews_data_spark.streaming.pipeline import daily_tumbling_counts
@@ -93,7 +94,7 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
         # materialize the sink's final state as a plain (non-streaming) DF
-        out = spark.createDataFrame(
+        out = local_df(spark, 
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:
@@ -146,7 +147,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        sessions = spark.createDataFrame(
+        sessions = local_df(spark, 
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:
@@ -220,7 +221,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            pairs = spark.createDataFrame(
+            pairs = local_df(spark, 
                 spark.table(name).collect(), spark.table(name).schema
             )
         finally:
@@ -280,7 +281,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            out = spark.createDataFrame(
+            out = local_df(spark, 
                 spark.table(name).collect(), spark.table(name).schema
             )
         finally:
@@ -317,7 +318,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        out = spark.createDataFrame(
+        out = local_df(spark, 
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:
@@ -367,7 +368,7 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"))
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
     finally:
         q.stop()
     return out
@@ -429,7 +430,7 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p_user").alias("user_id"))
             .agg(F.count("*").alias("n_attributed"))
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
     finally:
         q.stop()
     return out
@@ -473,7 +474,7 @@ def streaming_file_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty-day path: zero batches fire, so no files would exist to read
     # back (and a 0-row append leaves an uninferrable parquet dir)
     if spark.read.parquet(os.path.join(sf_dir, "events.parquet")).isEmpty():
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     sink = foreach_batch_upsert(data_path, key="event_id", partition_by="ymd")
     # two full passes, separate checkpoints: pass 2 redelivers every
     # record; the upsert must no-op (effectively-once on disk)
@@ -494,7 +495,7 @@ def streaming_file_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(data_path).select(
         "event_id", F.col("ymd").cast("string").alias("ymd"), "event_type", "value"
     )
-    return spark.createDataFrame(back.collect(), back.schema)
+    return local_df(spark, back.collect(), back.schema)
 
 
 def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +531,7 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("total_value"),
             )
         )
-        res = spark.createDataFrame(final.collect(), final.schema)
+        res = local_df(spark, final.collect(), final.schema)
     finally:
         q.stop()
     return res
@@ -577,7 +578,7 @@ def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_batch = load_table(spark, sf_dir, "events")
     if events_batch.isEmpty():
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
 
     def append_sketches(batch_df, batch_id: int) -> None:
         (
@@ -616,7 +617,7 @@ def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("est_ok"),
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+    return local_df(spark, out.collect(), out.schema)
 
 
 @register(
@@ -694,7 +695,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         try:
             q.processAllAvailable()
-            pairs = spark.createDataFrame(
+            pairs = local_df(spark, 
                 spark.table(name).collect(), spark.table(name).schema
             )
         finally:
@@ -779,7 +780,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        out = spark.createDataFrame(
+        out = local_df(spark, 
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:
@@ -833,7 +834,7 @@ def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.read.format("statestore").load(ckpt)
     out = state.select(F.col("key.user_id").alias("user_id"))
     # materialize before deleting the checkpoint the reader points at
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = local_df(spark, out.collect(), out.schema)
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -879,7 +880,7 @@ def streaming_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            rows = spark.createDataFrame(
+            rows = local_df(spark, 
                 spark.table(name).collect(), spark.table(name).schema
             )
         finally:

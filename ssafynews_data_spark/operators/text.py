@@ -1838,7 +1838,11 @@ def pack_provenance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     provenance query must behave against a materialized layout."""
     from pyspark.sql import Window as W
 
-    packed = greedy_pack_layout(spark, sf_dir)
+    # pin: the packed layout feeds the block-stats rollup AND the final
+    # probe join — without the barrier the tokenize + applyInPandas
+    # packer ran twice (the before-plan showed FlatMapGroupsInPandas at
+    # nodes 6 and 13).
+    packed = pin(greedy_pack_layout(spark, sf_dir))
     blocks = packed.groupBy("bucket", "block_id").agg(
         F.count("*").alias("n_docs_in_block"),
         F.sum("n_tokens").alias("block_fill"),

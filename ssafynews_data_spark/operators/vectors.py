@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -271,7 +272,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = pin(quality_features(docs))
     if labeled.limit(1).count() == 0:
         # empty-corpus path (mirrors pca_kmeans): keep the output schema
-        return spark.createDataFrame(
+        return local_df(spark, 
             [],
             "source string, n_docs long, n_label_good long, "
             "n_pred_good long, n_agree long",
@@ -421,7 +422,7 @@ def quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     if labeled.limit(1).count() == 0:
         # empty-corpus path: keep the output schema (mirrors
         # quality_classifier above)
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "source string, n_docs long, n_label_good long, accuracy_ok boolean"
         )
     asm = VectorAssembler(

@@ -25,12 +25,21 @@ LANGS = ("en", "de", "fr")
 MAX_BIGRAM_REP_Q4 = 3000
 
 
-def curate(docs: DataFrame) -> DataFrame:
+def curate(docs: DataFrame, keep: tuple[str, ...] | None = None) -> DataFrame:
     """documents → curated training rows.
 
     Stage order matters at scale: cheap row-local predicates (length,
     lang) run FIRST so the dedup shuffle only carries survivors; the
     split adds no shuffle at all (hash expression).
+
+    ``keep`` (optional, must lead with ``doc_id``) projects the row
+    down to just those columns BEFORE the dedup exchange — guide §2.3,
+    shuffle fewer bytes: an aggregate consumer (``curate_corpus``)
+    needs only (doc_id, lang), so carrying ``text`` through the
+    shuffle inside the argmin struct was pure dead weight.  Result-
+    identical because ``doc_id`` is unique and leads the struct
+    comparison: the winning row per fingerprint cannot change, only
+    which columns of it ride along.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
     filtered = docs.filter(
@@ -38,6 +47,8 @@ def curate(docs: DataFrame) -> DataFrame:
         & F.col("lang").isin(*LANGS)
         & (bigram_repetition_q4(F.col("text")) < MAX_BIGRAM_REP_Q4)
     ).withColumn("fp", F.md5(norm.cast("binary")))
+    if keep is not None:
+        filtered = filtered.select("fp", *keep)
     # keep-first as ONE argmin aggregate: min(struct(doc_id, ...)) picks
     # the min-doc_id row per fingerprint (struct compares field-by-field,
     # doc_id leads).  vs the agg + semi-join form this halves the work —
@@ -83,7 +94,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation chain under one oracle: per-(lang, split)
     counts of the quality-filtered, deduped, split corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    out = curate(docs)
+    out = curate(docs, keep=("doc_id", "lang"))
     return out.groupBy("lang", "split").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_id")
     )

@@ -123,17 +123,24 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every gate.  Eval docs (doc_id % 17 == 0) are excluded from training
     AND act as the decontamination reference set."""
     docs = load_table(spark, sf_dir, "documents")
-    return curate_full(docs).groupBy("lang", "split").agg(
+    return curate_full(docs, keep=("doc_id", "lang")).groupBy("lang", "split").agg(
         F.count("*").alias("n"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
 
 
-def curate_full(docs: DataFrame) -> DataFrame:
+def curate_full(docs: DataFrame, keep: tuple[str, ...] | None = None) -> DataFrame:
     """documents → fully-curated training rows (doc_id, lang, text,
     split).  The row-level form consumed by jobs/curate_job.py --full;
-    the registered query aggregates it for the oracle."""
+    the registered query aggregates it for the oracle.
+
+    ``keep`` (optional, must lead with ``doc_id``) projects the row to
+    those columns BEFORE the dedup exchange (guide §2.3): the
+    registered aggregate needs only (doc_id, lang), so ``text`` no
+    longer rides the shuffle inside the argmin struct.  Result-
+    identical — ``doc_id`` is unique and leads the struct comparison,
+    so the keep-first winner per fingerprint cannot change."""
     base = docs.select("doc_id", "lang", "text", tokens_col(F.col("text")).alias("toks"))
 
     gated = base.filter(
@@ -152,17 +159,19 @@ def curate_full(docs: DataFrame) -> DataFrame:
         gated_sh.join(F.broadcast(bench_sh), "h").select("doc_id").distinct()
     )
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[\\s\\x0B]+", " "))
+    payload = ("doc_id", "lang", "text") if keep is None else keep
     clean = (
         gated.join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "text", F.md5(norm.cast("binary")).alias("fp"))
+        .select(*payload, F.md5(norm.cast("binary")).alias("fp"))
     )
     # keep-first dedup as one argmin aggregate (struct compares doc_id
-    # first) — same single-shuffle shape as plans/curate.py; text rides
-    # the shuffle inside the struct, one row per distinct fingerprint
-    # after map-side partial min.
+    # first) — same single-shuffle shape as plans/curate.py; the
+    # payload columns ride the shuffle inside the struct, one row per
+    # distinct fingerprint after map-side partial min (with ``keep``
+    # the aggregate consumer drops text from the exchange entirely).
     deduped = (
         clean.groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("_k"))
+        .agg(F.min(F.struct(*payload)).alias("_k"))
         .select("_k.*")
     )
     from ssafynews_data_spark.operators.sampling import MIX_DEFAULT, MIX_WEIGHTS

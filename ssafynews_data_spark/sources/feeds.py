@@ -19,6 +19,7 @@ from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ssafynews_data_spark.localframe import local_df
 from ssafynews_data_spark.schemas import ARTICLE_WIRE
 
 WIRE_FIELDS = tuple(f.name for f in ARTICLE_WIRE.fields)
@@ -30,7 +31,7 @@ def entries_to_frame(
     """S1+P1+D1: project the 5 wire fields from feed entries (missing →
     null, like .get in producer.py:42-48) and dedup by link keep-first."""
     rows = [tuple(e.get(f) for f in WIRE_FIELDS) for e in entries]
-    df = spark.createDataFrame(rows, ARTICLE_WIRE)
+    df = local_df(spark, rows, ARTICLE_WIRE)
     return df.dropDuplicates(["link"])
 
 

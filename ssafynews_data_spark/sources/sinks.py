@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssafynews_data_spark.localframe import local_df
 
 
 def write_partitioned(
@@ -87,7 +88,7 @@ def foreach_batch_upsert(
         if fs.exists(jvm_path):
             existing = spark.read.format(fmt).load(path).select(key)
         else:
-            existing = spark.createDataFrame([], batch_df.select(key).schema)
+            existing = local_df(spark, [], batch_df.select(key).schema)
         out = idempotent_append(batch_df, existing, key)
         writer = out.write.mode("append").format(fmt)
         if partition_by is not None:

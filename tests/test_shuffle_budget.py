@@ -43,7 +43,9 @@ SHUFFLE_BUDGET: dict[str, int] = {
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
     "q5_regional_revenue": 1,
-    "semantic_dedup": 3,
+    # r13 optimization: keeper/drop-count logic folded into the grouped
+    # map (one exchange, zero joins; was 3)
+    "semantic_dedup": 1,
     "sessionization": 1,
     "simhash_pairs": 2,
     "word_freq_topk": 1,
@@ -124,7 +126,8 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # round-11: one window exchange on (anchor_id, same_label) per
     # branch (pos and neg re-derive the ranked frame) plus the
     # |anchors|-sized pos⋈neg join's exchanges under AQE
-    "contrastive_triplet_mining": 4,
+    # r13 optimization: pos side broadcast into the pos-neg join (was 4)
+    "contrastive_triplet_mining": 2,
     # round-11: fingerprint hash-agg + join-back exchange; the
     # per-source rollup rides the same exchanges (map-side combined)
     "dedup_token_accounting": 2,
@@ -153,7 +156,8 @@ EXTRA_SHUFFLE_BUDGET: dict[str, int] = {
     # pinned eval set's build is textually re-printed per reader (the
     # InMemoryTableScan note above) — physically the corpus shuffles
     # once
-    "eval_overlap_matrix": 7,
+    # r13 optimization: hit side broadcast into the matrix join (was 7)
+    "eval_overlap_matrix": 6,
     # round-13: the packer's bucket exchange; the span lattice is
     # row-local generate+explode
     "span_corruption_masks": 1,
