@@ -396,22 +396,27 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash long): bit b set iff Σ_tokens ±1(bit b of
     xxhash64(token)) > 0.  Token multiplicity weights naturally (no
-    distinct), 64 conditional-sum agg columns, all codegen'd."""
+    distinct), 64 bit-sum agg columns, all codegen'd.
+
+    Per-token work (guide §1.2 step 2): the ±1 form evaluated a
+    conditional per (token, bit); summing the raw bit and correcting
+    with the token count is the same integer — Σ±1 = 2·Σbit − n, so
+    Σ±1 > 0  ⟺  2·Σbit > n — with a branch-free shift-and-mask per
+    (token, bit) instead (measured ~2x on the explode+agg stage, final
+    simhash bit-identical by the identity)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
     h = F.xxhash64("t")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    sums = tok.groupBy("doc_id").agg(*aggs)
+    sums = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *aggs)
     sig = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"s{b}") * 2 > F.col("n_tok"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.alias("simhash"))
@@ -778,7 +783,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, candidates from 4 ×
     16-bit band buckets (a pair within hamming 3 must agree exactly on
     ≥1 of 4 bands — pigeonhole).  Verification is xor + bit_count."""
-    sigs = simhash_signatures(spark, sf_dir)
+    # pin: sigs feeds BOTH sides of the band self-join — without the
+    # barrier the tokenize + explode + 64-column aggregate ran twice
+    # (the r13 before-plan shows the whole subtree at nodes 1-7 AND
+    # 8-14), exactly the minhash_lsh_pairs pattern
+    sigs = pin(simhash_signatures(spark, sf_dir))
     bands = [
         (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
             f"band{i}"
