@@ -2170,8 +2170,11 @@ def adc_batch_parity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_encode(books)(F.col("emb")).alias("codes"),
         )
     )
-    lit = _adc_explode(coded, books, Q, qids, qnorm, use_literal=True)
-    bat = _adc_explode(coded, books, Q, qids, qnorm, use_literal=False)
+    # pin both scored frames: each feeds two anti-join counts (and lit a
+    # third count) — without the barrier the ADC scoring pipeline re-ran
+    # per consumer (the serve-contract built/loaded pattern, F2)
+    lit = pin(_adc_explode(coded, books, Q, qids, qnorm, use_literal=True))
+    bat = pin(_adc_explode(coded, books, Q, qids, qnorm, use_literal=False))
     cols = ["query_id", "neighbor_id", "adc_sim"]
     only_lit = lit.join(bat, cols, "left_anti").count()
     only_bat = bat.join(lit, cols, "left_anti").count()
