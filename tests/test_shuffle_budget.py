@@ -47,7 +47,13 @@ SHUFFLE_BUDGET: dict[str, int] = {
     # map (one exchange, zero joins; was 3)
     "semantic_dedup": 1,
     "sessionization": 1,
-    "simhash_pairs": 2,
+    # r13 optimization: the signature pass is pinned and shared across
+    # both band self-join sides (was unpinned, fed to both); its single
+    # sig-agg exchange (plan node 6) is textually re-printed under each
+    # InMemoryTableScan reader, so the textual count reads 3 while the
+    # physical shuffles are 2 (cache build + final pairs exchange) and
+    # one join side is a BroadcastExchange — plans/r13/simhash_pairs_after.txt
+    "simhash_pairs": 3,
     "word_freq_topk": 1,
     "zscore_grouped_pandas": 1,
 }
