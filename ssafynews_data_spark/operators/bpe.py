@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.operators.text import _DUCK_TOKENS, tokens_col
+from ssafynews_data_spark.parallel import run_parallel
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -327,10 +328,14 @@ def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % STALE_DELTA_MOD == 0)
 
     hist_base = word_histogram(base)
-    base_freqs = [(r.word, r.n) for r in hist_base.collect()]  # vocab-sized
-    full_freqs = [
-        (r.word, r.n) for r in word_histogram(docs).collect()
-    ]  # vocab-sized
+    # the two histogram aggregations (base, full) and the base doc count
+    # are independent corpus passes — overlap them (guide §2.6); both
+    # collects stay vocabulary-sized
+    base_freqs, full_freqs, n_docs_base = run_parallel(
+        lambda: [(r.word, r.n) for r in hist_base.collect()],
+        lambda: [(r.word, r.n) for r in word_histogram(docs).collect()],
+        lambda: base.count(),
+    )
     stale_merges = learn_bpe(base_freqs, N_MERGES)
     fresh_merges = learn_bpe(full_freqs, N_MERGES)
     overlap = len(set(stale_merges) & set(fresh_merges))
@@ -373,7 +378,7 @@ def tokenizer_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_delta_new_words"))
 
     agg = per_doc.agg(
-        F.lit(int(base.count())).cast("long").alias("n_docs_base"),
+        F.lit(int(n_docs_base)).cast("long").alias("n_docs_base"),
         F.count("*").alias("n_docs_delta"),
         F.coalesce(F.sum("n_ws"), F.lit(0)).cast("long").alias("ws_tokens_delta"),
         F.coalesce(F.bool_and(s_bounds), F.lit(True)).alias("stale_bounds_ok"),

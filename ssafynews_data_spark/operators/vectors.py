@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ssafynews_data_spark.caching import pin
 from ssafynews_data_spark.localframe import local_df
+from ssafynews_data_spark.parallel import run_parallel
 from ssafynews_data_spark.registry import register
 from ssafynews_data_spark.sources.readers import load_table
 
@@ -81,10 +82,19 @@ def pca_kmeans(
     if parts < clean.rdd.getNumPartitions():
         clean = pin(clean.coalesce(parts))
 
-    pca = PCA(k=k_pca, inputCol="_vec", outputCol="_pca").fit(clean)
-    reduced = pca.transform(clean)
+    # Both fits read only ``_vec``: KMeans never looks at the PCA output
+    # column, so fitting it on ``clean`` instead of ``pca.transform(clean)``
+    # is the identical computation (verified bit-identical centers at
+    # sf0.01/sf0.1) — which makes the two iterative fits independent jobs
+    # that can overlap (guide §2.6) instead of running back-to-back.
     k = min(max_k, n)
-    km = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cluster").fit(reduced)
+    pca, km = run_parallel(
+        lambda: PCA(k=k_pca, inputCol="_vec", outputCol="_pca").fit(clean),
+        lambda: KMeans(
+            k=k, seed=seed, featuresCol="_vec", predictionCol="cluster"
+        ).fit(clean),
+    )
+    reduced = pca.transform(clean)
     _drop_training_summary(km)
     out = km.transform(reduced)
     arr = vector_to_array(F.col("_pca"))
