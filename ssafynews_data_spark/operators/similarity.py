@@ -26,10 +26,11 @@ ladder:
 5. PQ — product quantization (Jegou et al. 2011): per-subspace
    codebooks (seeded Lloyd's on a bounded md5-ordered sample, r7)
    compress each vector to PQ_M 4-bit codes, queries score by ADC
-   (≤ ADC_LITERAL_MAX_QUERIES queries: driver-built literal lookup
-   maps, pure codegen, zero joins; above: the same lookups as one
-   broadcast row, plan size independent of the batch — r8), deep
-   candidate list exact-re-ranked;
+   (the lookup tables as ONE broadcast row — plan size independent of
+   the batch; the literal-map form is kept as the parity-contract
+   reference but routed off by default since r13: its plan compile
+   cost exceeds the broadcast row's execution), deep candidate list
+   exact-re-ranked;
 6. IVF-PQ (``ivfpq_index_topk``) — the faiss-standard composite:
    RESIDUAL PQ codes (``by_residual=true``, r8 — codebooks quantize
    emb − center, recall at the nprobe coverage cap) written
@@ -1346,11 +1347,21 @@ def _pq_encode(books: list):
 #: 1-row frame carrying a (m·K + code) -> (partial-dots, ||c||²) map
 #: plus the query-id/norm arrays, crossJoined (Spark broadcasts the
 #: row) with identical per-row math — plan size then independent of
-#: |Q| and K.  64 keeps the literal form for every interactive/contract
-#: shape (8·16·64 ≈ 8k literals) and routes bulk serving to the
-#: broadcast form.  Both paths are hash-equal by construction and
-#: pinned so by tests/test_similarity.py.
-ADC_LITERAL_MAX_QUERIES = 64
+#: |Q| and K.  Both paths are hash-equal by construction and pinned so
+#: by tests/test_similarity.py + adc_batch_parity_contract.
+#:
+#: 0 since the r13 optimization round: the literal plan's
+#: analysis/optimization/codegen cost EXCEEDS the broadcast row's whole
+#: execution even at the 10-query contract batch (measured sf0.1, noop,
+#: median of 5, identical output rows: flat ADC candidate cut
+#: 1.26 -> 0.82 s; residual IVF-PQ serve 3.46 -> 1.31 s — guide §7.3,
+#: "planning time itself can become the bottleneck").  At 100 TB the
+#: constant-size plan is also the right default: serving batches are
+#: large and codegen happens per query ON the driver.  The literal
+#: branch stays as the zero-extra-operator reference form, exercised
+#: explicitly by the parity contract and tests (raise this constant to
+#: route small batches back onto it).
+ADC_LITERAL_MAX_QUERIES = 0
 
 
 def _adc_dot_norm2(books: list, Q: "np.ndarray") -> tuple[Column, Column]:

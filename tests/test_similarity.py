@@ -304,14 +304,15 @@ def test_adc_router_switches_on_query_count(spark, sf_dir, monkeypatch):
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
-    # default at contract scale (10 queries <= 64): literal — no join
+    # default (threshold 0 since r13 — the literal plan's compile cost
+    # exceeds the broadcast row's execution): the broadcast lut row
     p_default = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
-    assert "_adc_lut" not in p_default
+    assert "_adc_lut" in p_default and "Broadcast" in p_default
 
-    # force the threshold below |Q|: the broadcast lut row must appear
-    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 0)
-    p_batch = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
-    assert "_adc_lut" in p_batch and "Broadcast" in p_batch
+    # raise the threshold above |Q|: the literal form must come back
+    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 1_000_000)
+    p_lit = plan(similarity._adc_explode(coded, books, Q, qids, qnorm))
+    assert "_adc_lut" not in p_lit
 
 
 def test_residual_adc_literal_and_batch_paths_identical(spark, sf_dir, monkeypatch):
@@ -367,18 +368,19 @@ def test_residual_adc_literal_and_batch_paths_identical(spark, sf_dir, monkeypat
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
-    # default at contract scale (10 queries <= 64): literal — no join
+    # default (threshold 0 since r13 — see ADC_LITERAL_MAX_QUERIES):
+    # the broadcast lut row with the centroid-keyed cross terms
     p_default = plan(
         similarity._adc_explode_residual(coded, books, Q, qids, qnorm, centers)
     )
-    assert "_adc_cross" not in p_default
+    assert "_adc_cross" in p_default and "Broadcast" in p_default
 
-    # force the threshold below |Q|: the broadcast lut row must appear
-    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 0)
-    p_batch = plan(
+    # raise the threshold above |Q|: the literal form must come back
+    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_QUERIES", 1_000_000)
+    p_lit = plan(
         similarity._adc_explode_residual(coded, books, Q, qids, qnorm, centers)
     )
-    assert "_adc_cross" in p_batch and "Broadcast" in p_batch
+    assert "_adc_cross" not in p_lit
 
 
 def test_residual_adc_matches_numpy_reconstruction(spark, sf_dir, tmp_path):
