@@ -2955,6 +2955,43 @@ def _sq8_dequant(
     )
 
 
+def _sq8_const_row(
+    spark: SparkSession,
+    vmin: "np.ndarray",
+    vmax: "np.ndarray",
+    centers: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The SQ8 quantizer constants as ONE broadcastable row — data, not
+    plan literals (the ADC-router move, F11/r13): at dim 64 the literal
+    arrays made a serve plan cost more to analyze/codegen than to
+    execute (measured 1.14 → 0.83 s per ivf-sq8 serve pass, identical
+    rows).  Columns: ``_lo``, ``_rng`` (+ ``_cent`` when the centroid
+    matrix is needed).  Same doubles as the literal form, so every
+    downstream value is bit-identical; the literal helpers remain for
+    the one-pass build/encode paths where plan cost is paid once."""
+    row: tuple = (
+        [float(x) for x in vmin],
+        [float(x) for x in (vmax - vmin)],
+    )
+    schema = "_lo array<double>, _rng array<double>"
+    if centers is not None:
+        row = row + (
+            [[float(x) for x in centers[c]] for c in range(centers.shape[0])],
+        )
+        schema += ", _cent array<array<double>>"
+    return local_df(spark, [row], schema)
+
+
+def _sq8_dequant_col(col: Column | None = None) -> Column:
+    """``_sq8_dequant`` against the ``_sq8_const_row`` columns instead
+    of plan literals — identical arithmetic on identical doubles."""
+    return F.transform(
+        F.col("codes") if col is None else col,
+        lambda c, i: F.element_at(F.col("_lo"), i + 1)
+        + c.cast("double") * F.element_at(F.col("_rng"), i + 1) / SQ_LEVELS,
+    )
+
+
 def sq8_build_index(
     spark: SparkSession, corpus: DataFrame, path: str
 ) -> tuple["np.ndarray", "np.ndarray"]:
@@ -3003,13 +3040,18 @@ def sq8_serve(
     compressed-scan pass, broadcast query side), cut to SQ_RERANK
     candidates per query, exact re-rank against the flat companion
     fetched for candidates only — the faiss ``SQ8,Refine`` shape."""
-    q_emb = local_df(spark, 
+    q_emb = local_df(spark,
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, emb_q array<double>",
     )
-    codes = spark.read.parquet(path).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _sq8_dequant(vmin, vmax).alias("emb_hat"),
+    # quantizer constants ride as one broadcast row (see _sq8_const_row)
+    codes = (
+        spark.read.parquet(path)
+        .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax)))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            _sq8_dequant_col().alias("emb_hat"),
+        )
     )
     approx = codes.join(
         F.broadcast(q_emb), F.col("neighbor_id") != F.col("query_id")
@@ -3040,15 +3082,20 @@ def _sq8_recon_ok(
     step = range/SQ_LEVELS (+1 ulp headroom).  Exact by construction
     for a correct codec trained on this corpus; a truncating or
     mis-scaled codec fails it (pytest-proven to fire)."""
-    step = _sq8_lit((vmax - vmin) / SQ_LEVELS)
+    # constants as one broadcast row (see _sq8_const_row); step_i =
+    # rng_i / SQ_LEVELS computed element-wise — the same IEEE division
+    # the literal form baked in, so the bound is bit-identical
+    const = _sq8_const_row(codes.sparkSession, vmin, vmax)
+    step = F.transform(F.col("_rng"), lambda r: r / SQ_LEVELS)
     return bool(
         codes.join(corpus, "vec_id")
+        .crossJoin(F.broadcast(const))
         .select(
             F.aggregate(
                 F.zip_with(
                     F.zip_with(
                         F.col("emb"),
-                        _sq8_dequant(vmin, vmax),
+                        _sq8_dequant_col(),
                         lambda x, xh: F.abs(x - xh),
                     ),
                     step,
@@ -3391,15 +3438,19 @@ def ivfsq8_serve(
     probes = _probe_cells(centers, Q, qids)
     cells = sorted({c for cs in probes.values() for c in cs})
 
-    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    # quantizer + centroid constants as one broadcast row (see
+    # _sq8_const_row) — the literal form's plan compile cost exceeded
+    # half the serve pass
+    own_center = F.element_at(F.col("_cent"), F.col("centroid") + 1)
     pruned = (
         spark.read.parquet(path)
         .filter(F.col("centroid").isin(cells))
+        .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax, centers)))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "centroid",
             F.zip_with(
-                _sq8_dequant(vmin, vmax),
+                _sq8_dequant_col(),
                 own_center,
                 lambda r, c: r + c,
             ).alias("emb_hat"),
@@ -3511,10 +3562,12 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pin(_exact_topk_rounded(corpus).select("query_id", "neighbor_id", "sim"))
 
     # residual recon bound: rebuild the residual frame with the CODES
-    # alongside, named for _sq8_recon_ok's (vec_id, emb)/(vec_id, codes)
-    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    # alongside, named for _sq8_recon_ok's (vec_id, emb)/(vec_id, codes);
+    # centroid constants ride as one broadcast row (see _sq8_const_row)
+    own_center = F.element_at(F.col("_cent"), F.col("centroid") + 1)
     resid = (
         spark.read.parquet(path + "_flat")
+        .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax, centers)))
         .select(
             "vec_id",
             F.zip_with(F.col("emb"), own_center, lambda x, c: x - c).alias("emb"),
