@@ -509,6 +509,18 @@ def near_dup_auto(
 # ---------------------------------------------------------------------------
 
 
+def _cent_frame(spark: SparkSession, centers) -> DataFrame:
+    """(centroid, c_emb) frame from the KB-sized centroid list/matrix
+    (numpy rows or MLlib ``clusterCenters()``) — the broadcast side of
+    every IVF probe/argmin join; one definition so the call sites
+    cannot drift."""
+    return local_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid INT, c_emb ARRAY<DOUBLE>",
+    )
+
+
 def _ivf_flat_serve(
     assigned: DataFrame, cent_df: DataFrame, nprobe: int = NPROBE
 ) -> DataFrame:
@@ -563,12 +575,7 @@ def _ivf_fresh_topk(corpus: DataFrame) -> DataFrame:
     # assigned feeds the query slice AND the candidate join inside
     # _ivf_flat_serve — pin so the transform runs once
     assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
-    return _ivf_flat_serve(assigned, cent_df)
+    return _ivf_flat_serve(assigned, _cent_frame(spark, model.clusterCenters()))
 
 
 @register("ann_ivf_topk", tags=("similarity", "ivf"))
@@ -787,8 +794,7 @@ def ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = write_ivf_index(corpus, path)
 
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cent_df = local_df(spark, centers, "centroid INT, c_emb ARRAY<DOUBLE>")
+    cent_df = _cent_frame(spark, model.clusterCenters())
     queries = corpus.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -2137,19 +2143,22 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing (guide §2.4; the ivf_sq8_serve_contract move).  Same
     # assignment (the flat store IS the fit's assignment, doubles
     # roundtrip parquet bit-exactly), same serve path, identical hits.
-    _, centers = ivfpq_load_meta(spark, path)
-    cent_df = local_df(
-        spark,
-        [(i, [float(x) for x in centers[i]]) for i in range(centers.shape[0])],
-        "centroid INT, c_emb ARRAY<DOUBLE>",
-    )
-    ivf_hits = (
-        _ivf_flat_serve(
+    if _corpus(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).isEmpty():
+        # rows but no vec_id < N_QUERIES: ivfpq_index_topk early-returns
+        # WITHOUT building the artifact (KMeans on zero queries has
+        # nothing to serve), so there is no meta/flat to read — and no
+        # baseline is owed: the exact top-k is empty, every hit count is
+        # 0, and both floors hold vacuously (0 >= 0), matching the
+        # oracle's literal TRUEs.
+        ivf = local_df(spark, [], "query_id long, neighbor_id long")
+    else:
+        _, centers = ivfpq_load_meta(spark, path)
+        ivf = _ivf_flat_serve(
             spark.read.parquet(path + "_flat").select("vec_id", "emb", "centroid"),
-            cent_df,
-        )
-        .select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            _cent_frame(spark, centers),
+        ).select("query_id", "neighbor_id")
+    ivf_hits = ivf.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
     e = exact.agg(
         F.count_distinct("query_id").alias("n_queries"),
@@ -2944,17 +2953,6 @@ def _sq8_encode(
     )
 
 
-def _sq8_dequant(
-    vmin: "np.ndarray", vmax: "np.ndarray", col: Column | None = None
-) -> Column:
-    lo, rng = _sq8_lit(vmin), _sq8_lit(vmax - vmin)
-    return F.transform(
-        F.col("codes") if col is None else col,
-        lambda c, i: F.element_at(lo, i + 1)
-        + c.cast("double") * F.element_at(rng, i + 1) / SQ_LEVELS,
-    )
-
-
 def _sq8_const_row(
     spark: SparkSession,
     vmin: "np.ndarray",
@@ -2983,8 +2981,9 @@ def _sq8_const_row(
 
 
 def _sq8_dequant_col(col: Column | None = None) -> Column:
-    """``_sq8_dequant`` against the ``_sq8_const_row`` columns instead
-    of plan literals — identical arithmetic on identical doubles."""
+    """The SQ8 affine dequant (the inverse of ``_sq8_encode``) against
+    the ``_sq8_const_row`` columns instead of plan literals — identical
+    arithmetic on identical doubles."""
     return F.transform(
         F.col("codes") if col is None else col,
         lambda c, i: F.element_at(F.col("_lo"), i + 1)
@@ -3578,11 +3577,7 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same corpus, k, seed) and re-scanned the corpus for nothing
     # (guide §2.4: remove the redundant pass).  Same assignment, same
     # serve path (_ivf_flat_serve), identical hit set.
-    cent_df = local_df(
-        spark,
-        [(i, [float(x) for x in centers[i]]) for i in range(centers.shape[0])],
-        "centroid INT, c_emb ARRAY<DOUBLE>",
-    )
+    cent_df = _cent_frame(spark, centers)
 
     # the serve materializations, the recon audit, and the exact facts
     # are independent jobs over the written artifact (guide §2.6);
@@ -3782,11 +3777,7 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the delta runs through it, appending to the existing layout
         assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
         assigned.count()  # materialize once before the two consumers fork
-
-        centroids = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-        cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+        cent_df = _cent_frame(spark, model.clusterCenters())
 
         # delta_visible_ok, the FALSIFIABLE form: every DELTA row's stored
         # cell must equal the independent Euclidean argmin against the
@@ -4126,10 +4117,7 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs
     )
     assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = local_df(spark, centroids, "centroid INT, c_emb ARRAY<DOUBLE>")
+    cent_df = _cent_frame(spark, model.clusterCenters())
 
     exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
     exact_ids = exact.select("query_id", "neighbor_id")

@@ -81,6 +81,9 @@ def pca_kmeans(
     parts = max(1, min(width, n // 10_000 + 1))
     if parts < clean.rdd.getNumPartitions():
         clean = pin(clean.coalesce(parts))
+        # materialize the coalesced pin BEFORE the two fits fork below,
+        # so neither races to build the shared cache (one cheap job)
+        clean.count()
 
     # Both fits read only ``_vec``: KMeans never looks at the PCA output
     # column, so fitting it on ``clean`` instead of ``pca.transform(clean)``

@@ -31,8 +31,11 @@ MAX_PARALLEL_JOBS = 3
 def run_parallel(*thunks: Callable[[], Any]) -> Sequence[Any]:
     """Run the thunks as concurrent Spark jobs; return results in order.
 
-    With a single thunk this degenerates to a plain call (no thread).
+    With a single thunk this degenerates to a plain call (no thread);
+    with none, to an empty result.
     """
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=min(len(thunks), MAX_PARALLEL_JOBS)) as pool:

@@ -712,3 +712,39 @@ def test_ivf_sq8_pruned_reads(spark, sf_dir, tmp_path):
         plan = probe._jdf.queryExecution().executedPlan().toString()
         pf = plan.split("PartitionFilters: [")[1].split("]")[0]
         assert "centroid" in pf
+
+
+def test_ivfpq_recall_contract_rows_but_no_query_ids(spark, tmp_path):
+    """Rows but no vec_id < N_QUERIES (a shape tiny reseeds can draw):
+    ivfpq_index_topk never builds the artifact (there is nothing to
+    serve), so the contract must emit the vacuous row — counts 0, NULL
+    sim sum, both floors TRUE — WITHOUT touching the (nonexistent or
+    stale) meta/flat paths for its flat-IVF retention baseline (r13
+    optimization-round regression guard)."""
+    import os
+
+    from ssafynews_data_spark.registry import load_all
+    from ssafynews_data_spark.schemas import TESTDATA_SCHEMAS
+
+    d = str(tmp_path / "noq_sf")
+    for name, schema in TESTDATA_SCHEMAS.items():
+        rows = []
+        if name == "embeddings":
+            rows = [
+                (
+                    similarity.N_QUERIES + i,
+                    [float(i + j) / 8.0 for j in range(8)],
+                    i % 3,
+                )
+                for i in range(30)
+            ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+    out = load_all()["ivfpq_recall_contract"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_queries == 0
+    assert r.n_exact_rows == 0
+    assert r.exact_sim_sum_q4 is None
+    assert bool(r.recall_ok) and bool(r.retention_ok)
