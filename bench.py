@@ -126,6 +126,20 @@ def main() -> int:
     # Single-run: its job is the fixed-vs-scaling split, not variance.
     secondary = os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "/root/testdata/sf0.01")
     timings_small = run_set(secondary, 1)[0] if os.path.isdir(secondary) else {}
+
+    # Scaling-evidence probe (VERDICT r13 item 2): at sf0.1 every
+    # headline query is fixed-overhead-bound, so a c8-vs-c32 bench pair
+    # is indistinguishable and the driver cannot verify from the
+    # artifacts that $SPARK_GRAFT_CPUS was honored.  This row is a
+    # CPU-bound data-parallel aggregate (no shuffle, no Python) whose
+    # wall time scales ~1/cores; it lives in the DETAIL sidecar +
+    # stderr only — never in the stdout "queries"/"value", which stay
+    # byte-compatible round-over-round.
+    probe_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1 << 30).selectExpr("sum(xxhash64(id, id + 1))").collect()
+        probe_runs.append(round(time.perf_counter() - t0, 3))
     load_after = os.getloadavg()
 
     # Compact machine line: headline + per-query medians only.  Detail
@@ -143,6 +157,7 @@ def main() -> int:
         "value2": round(sum(timings2.values()), 3),
         "queries2": timings2,
     }
+    sc = spark.sparkContext
     detail = {
         **out,
         "queries_min": timings_min,
@@ -152,6 +167,15 @@ def main() -> int:
         "loadavg_after": [round(x, 2) for x in load_after],
         "queries_secondary_sf": timings_small,
         "bench2_repeats": reps2,
+        # parallelism contract evidence (VERDICT r13 item 2): what the
+        # session ACTUALLY ran with, plus the core-scaling probe whose
+        # median diverges ~linearly between a c8 and a c32 run
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "scaling_probe_seconds": round(statistics.median(probe_runs), 3),
+        "scaling_probe_runs": probe_runs,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     with open(sidecar, "w") as fh:

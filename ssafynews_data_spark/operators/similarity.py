@@ -100,6 +100,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+# -- SQL-string twins of the array helpers above (guide §7.3) ----------------
+# Building deep expression trees through the Column API pays py4j
+# round-trips per operator (measured ~180 us each on this box, ~40
+# round-trips per zip_with once PySpark's per-call debug capture is
+# off); one residual-ADC serve construction spent ~1 s in pure driver
+# socket chatter.  These emit the SAME operations in the SAME
+# association order as their Column twins through ONE parser call
+# (F.expr / selectExpr), so every computed double is bit-identical —
+# asserted by the ADC literal-vs-batch parity tests and the oracle.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot` — identical fold, one parse."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine` — dot/(sqrt·sqrt), same tree."""
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", as_double(F.col("embedding")).alias("emb"))
@@ -151,10 +175,12 @@ def _exact_topk_rounded(corpus: DataFrame) -> DataFrame:
     )
     sims = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
+        # one parsed string instead of the Column-API cosine tree
+        # (same expressions — see _cosine_sql)
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+            "vec_id AS neighbor_id",
+            f"{_cosine_sql('q_emb', 'emb')} AS sim",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -533,9 +559,9 @@ def _ivf_flat_serve(
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    qc = queries.crossJoin(F.broadcast(cent_df)).select(
+    qc = queries.crossJoin(F.broadcast(cent_df)).selectExpr(
         "query_id", "q_emb", "centroid",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim"),
+        f"{_cosine_sql('q_emb', 'c_emb')} AS c_sim",
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("c_sim"), "centroid")
     probe = (
@@ -546,10 +572,10 @@ def _ivf_flat_serve(
     cands = assigned.join(F.broadcast(probe), "centroid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    sims = cands.select(
+    sims = cands.selectExpr(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("sim"),
+        "vec_id AS neighbor_id",
+        f"{_cosine_sql('q_emb', 'emb')} AS sim",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -1224,7 +1250,10 @@ def near_dup_containment_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     # pin both pair sets: each feeds its own count AND the semi-join —
     # unpinned, the LSH banding and the quadratic verify each ran twice
     # (guide §2.4); the two materializations are independent jobs and
-    # overlap (guide §2.6)
+    # overlap (guide §2.6).  No cache race on the shared corpus pin
+    # (ADVICE r13): near_dup_auto's routing count() below runs EAGERLY
+    # at construction time, sequentially, so the corpus is fully
+    # materialized before the two legs fork.
     lsh = pin(near_dup_auto(corpus, exact_limit=0).select("id_a", "id_b"))
     exact = pin(
         near_dup_auto(corpus, exact_limit=2_000_000_000).select("id_a", "id_b")
@@ -1468,32 +1497,45 @@ def _adc_explode(
         dots, norm2 = _adc_dot_norm2(books, Q)
         qid_arr = F.array(*[F.lit(int(q)) for q in qids])
         qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
-        mid_extra: list[str] = []
-    else:
-        df = df.crossJoin(
-            F.broadcast(_adc_lut_row(df.sparkSession, books, Q, qids, qnorm))
+        return (
+            df.select(
+                *carry,
+                F.posexplode(
+                    F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
+                ).alias("qpos", "adc_sim"),
+            )
+            .select(
+                F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+                *carry,
+                "adc_sim",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
         )
-        ent = lambda m: F.element_at(  # noqa: E731 — per-subspace lookup
-            F.col("_adc_lut"), F.lit(m * PQ_K) + F.col("codes")[m]
-        )
-        dots, norm2 = ent(0)["pd"], ent(0)["cn2"]
-        for m in range(1, len(books)):
-            dots = F.zip_with(dots, ent(m)["pd"], lambda a, b: a + b)
-            norm2 = norm2 + ent(m)["cn2"]
-        qid_arr = F.col("_adc_qids")
-        qnorm_arr = F.col("_adc_qn")
-        mid_extra = ["_adc_qids"]
+    # broadcast branch: the whole scoring expression as ONE parsed SQL
+    # string (guide §7.3) — the Column-API form paid ~40 py4j
+    # round-trips per zip_with/element_at while building the identical
+    # tree.  Operations and association order copied term-for-term
+    # from the Column twin above; bit-identity is pinned by
+    # test_adc_literal_and_batch_paths_identical.
+    df = df.crossJoin(
+        F.broadcast(_adc_lut_row(df.sparkSession, books, Q, qids, qnorm))
+    )
+    ent = lambda m: f"element_at(_adc_lut, {m * PQ_K} + codes[{m}])"  # noqa: E731
+    dots_s = f"{ent(0)}.pd"
+    norm2_s = f"{ent(0)}.cn2"
+    for m in range(1, len(books)):
+        dots_s = f"zip_with({dots_s}, {ent(m)}.pd, (a, b) -> a + b)"
+        norm2_s = f"{norm2_s} + {ent(m)}.cn2"
+    sim_s = f"zip_with({dots_s}, _adc_qn, (d, qn) -> d / (qn * sqrt({norm2_s})))"
     return (
-        df.select(
-            *carry,
-            *mid_extra,
-            F.posexplode(
-                F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
-            ).alias("qpos", "adc_sim"),
+        df.selectExpr(
+            *[f"`{c}`" for c in carry],
+            "_adc_qids",
+            f"posexplode({sim_s}) AS (qpos, adc_sim)",
         )
-        .select(
-            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
-            *carry,
+        .selectExpr(
+            "element_at(_adc_qids, qpos + 1) AS query_id",
+            *[f"`{c}`" for c in carry],
             "adc_sim",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1512,10 +1554,10 @@ def _adc_candidate_cut(scored: DataFrame) -> DataFrame:
 def _exact_rerank_topk(cand: DataFrame) -> DataFrame:
     """Exact-cosine re-rank of a candidate frame carrying (query_id,
     neighbor_id, emb_q, emb_n) down to TOP_K."""
-    rer = cand.select(
+    rer = cand.selectExpr(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("emb_q"), F.col("emb_n")), 4).alias("sim"),
+        f"round({_cosine_sql('emb_q', 'emb_n')}, 4) AS sim",
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return rer.withColumn("rank", F.row_number().over(w2)).filter(
@@ -1773,46 +1815,59 @@ def _adc_explode_residual(
         ccn2 = F.element_at(cn2_map, F.col("centroid"))
         qid_arr = F.array(*[F.lit(int(q)) for q in qids])
         qnorm_arr = F.array(*[F.lit(float(x)) for x in qnorm])
-        mid_extra: list[str] = []
-    else:
-        n_cells = centers.shape[0]
-        df = df.crossJoin(
-            F.broadcast(
-                _residual_lut_row(df.sparkSession, books, Q, qids, qnorm, centers)
+        dots = F.zip_with(rdots, qc_cent, lambda r, c: r + c)
+        norm2 = ccn2 + 2.0 * cross + rnorm2
+        return (
+            df.select(
+                *carry,
+                F.posexplode(
+                    F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
+                ).alias("qpos", "adc_sim"),
             )
+            .select(
+                F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+                *carry,
+                "adc_sim",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
         )
-        ent = lambda m: F.element_at(  # noqa: E731 — per-subspace lookup
-            F.col("_adc_lut"), F.lit(m * PQ_K) + F.col("codes")[m]
+    # broadcast branch: ONE parsed SQL string for the whole residual-ADC
+    # scoring expression (guide §7.3 — the Column form of this tree cost
+    # ~1 s of py4j chatter per serve construction, built twice per serve
+    # contract).  Same lookups, same accumulation order as the literal
+    # twin above; bit-identity pinned by
+    # test_residual_adc_literal_and_batch_paths_identical.
+    n_cells = centers.shape[0]
+    df = df.crossJoin(
+        F.broadcast(
+            _residual_lut_row(df.sparkSession, books, Q, qids, qnorm, centers)
         )
-        rdots, rnorm2 = ent(0)["pd"], ent(0)["cn2"]
-        for m in range(1, len(books)):
-            rdots = F.zip_with(rdots, ent(m)["pd"], lambda a, b: a + b)
-            rnorm2 = rnorm2 + ent(m)["cn2"]
-        xent = lambda m: F.element_at(  # noqa: E731 — cross-dot lookup
-            F.col("_adc_cross"),
-            F.lit(m * n_cells * PQ_K) + F.col("centroid") * PQ_K + F.col("codes")[m],
-        )
-        cross = xent(0)
-        for m in range(1, len(books)):
-            cross = cross + xent(m)
-        qc_cent = F.element_at(F.col("_adc_qc"), F.col("centroid"))
-        ccn2 = F.element_at(F.col("_adc_ccn2"), F.col("centroid"))
-        qid_arr = F.col("_adc_qids")
-        qnorm_arr = F.col("_adc_qn")
-        mid_extra = ["_adc_qids"]
-    dots = F.zip_with(rdots, qc_cent, lambda r, c: r + c)
-    norm2 = ccn2 + 2.0 * cross + rnorm2
+    )
+    ent = lambda m: f"element_at(_adc_lut, {m * PQ_K} + codes[{m}])"  # noqa: E731
+    rdots_s = f"{ent(0)}.pd"
+    rnorm2_s = f"{ent(0)}.cn2"
+    for m in range(1, len(books)):
+        rdots_s = f"zip_with({rdots_s}, {ent(m)}.pd, (a, b) -> a + b)"
+        rnorm2_s = f"{rnorm2_s} + {ent(m)}.cn2"
+    xent = lambda m: (  # noqa: E731 — cross-dot lookup
+        f"element_at(_adc_cross,"
+        f" {m * n_cells * PQ_K} + centroid * {PQ_K} + codes[{m}])"
+    )
+    cross_s = xent(0)
+    for m in range(1, len(books)):
+        cross_s = f"{cross_s} + {xent(m)}"
+    dots_s = f"zip_with({rdots_s}, element_at(_adc_qc, centroid), (r, c) -> r + c)"
+    norm2_s = f"element_at(_adc_ccn2, centroid) + ({cross_s}) * 2.0D + ({rnorm2_s})"
+    sim_s = f"zip_with({dots_s}, _adc_qn, (d, qn) -> d / (qn * sqrt({norm2_s})))"
     return (
-        df.select(
-            *carry,
-            *mid_extra,
-            F.posexplode(
-                F.zip_with(dots, qnorm_arr, lambda d, qn: d / (qn * F.sqrt(norm2)))
-            ).alias("qpos", "adc_sim"),
+        df.selectExpr(
+            *[f"`{c}`" for c in carry],
+            "_adc_qids",
+            f"posexplode({sim_s}) AS (qpos, adc_sim)",
         )
-        .select(
-            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
-            *carry,
+        .selectExpr(
+            "element_at(_adc_qids, qpos + 1) AS query_id",
+            *[f"`{c}`" for c in carry],
             "adc_sim",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2028,18 +2083,17 @@ def ivfpq_serve(
     pruned = spark.read.parquet(path).filter(F.col("centroid").isin(cells))
 
     # -- residual ADC over the pruned codes, per query in ITS cells ----
-    allow = F.map_from_arrays(
-        F.array(*[F.lit(q) for q in qids]),
-        F.array(*[F.array(*[F.lit(c) for c in probes[q]]) for q in qids]),
-    )
+    # (per-query allowed-cell map as one parsed literal string — integer
+    # membership logic, so only plan-construction cost changes)
+    allow_s = "map(" + ", ".join(
+        f"{q}, array({', '.join(str(c) for c in probes[q])})" for q in qids
+    ) + ")"
     coded_read = pruned.select(
         F.col("vec_id").alias("neighbor_id"), "centroid", "codes"
     )
     scored = _adc_explode_residual(
         coded_read, books, Q, qids, qnorm, centers
-    ).filter(
-        F.array_contains(F.element_at(allow, F.col("query_id")), F.col("centroid"))
-    )
+    ).filter(f"array_contains(element_at({allow_s}, query_id), centroid)")
     cand = _adc_candidate_cut(scored).select("query_id", "neighbor_id")
 
     # -- refine: exact re-rank against the PRUNED inverted-list flats --
@@ -2124,18 +2178,35 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     retains >= IVFPQ_RETENTION_MIN_PCT of flat IVF's hits on the same
     nprobe/IVF_K probes, so quantization loss is certified ~zero
     independent of the embedding draw (see the constant's ladder)."""
-    if _corpus(spark, sf_dir).isEmpty():
-        return local_df(spark, 
+    # ONE pinned corpus + ONE guard aggregate (total rows, query-slice
+    # rows) instead of three fresh parquet scans — the old shape issued
+    # a fresh _corpus scan for each isEmpty() guard plus one more inside
+    # cosine_topk / ivfpq_index_topk (ADVICE r13; guide §2.4).  The
+    # aggregate also materializes the pin before anything forks on it.
+    corpus = pin(_corpus(spark, sf_dir))
+    g = corpus.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") < N_QUERIES, True)).alias("nq"),
+    ).first()
+    if not g.n:
+        return local_df(spark,
             [(0, 0, None, True, True)],
             "n_queries long, n_exact_rows long, exact_sim_sum_q4 long,"
             " recall_ok boolean, retention_ok boolean",
         )
-    exact = pin(cosine_topk(spark, sf_dir).select("query_id", "neighbor_id", "sim"))
+    # exact baseline over the SAME pinned corpus (expressions identical
+    # to cosine_topk — it IS _exact_topk_rounded over a fresh scan)
+    exact = pin(_exact_topk_rounded(corpus).select("query_id", "neighbor_id", "sim"))
     path = _ivfpq_path(sf_dir)
-    pq_hits = (
-        ivfpq_index_topk(spark, sf_dir)  # builds the artifact at ``path``
-        .select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    # the exact-baseline materialization is fit-independent — overlap it
+    # with the eager index build (guide §2.6, VERDICT r13 item 1) so the
+    # exact pass hides behind the KMeans fit + artifact writes
+    pq_frame, _ = run_parallel(
+        lambda: ivfpq_topk_frame(spark, corpus, path),  # builds the artifact
+        lambda: exact.count(),
+    )
+    pq_hits = pq_frame.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
     # flat-IVF retention baseline served from the index's OWN flat store
     # and persisted centers — ann_ivf_topk here re-fit the identical
@@ -2143,8 +2214,8 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing (guide §2.4; the ivf_sq8_serve_contract move).  Same
     # assignment (the flat store IS the fit's assignment, doubles
     # roundtrip parquet bit-exactly), same serve path, identical hits.
-    if _corpus(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).isEmpty():
-        # rows but no vec_id < N_QUERIES: ivfpq_index_topk early-returns
+    if not g.nq:
+        # rows but no vec_id < N_QUERIES: ivfpq_topk_frame early-returns
         # WITHOUT building the artifact (KMeans on zero queries has
         # nothing to serve), so there is no meta/flat to read — and no
         # baseline is owed: the exact top-k is empty, every hit count is
@@ -2933,6 +3004,34 @@ def _sq8_lit(arr: "np.ndarray") -> Column:
     return F.array(*[F.lit(float(v)) for v in arr])
 
 
+def _arr_sql(arr) -> str:
+    """A double array literal as SQL text.  ``repr`` round-trips every
+    finite double exactly (and Spark's parser, like Java's
+    ``parseDouble``, is correctly rounded), so the parsed literal holds
+    the same bits ``F.lit(float(v))`` would — one parse instead of one
+    py4j call per element (guide §7.3)."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in arr) + ")"
+
+
+def _arr2_sql(mat) -> str:
+    """2-D double array literal as SQL text (see :func:`_arr_sql`)."""
+    return "array(" + ", ".join(_arr_sql(row) for row in mat) + ")"
+
+
+def _sq8_encode_sql(vmin: "np.ndarray", vmax: "np.ndarray", col: str = "emb") -> str:
+    """SQL twin of :func:`_sq8_encode` — same affine round-to-nearest
+    expression on the same literal doubles, one parse instead of ~130
+    per-element F.lit calls.  Bit-identity with the Column form is
+    pinned by test_sq8_sql_twins_match_column_forms."""
+    lo, rng = _arr_sql(vmin), _arr_sql(vmax - vmin)
+    return (
+        f"transform({col}, (x, i) -> CASE WHEN element_at({rng}, i + 1) > 0.0D"
+        f" THEN CAST(round((x - element_at({lo}, i + 1))"
+        f" * {SQ_LEVELS} / element_at({rng}, i + 1)) AS INT)"
+        f" ELSE 0 END)"
+    )
+
+
 def _sq8_encode(
     vmin: "np.ndarray", vmax: "np.ndarray", col: Column | None = None
 ) -> Column:
@@ -2991,6 +3090,16 @@ def _sq8_dequant_col(col: Column | None = None) -> Column:
     )
 
 
+def _sq8_dequant_sql(col: str = "codes") -> str:
+    """SQL twin of :func:`_sq8_dequant_col` — same affine expression
+    (lo[i] + c·rng[i]/SQ_LEVELS, identical association), one parse
+    instead of a transform-with-index Column build (guide §7.3)."""
+    return (
+        f"transform({col}, (c, i) -> element_at(_lo, i + 1)"
+        f" + CAST(c AS DOUBLE) * element_at(_rng, i + 1) / {SQ_LEVELS})"
+    )
+
+
 def sq8_build_index(
     spark: SparkSession, corpus: DataFrame, path: str
 ) -> tuple["np.ndarray", "np.ndarray"]:
@@ -3010,7 +3119,9 @@ def sq8_build_index(
         )
         .write.mode("overwrite")
         .parquet(path + "_meta"),
-        lambda: corpus.select("vec_id", _sq8_encode(vmin, vmax).alias("codes"))
+        lambda: corpus.selectExpr(
+            "vec_id", f"{_sq8_encode_sql(vmin, vmax)} AS codes"
+        )
         .write.mode("overwrite")
         .parquet(path),
         lambda: corpus.select("vec_id", "emb")
@@ -3047,17 +3158,17 @@ def sq8_serve(
     codes = (
         spark.read.parquet(path)
         .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax)))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            _sq8_dequant_col().alias("emb_hat"),
+        .selectExpr(
+            "vec_id AS neighbor_id",
+            f"{_sq8_dequant_sql()} AS emb_hat",
         )
     )
     approx = codes.join(
         F.broadcast(q_emb), F.col("neighbor_id") != F.col("query_id")
-    ).select(
+    ).selectExpr(
         "query_id",
         "neighbor_id",
-        cosine(F.col("emb_q"), F.col("emb_hat")).alias("approx_sim"),
+        f"{_cosine_sql('emb_q', 'emb_hat')} AS approx_sim",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
     cand = (
@@ -3085,25 +3196,22 @@ def _sq8_recon_ok(
     # rng_i / SQ_LEVELS computed element-wise — the same IEEE division
     # the literal form baked in, so the bound is bit-identical
     const = _sq8_const_row(codes.sparkSession, vmin, vmax)
-    step = F.transform(F.col("_rng"), lambda r: r / SQ_LEVELS)
+    # whole fold as one parsed string (guide §7.3); float literals are
+    # repr-round-tripped so the bound constants are the same doubles
+    # the Column form folded in
+    slack, eps = (1.0 + 1e-9), 1e-15
+    row_ok = (
+        f"aggregate("
+        f"zip_with("
+        f"zip_with(emb, {_sq8_dequant_sql()}, (x, xh) -> abs(x - xh)),"
+        f" transform(_rng, r -> r / {SQ_LEVELS}),"
+        f" (e, s) -> e <= s / 2.0D * {slack!r}D + {eps!r}D),"
+        f" true, (acc, ok) -> acc AND ok)"
+    )
     return bool(
         codes.join(corpus, "vec_id")
         .crossJoin(F.broadcast(const))
-        .select(
-            F.aggregate(
-                F.zip_with(
-                    F.zip_with(
-                        F.col("emb"),
-                        _sq8_dequant_col(),
-                        lambda x, xh: F.abs(x - xh),
-                    ),
-                    step,
-                    lambda e, s: e <= s / 2.0 * (1.0 + 1e-9) + 1e-15,
-                ),
-                F.lit(True),
-                lambda acc, ok: acc & ok,
-            ).alias("row_ok")
-        )
+        .selectExpr(f"{row_ok} AS row_ok")
         .agg(F.min("row_ok").alias("ok"))
         .collect()[0]
         .ok
@@ -3167,24 +3275,16 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + "_meta", ignore_errors=True)
     shutil.rmtree(path + "_flat", ignore_errors=True)
-    vmin, vmax = sq8_build_index(spark, corpus, path)
-    vmin2, vmax2 = sq8_load_meta(spark, path)
-    # pin both serve outputs (see ivfpq_serve_contract): each extra
-    # consumer otherwise re-ran the dequant scan + window + refine.
-    built = pin(sq8_serve(spark, path, vmin, vmax, qrows))
-    loaded = pin(sq8_serve(spark, path, vmin2, vmax2, qrows))
-    cols = built.columns
     # exact baseline over the PINNED corpus (not a fresh parquet scan —
-    # guide §2.4; expressions identical to cosine_topk)
+    # guide §2.4; expressions identical to cosine_topk).  Its facts
+    # aggregate is build-independent (it reads only the already-
+    # materialized corpus pin), so it runs CONCURRENTLY with the whole
+    # build instead of serially after it (guide §2.6, VERDICT r13
+    # item 1): the exact-topk wall clock hides behind the train+write
+    # critical path.
     exact = pin(_exact_topk_rounded(corpus).select("query_id", "neighbor_id", "sim"))
-
-    # the two serve materializations, the corpus-wide recon audit, and
-    # the exact-baseline facts are four independent jobs — overlap them
-    # (guide §2.6), then overlap the three consumers of the cached frames
-    _, _, recon, facts = run_parallel(
-        lambda: built.count(),
-        lambda: loaded.count(),
-        lambda: _sq8_recon_ok(spark.read.parquet(path), corpus, vmin, vmax),
+    (vmin, vmax), facts = run_parallel(
+        lambda: sq8_build_index(spark, corpus, path),
         lambda: exact.agg(
             F.count_distinct("query_id").alias("n_queries"),
             F.count("*").alias("n_exact_rows"),
@@ -3192,6 +3292,21 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_sim_sum_q4"
             ),
         ).collect()[0],
+    )
+    vmin2, vmax2 = sq8_load_meta(spark, path)
+    # pin both serve outputs (see ivfpq_serve_contract): each extra
+    # consumer otherwise re-ran the dequant scan + window + refine.
+    built = pin(sq8_serve(spark, path, vmin, vmax, qrows))
+    loaded = pin(sq8_serve(spark, path, vmin2, vmax2, qrows))
+    cols = built.columns
+
+    # the two serve materializations and the corpus-wide recon audit
+    # are independent jobs over the written artifact — overlap them
+    # (guide §2.6), then overlap the three consumers of the cached frames
+    _, _, recon = run_parallel(
+        lambda: built.count(),
+        lambda: loaded.count(),
+        lambda: _sq8_recon_ok(spark.read.parquet(path), corpus, vmin, vmax),
     )
     only_built, only_loaded, n_hits = run_parallel(
         lambda: built.join(loaded, cols, "left_anti").count(),
@@ -3368,11 +3483,19 @@ def ivfsq8_build_index(
     centers = np.stack(
         [np.asarray(c, dtype=float) for c in model.clusterCenters()]
     )
-    own_center = F.element_at(_centers_lit(centers), F.col("centroid") + 1)
+    # residual vs the own-cell centroid — centroid matrix inlined as one
+    # parsed literal (repr-round-tripped doubles; see _arr_sql) instead
+    # of ~520 F.lit py4j calls through _centers_lit (guide §7.3)
     assigned = pin(
         model.transform(vecs)
         .select("vec_id", "emb", "centroid")
-        .withColumn("res", F.zip_with(F.col("emb"), own_center, lambda x, c: x - c))
+        .withColumn(
+            "res",
+            F.expr(
+                f"zip_with(emb, element_at({_arr2_sql(centers)},"
+                f" centroid + 1), (x, c) -> x - c)"
+            ),
+        )
     )
     vmin, vmax = sq8_train(assigned.select(F.col("res").alias("emb")))
     rows = [
@@ -3387,7 +3510,7 @@ def ivfsq8_build_index(
     # by the sq8_train aggregate) — overlap them (guide §2.6)
     run_parallel(
         lambda: assigned.select(
-            "vec_id", "centroid", _sq8_encode(vmin, vmax, F.col("res")).alias("codes")
+            "vec_id", "centroid", F.expr(_sq8_encode_sql(vmin, vmax, "res")).alias("codes")
         )
         .write.mode("overwrite")
         .partitionBy("centroid")
@@ -3439,39 +3562,33 @@ def ivfsq8_serve(
 
     # quantizer + centroid constants as one broadcast row (see
     # _sq8_const_row) — the literal form's plan compile cost exceeded
-    # half the serve pass
-    own_center = F.element_at(F.col("_cent"), F.col("centroid") + 1)
+    # half the serve pass; the projection itself is one parsed string
+    # (guide §7.3 — same expressions as the Column form)
     pruned = (
         spark.read.parquet(path)
         .filter(F.col("centroid").isin(cells))
         .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax, centers)))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
+        .selectExpr(
+            "vec_id AS neighbor_id",
             "centroid",
-            F.zip_with(
-                _sq8_dequant_col(),
-                own_center,
-                lambda r, c: r + c,
-            ).alias("emb_hat"),
+            f"zip_with({_sq8_dequant_sql()},"
+            f" element_at(_cent, centroid + 1), (r, c) -> r + c) AS emb_hat",
         )
     )
-    q_emb = local_df(spark, 
+    q_emb = local_df(spark,
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, emb_q array<double>",
     )
-    allow = F.map_from_arrays(
-        F.array(*[F.lit(q) for q in qids]),
-        F.array(*[F.array(*[F.lit(c) for c in probes[q]]) for q in qids]),
-    )
+    allow_s = "map(" + ", ".join(
+        f"{q}, array({', '.join(str(c) for c in probes[q])})" for q in qids
+    ) + ")"
     approx = (
         pruned.join(F.broadcast(q_emb), F.col("neighbor_id") != F.col("query_id"))
-        .filter(
-            F.array_contains(F.element_at(allow, F.col("query_id")), F.col("centroid"))
-        )
-        .select(
+        .filter(f"array_contains(element_at({allow_s}, query_id), centroid)")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine(F.col("emb_q"), F.col("emb_hat")).alias("approx_sim"),
+            f"{_cosine_sql('emb_q', 'emb_hat')} AS approx_sim",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
@@ -3549,27 +3666,40 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + "_meta", ignore_errors=True)
     shutil.rmtree(path + "_flat", ignore_errors=True)
-    centers, vmin, vmax = ivfsq8_build_index(spark, corpus, path)
+    # exact baseline over the PINNED corpus (not a fresh parquet scan —
+    # guide §2.4; expressions identical to cosine_topk).  The facts
+    # aggregate never consumes KMeans centers or the codec, so it runs
+    # CONCURRENTLY with the whole build (guide §2.6, VERDICT r13
+    # item 1): the exact-topk pass hides behind the contract's one
+    # mandatory KMeans fit instead of extending the critical path.
+    exact = pin(_exact_topk_rounded(corpus).select("query_id", "neighbor_id", "sim"))
+    (centers, vmin, vmax), facts = run_parallel(
+        lambda: ivfsq8_build_index(spark, corpus, path),
+        lambda: exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact_rows"),
+            F.sum(F.round(F.col("sim") * 10000).cast("long")).alias(
+                "exact_sim_sum_q4"
+            ),
+        ).collect()[0],
+    )
     centers2, vmin2, vmax2 = ivfsq8_load_meta(spark, path)
     # pin both serve outputs (see ivfpq_serve_contract): each extra
     # consumer otherwise re-ran the pruned scan + dequant + refine.
     built = pin(ivfsq8_serve(spark, path, centers, vmin, vmax, qrows))
     loaded = pin(ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows))
     cols = built.columns
-    # exact baseline over the PINNED corpus (not a fresh parquet scan —
-    # guide §2.4; expressions identical to cosine_topk)
-    exact = pin(_exact_topk_rounded(corpus).select("query_id", "neighbor_id", "sim"))
 
     # residual recon bound: rebuild the residual frame with the CODES
     # alongside, named for _sq8_recon_ok's (vec_id, emb)/(vec_id, codes);
     # centroid constants ride as one broadcast row (see _sq8_const_row)
-    own_center = F.element_at(F.col("_cent"), F.col("centroid") + 1)
     resid = (
         spark.read.parquet(path + "_flat")
         .crossJoin(F.broadcast(_sq8_const_row(spark, vmin, vmax, centers)))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.zip_with(F.col("emb"), own_center, lambda x, c: x - c).alias("emb"),
+            "zip_with(emb, element_at(_cent, centroid + 1),"
+            " (x, c) -> x - c) AS emb",
         )
     )
     # flat-IVF retention baseline served from the index's OWN flat store
@@ -3579,22 +3709,15 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve path (_ivf_flat_serve), identical hit set.
     cent_df = _cent_frame(spark, centers)
 
-    # the serve materializations, the recon audit, and the exact facts
-    # are independent jobs over the written artifact (guide §2.6);
-    # then the cached frames' consumers overlap the same way
-    _, _, recon, facts = run_parallel(
+    # the serve materializations and the recon audit are independent
+    # jobs over the written artifact (guide §2.6); then the cached
+    # frames' consumers overlap the same way
+    _, _, recon = run_parallel(
         lambda: built.count(),
         lambda: loaded.count(),
         lambda: _sq8_recon_ok(
             spark.read.parquet(path).select("vec_id", "codes"), resid, vmin, vmax
         ),
-        lambda: exact.agg(
-            F.count_distinct("query_id").alias("n_queries"),
-            F.count("*").alias("n_exact_rows"),
-            F.sum(F.round(F.col("sim") * 10000).cast("long")).alias(
-                "exact_sim_sum_q4"
-            ),
-        ).collect()[0],
     )
     only_built, only_loaded, sq8_hits, ivf_hits = run_parallel(
         lambda: built.join(loaded, cols, "left_anti").count(),

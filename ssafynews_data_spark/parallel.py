@@ -12,8 +12,22 @@ job's tail (and, locally, so per-job scheduling latency overlaps).
 Semantics are unchanged: every thunk is deterministic on its own, the
 caller consumes results positionally, and an exception in any thunk
 propagates (after the others finish or fail) exactly as the sequential
-code would raise it.  Job descriptions are thread-local in Spark, so
-concurrent jobs stay correctly labelled in the UI.
+code would raise it.
+
+Thread-local inheritance: under PySpark's pinned-thread mode (the
+default since 3.2) JVM thread-local properties — job description/group,
+session tags — are NOT inherited by plain Python threads, so each thunk
+is wrapped with :func:`pyspark.inheritable_thread_target` (the
+documented driver-thread recipe, guide §2.6) bound to the active
+session; the caller's job labels then propagate to the concurrent jobs.
+Dead pool threads' py4j connections are reclaimed by py4j's own
+``ThreadLocalConnectionFinalizer`` (verified on this py4j: the only
+post-pool JVM thread growth is Spark's bounded cached pools).
+
+Invariant (ADVICE r13): thunks must not call ``spark.conf.set`` — the
+session is shared, so a concurrent conf mutation would race every other
+in-flight job.  The package's conf.set sites (dedup, streaming) never
+run under run_parallel; keep it that way.
 """
 
 from __future__ import annotations
@@ -28,6 +42,24 @@ from typing import Any
 MAX_PARALLEL_JOBS = 3
 
 
+def _inheritable(thunks: Sequence[Callable[[], Any]]) -> Sequence[Callable[[], Any]]:
+    """Wrap thunks so JVM thread-locals (job description/group, tags)
+    carry into the pool threads under pinned-thread mode.  Falls back
+    to the bare thunks when no classic session is active (unit tests
+    that exercise run_parallel without Spark)."""
+    try:
+        from pyspark import inheritable_thread_target
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is None:
+            return thunks
+        wrap = inheritable_thread_target(session)
+        return [wrap(t) for t in thunks]
+    except Exception:
+        return thunks
+
+
 def run_parallel(*thunks: Callable[[], Any]) -> Sequence[Any]:
     """Run the thunks as concurrent Spark jobs; return results in order.
 
@@ -38,8 +70,9 @@ def run_parallel(*thunks: Callable[[], Any]) -> Sequence[Any]:
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=min(len(thunks), MAX_PARALLEL_JOBS)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+    fns = _inheritable(thunks)
+    with ThreadPoolExecutor(max_workers=min(len(fns), MAX_PARALLEL_JOBS)) as pool:
+        futures = [pool.submit(f) for f in fns]
         # collect in submission order; result() re-raises the thunk's
         # exception, matching sequential behaviour
         return [f.result() for f in futures]

@@ -54,6 +54,14 @@ def session_builder(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas boundaries (pandas_udf, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the Python call site (inspect.stack + 4-6
+        # py4j round-trips) around EVERY Column/function call for error
+        # context.  Measured here (guide §7.3 — driver-side cost):
+        # 992 -> 382 us per F.lit, 2196 -> 151 us per Column op with it
+        # off; expression-heavy serve plans spent ~1 s per pass in this
+        # wrapper.  Debug context is for interactive sessions, not an
+        # engine — off at any scale, not a local[32] tweak.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Keep scans splittable and right-sized (128 MB is also the
         # rolling-file size the reference's Flink sink used,
         # collect/consumer2.py:206-207).

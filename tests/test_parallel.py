@@ -54,8 +54,17 @@ def test_empty_thunks_returns_empty():
 
 
 def test_thunks_overlap_in_time():
-    """Two sleeping thunks must run concurrently: wall well under the
-    1.0 s sequential sum, with generous margin for a loaded box."""
-    t0 = time.perf_counter()
-    run_parallel(lambda: time.sleep(0.5), lambda: time.sleep(0.5))
-    assert time.perf_counter() - t0 < 0.9
+    """Two sleeping thunks must run concurrently.  Asserted
+    STRUCTURALLY (ADVICE r13): each thunk records its [enter, exit]
+    interval and the two intervals must intersect — immune to scheduler
+    jitter on a loaded box, unlike a wall-clock bound."""
+    spans: dict[str, tuple[float, float]] = {}
+
+    def thunk(name: str):
+        enter = time.perf_counter()
+        time.sleep(0.5)
+        spans[name] = (enter, time.perf_counter())
+
+    run_parallel(lambda: thunk("a"), lambda: thunk("b"))
+    (a0, a1), (b0, b1) = spans["a"], spans["b"]
+    assert max(a0, b0) < min(a1, b1), f"no overlap: a={spans['a']} b={spans['b']}"

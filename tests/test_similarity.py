@@ -748,3 +748,60 @@ def test_ivfpq_recall_contract_rows_but_no_query_ids(spark, tmp_path):
     assert r.n_exact_rows == 0
     assert r.exact_sim_sum_q4 is None
     assert bool(r.recall_ok) and bool(r.retention_ok)
+
+
+def test_sq8_sql_twins_match_column_forms(spark):
+    """r14 optimization guard: the SQL-string twins (_cosine_sql,
+    _sq8_encode_sql, _sq8_dequant_sql, _arr_sql/_arr2_sql) must produce
+    BIT-IDENTICAL doubles/ints to the Column-API forms they replaced on
+    the hot construction paths (guide §7.3 — one parse instead of
+    hundreds of py4j round-trips).  Exact ==, not approx."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = [[float(x) for x in rng.uniform(-1.3, 2.7, 16)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, vecs[i], vecs[(i * 7 + 3) % 40]) for i in range(40)],
+        "id long, a array<double>, b array<double>",
+    )
+
+    # cosine
+    col_rows = df.select("id", similarity.cosine(F.col("a"), F.col("b")).alias("s")).collect()
+    sql_rows = df.selectExpr("id", f"{similarity._cosine_sql('a', 'b')} AS s").collect()
+    assert sorted((r.id, r.s) for r in col_rows) == sorted((r.id, r.s) for r in sql_rows)
+
+    # encode: Column _sq8_encode vs _sq8_encode_sql on the same bounds
+    X = np.array(vecs)
+    vmin, vmax = X.min(0), X.max(0)
+    vmax[3] = vmin[3]  # one constant dim exercises the ELSE 0 branch
+    enc_col = df.select(
+        "id", similarity._sq8_encode(vmin, vmax, F.col("a")).alias("c")
+    ).collect()
+    enc_sql = df.selectExpr(
+        "id", f"{similarity._sq8_encode_sql(vmin, vmax, 'a')} AS c"
+    ).collect()
+    assert sorted((r.id, list(r.c)) for r in enc_col) == sorted(
+        (r.id, list(r.c)) for r in enc_sql
+    )
+
+    # dequant: Column _sq8_dequant_col vs _sq8_dequant_sql over a coded
+    # frame joined with the quantizer const row
+    coded = df.selectExpr(
+        "id", f"{similarity._sq8_encode_sql(vmin, vmax, 'a')} AS codes"
+    ).crossJoin(F.broadcast(similarity._sq8_const_row(spark, vmin, vmax)))
+    deq_col = coded.select("id", similarity._sq8_dequant_col().alias("d")).collect()
+    deq_sql = coded.selectExpr("id", f"{similarity._sq8_dequant_sql()} AS d").collect()
+    assert sorted((r.id, list(r.d)) for r in deq_col) == sorted(
+        (r.id, list(r.d)) for r in deq_sql
+    )
+
+    # array literals: parsed repr round-trip == F.lit doubles
+    mat = np.array(vecs[:3])
+    lit_col = df.limit(1).select(
+        F.array(*[similarity._sq8_lit(row) for row in mat]).alias("m")
+    ).collect()[0].m
+    lit_sql = df.limit(1).selectExpr(
+        f"{similarity._arr2_sql(mat)} AS m"
+    ).collect()[0].m
+    assert [list(r) for r in lit_col] == [list(r) for r in lit_sql]

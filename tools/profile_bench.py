@@ -7,7 +7,13 @@ cost, no count()-style column pruning), repeat N times, and write the
 
 Usage:
     python tools/profile_bench.py [--sf=DIR] [--reps=N] [--tag=r13]
-        [--suffix=before] [--bench2] [--plans-only] [name ...]
+        [--suffix=before] [--bench2] [--plans-only] [--plain] [name ...]
+
+``--plain`` (VERDICT r13 item 6) times against a DRIVER-SHAPED session
+instead of the engine's: bare ``local[8]`` builder, no engine configs —
+so the run proves the wins survive the grading driver's environment
+(the engine-session conf, e.g. dataFrameDebugging=off, must not be the
+only thing carrying a number).
 
 Prints one line per query to stdout: ``name  median  min  runs``.
 """
@@ -33,6 +39,7 @@ def main() -> int:
     suffix = "before"
     use_bench2 = False
     plans_only = False
+    plain = False
     names: list[str] = []
     for a in args:
         if a.startswith("--sf="):
@@ -47,6 +54,8 @@ def main() -> int:
             use_bench2 = True
         elif a == "--plans-only":
             plans_only = True
+        elif a == "--plain":
+            plain = True
         else:
             names.append(a)
 
@@ -65,7 +74,19 @@ def main() -> int:
     )
     os.makedirs(plans_dir, exist_ok=True)
 
-    spark = get_session(app_name=f"profile-{tag}")
+    if plain:
+        # the grading driver's shape: bare builder, local[8], no engine
+        # configs (check_oracles --plain uses the same philosophy)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName(f"profile-{tag}-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(app_name=f"profile-{tag}")
     # same warmup as bench.py: JVM/codegen/Arrow paths exist before timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(64).repartition(4).mapInPandas(lambda it: it, "id long").count()
