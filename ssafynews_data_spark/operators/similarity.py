@@ -1943,7 +1943,17 @@ def ivfpq_build_index(
         [np.asarray(c, dtype=float) for c in model.clusterCenters()]
     )
     assigned = pin(model.transform(vecs).select("vec_id", "emb", "centroid"))
-    books = _pq_codebooks_residual(assigned, centers)
+    assigned.count()  # materialize once before the consumers fork
+    # the flat refine companion never consumes the codebooks — write it
+    # CONCURRENTLY with the sample collect + driver-side Lloyd's fits
+    # (guide §2.6); the codes + meta writes then overlap each other
+    books, _ = run_parallel(
+        lambda: _pq_codebooks_residual(assigned, centers),
+        lambda: assigned.select("vec_id", "emb", "centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path + "_flat"),
+    )
     coded = assigned.select(
         "vec_id",
         "centroid",
@@ -1951,16 +1961,8 @@ def ivfpq_build_index(
             F.col("emb"), F.col("centroid")
         ).alias("codes"),
     )
-    # the three artifact writes are independent consumers of the pinned
-    # ``assigned`` (already materialized by the codebook fit) and of
-    # driver-resident state — overlap them (guide §2.6) instead of
-    # paying three sequential write jobs
     run_parallel(
         lambda: coded.write.mode("overwrite").partitionBy("centroid").parquet(path),
-        lambda: assigned.select("vec_id", "emb", "centroid")
-        .write.mode("overwrite")
-        .partitionBy("centroid")
-        .parquet(path + "_flat"),
         lambda: _write_ivfpq_meta(spark, path, books, centers),
     )
     return books, centers
@@ -2498,21 +2500,28 @@ def ivfpq_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path + "_meta", ignore_errors=True)
     books, centers = ivfpq_build_index(spark, corpus, path)
     books2, centers2 = ivfpq_load_meta(spark, path)
+
     # pin both serve outputs: built feeds two anti-join counts and
     # loaded three consumers — without the barrier each count re-ran
     # the whole serve pipeline (codes scan + ADC + window + refine).
-    built = pin(ivfpq_serve(spark, path, books, centers, qrows))
-    loaded = pin(ivfpq_serve(spark, path, books2, centers2, qrows))
-    cols = built.columns
-    # the two serve materializations and the expected-count aggregate
-    # are independent jobs over the written artifact — overlap them
-    # (guide §2.6), then overlap the two anti-join directions over the
-    # now-cached frames
-    _, n_loaded, expected = run_parallel(
-        lambda: built.count(),
-        lambda: loaded.count(),
+    # CONSTRUCTION lives inside the legs: building a serve frame is
+    # ~0.5 s of driver-side py4j/analysis that overlaps the other
+    # legs' cluster work when run from the pool threads (guide §2.6 —
+    # phase-timed serially at ~1.0 s for the pair before this move).
+    def built_leg() -> tuple[DataFrame, int]:
+        b = pin(ivfpq_serve(spark, path, books, centers, qrows))
+        return b, b.count()
+
+    def loaded_leg() -> tuple[DataFrame, int]:
+        ld = pin(ivfpq_serve(spark, path, books2, centers2, qrows))
+        return ld, ld.count()
+
+    (built, _), (loaded, n_loaded), expected = run_parallel(
+        built_leg,
+        loaded_leg,
         lambda: _serve_expected(spark.read.parquet(path), centers2, qrows),
     )
+    cols = built.columns
     only_built, only_loaded = run_parallel(
         lambda: built.join(loaded, cols, "left_anti").count(),
         lambda: loaded.join(built, cols, "left_anti").count(),
@@ -3108,9 +3117,17 @@ def sq8_build_index(
     row-locally and write (vec_id, codes) plus the flat refine
     companion.  At 100 TB the codes file is the 4x-smaller scan set;
     the flat file is touched only for SQ_RERANK candidates per query."""
-    vmin, vmax = sq8_train(corpus)
-    # three independent writes off the same (already materialized)
-    # corpus + driver-resident quantizer — overlap them (guide §2.6)
+    # the flat refine companion never consumes the quantizer — write it
+    # CONCURRENTLY with the d-row train aggregate (guide §2.6); the
+    # codec-dependent codes + meta writes then overlap each other.
+    # (Serving callers pass the already-materialized pinned corpus, so
+    # the two legs read the cache rather than racing to build it.)
+    (vmin, vmax), _ = run_parallel(
+        lambda: sq8_train(corpus),
+        lambda: corpus.select("vec_id", "emb")
+        .write.mode("overwrite")
+        .parquet(path + "_flat"),
+    )
     run_parallel(
         lambda: local_df(
             spark,
@@ -3124,9 +3141,6 @@ def sq8_build_index(
         )
         .write.mode("overwrite")
         .parquet(path),
-        lambda: corpus.select("vec_id", "emb")
-        .write.mode("overwrite")
-        .parquet(path + "_flat"),
     )
     return vmin, vmax
 
@@ -3294,20 +3308,27 @@ def sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0],
     )
     vmin2, vmax2 = sq8_load_meta(spark, path)
+
     # pin both serve outputs (see ivfpq_serve_contract): each extra
     # consumer otherwise re-ran the dequant scan + window + refine.
-    built = pin(sq8_serve(spark, path, vmin, vmax, qrows))
-    loaded = pin(sq8_serve(spark, path, vmin2, vmax2, qrows))
-    cols = built.columns
+    # Construction runs inside the legs so its driver-side py4j cost
+    # overlaps the other legs' cluster work (guide §2.6).
+    def built_leg() -> DataFrame:
+        b = pin(sq8_serve(spark, path, vmin, vmax, qrows))
+        b.count()
+        return b
 
-    # the two serve materializations and the corpus-wide recon audit
-    # are independent jobs over the written artifact — overlap them
-    # (guide §2.6), then overlap the three consumers of the cached frames
-    _, _, recon = run_parallel(
-        lambda: built.count(),
-        lambda: loaded.count(),
+    def loaded_leg() -> DataFrame:
+        ld = pin(sq8_serve(spark, path, vmin2, vmax2, qrows))
+        ld.count()
+        return ld
+
+    built, loaded, recon = run_parallel(
+        built_leg,
+        loaded_leg,
         lambda: _sq8_recon_ok(spark.read.parquet(path), corpus, vmin, vmax),
     )
+    cols = built.columns
     only_built, only_loaded, n_hits = run_parallel(
         lambda: built.join(loaded, cols, "left_anti").count(),
         lambda: loaded.join(built, cols, "left_anti").count(),
@@ -3497,7 +3518,17 @@ def ivfsq8_build_index(
             ),
         )
     )
-    vmin, vmax = sq8_train(assigned.select(F.col("res").alias("emb")))
+    assigned.count()  # materialize once before the consumers fork
+    # the flat refine companion never consumes the residual codec —
+    # write it CONCURRENTLY with the sq8_train d-row aggregate (guide
+    # §2.6); the codec-dependent codes + meta writes then overlap
+    (vmin, vmax), _ = run_parallel(
+        lambda: sq8_train(assigned.select(F.col("res").alias("emb"))),
+        lambda: assigned.select("vec_id", "emb", "centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path + "_flat"),
+    )
     rows = [
         ("center", int(c), [float(x) for x in centers[c]])
         for c in range(centers.shape[0])
@@ -3506,8 +3537,6 @@ def ivfsq8_build_index(
         ("sqmin", -1, [float(x) for x in vmin]),
         ("sqmax", -1, [float(x) for x in vmax]),
     ]
-    # three independent writes off the pinned ``assigned`` (materialized
-    # by the sq8_train aggregate) — overlap them (guide §2.6)
     run_parallel(
         lambda: assigned.select(
             "vec_id", "centroid", F.expr(_sq8_encode_sql(vmin, vmax, "res")).alias("codes")
@@ -3515,10 +3544,6 @@ def ivfsq8_build_index(
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(path),
-        lambda: assigned.select("vec_id", "emb", "centroid")
-        .write.mode("overwrite")
-        .partitionBy("centroid")
-        .parquet(path + "_flat"),
         lambda: local_df(spark, rows, "kind string, m int, vec array<double>")
         .coalesce(1)
         .write.mode("overwrite")
@@ -3684,11 +3709,6 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0],
     )
     centers2, vmin2, vmax2 = ivfsq8_load_meta(spark, path)
-    # pin both serve outputs (see ivfpq_serve_contract): each extra
-    # consumer otherwise re-ran the pruned scan + dequant + refine.
-    built = pin(ivfsq8_serve(spark, path, centers, vmin, vmax, qrows))
-    loaded = pin(ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows))
-    cols = built.columns
 
     # residual recon bound: rebuild the residual frame with the CODES
     # alongside, named for _sq8_recon_ok's (vec_id, emb)/(vec_id, codes);
@@ -3709,16 +3729,28 @@ def ivf_sq8_serve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve path (_ivf_flat_serve), identical hit set.
     cent_df = _cent_frame(spark, centers)
 
-    # the serve materializations and the recon audit are independent
-    # jobs over the written artifact (guide §2.6); then the cached
-    # frames' consumers overlap the same way
-    _, _, recon = run_parallel(
-        lambda: built.count(),
-        lambda: loaded.count(),
+    # pin both serve outputs (see ivfpq_serve_contract): each extra
+    # consumer otherwise re-ran the pruned scan + dequant + refine.
+    # Construction runs inside the legs so its driver-side py4j cost
+    # overlaps the other legs' cluster work (guide §2.6).
+    def built_leg() -> DataFrame:
+        b = pin(ivfsq8_serve(spark, path, centers, vmin, vmax, qrows))
+        b.count()
+        return b
+
+    def loaded_leg() -> DataFrame:
+        ld = pin(ivfsq8_serve(spark, path, centers2, vmin2, vmax2, qrows))
+        ld.count()
+        return ld
+
+    built, loaded, recon = run_parallel(
+        built_leg,
+        loaded_leg,
         lambda: _sq8_recon_ok(
             spark.read.parquet(path).select("vec_id", "codes"), resid, vmin, vmax
         ),
     )
+    cols = built.columns
     only_built, only_loaded, sq8_hits, ivf_hits = run_parallel(
         lambda: built.join(loaded, cols, "left_anti").count(),
         lambda: loaded.join(built, cols, "left_anti").count(),
